@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by queries, Verify, Bench and the CLI.
+  *
+  * Scale notes: AQE stays on (skew-join splitting, partition
+  * coalescing); shuffle partitions are sized by the caller (driver
+  * mains set them to the local core count — on a real cluster this
+  * would be ~2-3x total cores, and AQE coalesces down).
+  */
+object GraftSession {
+
+  /** Build a tuned local session (used by the CLI and specs; Verify and
+    * Bench build their own per the driver contract).
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Scan one synthetic table. Plain parquet scan — Catalyst pushes
+    * filters/pruning into it, so callers just compose DataFrame algebra.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    // long (spark.sql.legacy.parquet.nanosAsLong). Convert to a proper
+    // timestamp at microsecond precision right at the scan so every
+    // operator downstream sees a TimestampType column, like DuckDB does.
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core of the engine (SURVEY.md §2.2).
+  *
+  * Oracle-parity rules (SURVEY.md §5): every measure is drift-free —
+  * integer-valued doubles (`sum(round(x))` summed exactly in IEEE
+  * doubles below 2^53), exact counts, or strings — so DuckDB and Spark
+  * hash-match bit-for-bit regardless of partitioning or scale.
+  *
+  * Scale notes: filters/projections stay in Column algebra so Catalyst
+  * pushes them into the parquet scan; dimension joins use explicit
+  * `broadcast()`; aggregations get map-side partial aggregation for
+  * free from whole-stage codegen HashAggregate.
+  */
+object Relational {
+
+  /** TPC-H Q1 flavor: scan → pushed filter → hash agg, exact measures. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice"))).cast("long").as("sum_base"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("long").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(round(l_extendedprice)) AS BIGINT) AS sum_base,
+      |  CAST(sum(round(l_extendedprice * (1.0 - l_discount))) AS BIGINT) AS sum_disc_price,
+      |  count(*) AS n_rows,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 flavor: 3-way join on the fact's natural keys + top-N.
+    * customer and orders shuffle on the join keys once; AQE handles
+    * any skew. Top-N is a global sort of the (small) aggregated set.
+    */
+  def q3JoinTopn(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit("1996-03-15")))
+    cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("long").as("revenue"))
+      .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopnSql: String =
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(sum(round(l_extendedprice * (1.0 - l_discount))) AS BIGINT) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 flavor: star join — every dimension is broadcast, the
+    * lineitem fact is never shuffled for the dim joins (only for the
+    * final small groupBy). At 100 TB the fact side streams through
+    * broadcast-hash-joins map-side.
+    */
+  def q5BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region")
+    val nation = table(spark, dir, "nation")
+    val supp = table(spark, dir, "supplier")
+    val li = table(spark, dir, "lineitem")
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("long").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5BroadcastJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(round(l_extendedprice * (1.0 - l_discount))) AS BIGINT) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Window functions: rank + running sum per supplier. Single shuffle
+    * on the partition key; sort within partitions is codegen'd.
+    */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.filter(col("l_suppkey") <= 20)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("running_qty"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val qWindowSql: String =
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    row_number() OVER w AS rn,
+      |    CAST(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+      |  FROM lineitem
+      |  WHERE l_suppkey <= 20
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |) WHERE rn <= 5
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Left-semi + left-anti composed: customers that have orders (semi)
+    * but none above a price threshold (anti). Semi/anti joins shuffle
+    * only keys and never duplicate the left side.
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+    val big = ord.filter(col("o_totalprice") > 400000.0)
+    cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+      .limit(100)
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey
+      |LIMIT 100""".stripMargin
+
+  /** Distinct + union + sort: partKeys seen in lineitem vs. catalog. */
+  def qDistinctUnion(spark: SparkSession, dir: String): DataFrame = {
+    val liParts = table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("key")).distinct()
+      .withColumn("src", lit("lineitem"))
+    val catParts = table(spark, dir, "part")
+      .filter(col("p_size") >= 48)
+      .select(col("p_partkey").as("key")).distinct()
+      .withColumn("src", lit("part"))
+    liParts.filter(col("key") <= 200).union(catParts)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_src"),
+        max(col("src")).as("max_src"))
+      .orderBy(col("key"))
+  }
+
+  val qDistinctUnionSql: String =
+    """SELECT key, count(*) AS n_src, max(src) AS max_src FROM (
+      |  SELECT DISTINCT l_partkey AS key, 'lineitem' AS src FROM lineitem WHERE l_partkey <= 200
+      |  UNION ALL
+      |  SELECT DISTINCT p_partkey AS key, 'part' AS src FROM part WHERE p_size >= 48
+      |) GROUP BY key ORDER BY key""".stripMargin
+
+  /** Hourly rollup of the events stream table (batch form). */
+  def qEventsBucket(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val qEventsBucketSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** Top-N per group via window: biggest event per user. */
+  def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") === 1)
+      .drop("rk")
+      .filter(col("user_id") <= 100)
+      .orderBy(col("user_id"))
+  }
+
+  val qTopnGroupSql: String =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      |  FROM events
+      |) WHERE rk = 1 AND user_id <= 100
+      |ORDER BY user_id""".stripMargin
+}
