@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{ConversionQueries, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
@@ -24,6 +24,10 @@ object SparkEntry {
     "q_distinct_union" -> Relational.qDistinctUnion _,
     "q_events_bucket" -> Relational.qEventsBucket _,
     "q_topn_group" -> Relational.qTopnGroup _,
+    "ref_infer_schema" -> ConversionQueries.refInferSchema _,
+    "ref_headerless" -> ConversionQueries.refHeaderless _,
+    "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInfer _,
+    "ref_roundtrip_schema" -> ConversionQueries.refRoundtripSchema _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -35,5 +39,9 @@ object SparkEntry {
     "q_distinct_union" -> Relational.qDistinctUnionSql,
     "q_events_bucket" -> Relational.qEventsBucketSql,
     "q_topn_group" -> Relational.qTopnGroupSql,
+    "ref_infer_schema" -> ConversionQueries.refInferSchemaSql,
+    "ref_headerless" -> ConversionQueries.refHeaderlessSql,
+    "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInferSql,
+    "ref_roundtrip_schema" -> ConversionQueries.refRoundtripSchemaSql,
   )
 }

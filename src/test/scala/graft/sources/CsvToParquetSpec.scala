@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import scala.jdk.CollectionConverters._
+
+class CsvToParquetSpec extends SparkSpec {
+
+  private def footer(dir: String): ParquetMetadata = {
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try r.getFooter finally r.close()
+  }
+
+  private def writeCsv(name: String, rows: Int): String = {
+    val p = java.nio.file.Paths.get(tmpDir("conv"), name)
+    val sb = new StringBuilder("id,price,flag\n")
+    (0 until rows).foreach(i => sb.append(s"$i,${i % 97}.25,${if (i % 2 == 0) "A" else "B"}\n"))
+    java.nio.file.Files.writeString(p, sb.toString)
+    p.toString
+  }
+
+  test("conversion types + values round-trip") {
+    val csv = writeCsv("basic.csv", 1000)
+    val out = tmpDir("conv") + "/basic_pq"
+    val conv = CsvToParquet.convert(spark, csv, out)
+    val df = conv.rows.get
+    assert(df.schema.map(_.dataType.typeName) === Seq("long", "double", "string"))
+    assert(df.count() === 1000)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
+  }
+
+  test("compression option reaches the parquet footer") {
+    val csv = writeCsv("comp.csv", 500)
+    for (codec <- Seq("snappy", "gzip", "zstd", "uncompressed")) {
+      val out = tmpDir("conv") + s"/comp_$codec"
+      CsvToParquet.convert(spark, csv, out, ConvertOptions(compression = Some(codec)))
+      val got = footer(out).getBlocks.get(0).getColumns.get(0).getCodec.name().toLowerCase
+      assert(got === codec, s"codec $codec")
+    }
+  }
+
+  test("max-row-group-size limits rows per row group") {
+    val csv = writeCsv("rg.csv", 1000)
+    val out = tmpDir("conv") + "/rg_pq"
+    CsvToParquet.convert(spark, csv, out, ConvertOptions(maxRowGroupSize = Some(100L)))
+    val blocks = footer(out).getBlocks.asScala
+    assert(blocks.size >= 10)
+    assert(blocks.forall(_.getRowCount <= 100))
+  }
+
+  test("dictionary flag toggles dictionary encoding") {
+    val csv = writeCsv("dict.csv", 1000)
+    val on = tmpDir("conv") + "/dict_on"
+    val off = tmpDir("conv") + "/dict_off"
+    CsvToParquet.convert(spark, csv, on, ConvertOptions(dictionary = true))
+    CsvToParquet.convert(spark, csv, off, ConvertOptions(dictionary = false))
+    def flagEncodings(dir: String) = footer(dir).getBlocks.get(0).getColumns.asScala
+      .find(_.getPath.toDotString == "flag").get.getEncodings.asScala.map(_.name())
+    assert(flagEncodings(on).exists(_.contains("DICTIONARY")))
+    assert(!flagEncodings(off).exists(_.contains("DICTIONARY")))
+  }
+
+  test("statistics none suppresses min/max") {
+    val csv = writeCsv("stats.csv", 500)
+    val none = tmpDir("conv") + "/stats_none"
+    val page = tmpDir("conv") + "/stats_page"
+    CsvToParquet.convert(spark, csv, none, ConvertOptions(statistics = Some("none")))
+    CsvToParquet.convert(spark, csv, page, ConvertOptions(statistics = Some("page")))
+    def idStats(dir: String) = footer(dir).getBlocks.get(0).getColumns.asScala
+      .find(_.getPath.toDotString == "id").get.getStatistics
+    assert(idStats(page).hasNonNullValue)
+    val s = idStats(none)
+    assert(s == null || s.isEmpty || !s.hasNonNullValue)
+  }
+
+  test("dry resolves schema but writes nothing") {
+    val csv = writeCsv("dry.csv", 10)
+    val out = tmpDir("conv") + "/dry_pq"
+    val conv = CsvToParquet.convert(spark, csv, out, ConvertOptions(dry = true))
+    assert(conv.rows.isEmpty)
+    assert(conv.schemaJson.contains("\"Int64\""))
+    assert(!new java.io.File(out).exists())
+  }
+
+  test("invalid enums are rejected") {
+    val csv = writeCsv("bad.csv", 10)
+    intercept[IllegalArgumentException] {
+      CsvToParquet.convert(spark, csv, "/tmp/x", ConvertOptions(compression = Some("xz")))
+    }
+    intercept[IllegalArgumentException] {
+      CsvToParquet.convert(spark, csv, "/tmp/x", ConvertOptions(statistics = Some("full")))
+    }
+  }
+
+  test("CLI: --dry prints reference-format schema, writes nothing") {
+    val csv = writeCsv("cli.csv", 20)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      Csv2ParquetCli.main(Array("--dry", csv))
+    }
+    val printed = outBuf.toString("UTF-8")
+    assert(printed.contains("\"fields\""))
+    assert(printed.contains("\"Int64\"") && printed.contains("\"Float64\""))
+    assert(printed.contains("\"dict_id\": 0"))
+  }
+
+  test("CLI: full conversion with options") {
+    val csv = writeCsv("cli2.csv", 200)
+    val out = tmpDir("conv") + "/cli2_pq"
+    Csv2ParquetCli.main(Array(
+      "-c", "zstd", "--dictionary", "--max-row-group-size", "50", csv, out))
+    val blocks = footer(out).getBlocks.asScala
+    assert(blocks.forall(_.getRowCount <= 50))
+    assert(spark.read.parquet(out).count() === 200)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.ArrowType._
+import java.nio.file.{Files, Paths}
+
+class SchemaInferenceSpec extends SparkSpec {
+
+  private def writeCsv(name: String, content: String): String = {
+    val p = Paths.get(tmpDir("infer"), name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("arrow-32 type vote: bool/float/int/date64/date32/utf8") {
+    val csv = writeCsv("basic.csv",
+      """b,f,i,dt,d,s
+        |true,1.5,42,2020-01-01 10:00:00,2020-01-01,hello
+        |FALSE,-2.25,-7,2021-06-30T23:59:59,1999-12-31,world
+        |""".stripMargin)
+    val got = SchemaInference.infer(spark, csv).map(f => f.name -> f.arrowType).toMap
+    assert(got === Map("b" -> ABool, "f" -> AFloat64, "i" -> AInt64,
+      "dt" -> ADate64, "d" -> ADate32, "s" -> AUtf8))
+  }
+
+  test("int+float merges to Float64; int+string to Utf8; empties mark nullable") {
+    val csv = writeCsv("merge.csv",
+      """a,b,c
+        |1,1,1
+        |2.5,x,
+        |""".stripMargin)
+    val got = SchemaInference.infer(spark, csv)
+    val byName = got.map(f => f.name -> f).toMap
+    assert(byName("a").arrowType === AFloat64)
+    assert(byName("b").arrowType === AUtf8)
+    assert(byName("c").arrowType === AInt64)
+    assert(byName("c").nullable)
+    assert(!byName("a").nullable)
+  }
+
+  test("maxReadRecords=0 disables inference (all Utf8)") {
+    val csv = writeCsv("zero.csv", "a,b\n1,2.5\n")
+    val got = SchemaInference.infer(spark, csv, maxReadRecords = Some(0L))
+    assert(got.forall(_.arrowType == AUtf8))
+  }
+
+  test("maxReadRecords limits the sample") {
+    // first 1 record says Int64; the poison row after would force Utf8
+    val csv = writeCsv("limited.csv", "a\n1\nnot_a_number\n")
+    val all = SchemaInference.infer(spark, csv)
+    assert(all.head.arrowType === AUtf8)
+    val limited = SchemaInference.infer(spark, csv, maxReadRecords = Some(1L))
+    assert(limited.head.arrowType === AInt64)
+  }
+
+  test("headerless naming matches arrow: column_1..n") {
+    val csv = writeCsv("nohdr.csv", "1,x\n2,y\n")
+    val got = SchemaInference.infer(spark, csv, header = false)
+    assert(got.map(_.name) === Seq("column_1", "column_2"))
+    assert(got.map(_.arrowType) === Seq(AInt64, AUtf8))
+  }
+}
