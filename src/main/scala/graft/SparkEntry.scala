@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ConversionQueries, Relational}
+import graft.operators.{ConversionQueries, LlmQueries, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
@@ -28,6 +28,17 @@ object SparkEntry {
     "ref_headerless" -> ConversionQueries.refHeaderless _,
     "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInfer _,
     "ref_roundtrip_schema" -> ConversionQueries.refRoundtripSchema _,
+    "d1_dedup_exact" -> LlmQueries.d1DedupExact _,
+    "d2_minhash_lsh" -> LlmQueries.d2MinhashLsh _,
+    "d3_simhash" -> LlmQueries.d3Simhash _,
+    "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccard _,
+    "d5_embed_neardup" -> LlmQueries.d5EmbedNeardup _,
+    "s1_knn_brute" -> LlmQueries.s1KnnBrute _,
+    "t1_tokens" -> LlmQueries.t1Tokens _,
+    "t2_quality" -> LlmQueries.t2Quality _,
+    "t3_langid" -> LlmQueries.t3Langid _,
+    "t4_fingerprint" -> LlmQueries.t4Fingerprint _,
+    "m1_binary_meta" -> LlmQueries.m1BinaryMeta _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -43,5 +54,16 @@ object SparkEntry {
     "ref_headerless" -> ConversionQueries.refHeaderlessSql,
     "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInferSql,
     "ref_roundtrip_schema" -> ConversionQueries.refRoundtripSchemaSql,
+    "d1_dedup_exact" -> LlmQueries.d1DedupExactSql,
+    "d2_minhash_lsh" -> LlmQueries.d2MinhashLshSql,
+    "d3_simhash" -> LlmQueries.d3SimhashSql,
+    "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccardSql,
+    "d5_embed_neardup" -> LlmQueries.d5EmbedNeardupSql,
+    "s1_knn_brute" -> LlmQueries.s1KnnBruteSql,
+    "t1_tokens" -> LlmQueries.t1TokensSql,
+    "t2_quality" -> LlmQueries.t2QualitySql,
+    "t3_langid" -> LlmQueries.t3LangidSql,
+    "t4_fingerprint" -> LlmQueries.t4FingerprintSql,
+    "m1_binary_meta" -> LlmQueries.m1BinaryMetaSql,
   )
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash primitives for MinHash and SimHash (SURVEY.md §2.3).
+  *
+  * All hashing is md5-hex over explicit strings, chosen deliberately:
+  * md5 is identical in Spark and DuckDB, so signatures are
+  * oracle-checkable *by construction* — the DuckDB SQL recomputes the
+  * exact same bytes rather than approximating. (xxhash64 is faster but
+  * Spark-only; it's used where no oracle is needed, e.g. winnowing.)
+  */
+object HashFunctions {
+
+  /** MinHash_j over a shingle set: min over shingles of md5(j|s).
+    * A string-min over hex digests is a valid uniform min-hash.
+    */
+  def minhash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$j|"), s))))
+
+  /** Full signature: `numHashes` minhashes as an array. Narrow map. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j => minhash(shingles, j)): _*)
+
+  /** LSH band keys: hash of each band's `rowsPerBand` consecutive
+    * minhashes. Docs sharing any band key are candidate duplicates;
+    * at scale, candidates are found by shuffling only (band, key)
+    * pairs — cardinality docs×bands, never docs².
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  private val hexAlphabet = "0123456789abcdef"
+
+  /** 64-bit SimHash over a (distinct) token array, emitted as a
+    * 16-char lowercase hex string.
+    *
+    * Token bits come from the first 16 nibbles of md5(token); each bit
+    * votes ±1; the final bit is the vote's sign. The whole computation
+    * is a single expression fold (transform/aggregate/zip_with) — a
+    * narrow map with NO shuffle and no per-bit explode, which is what
+    * makes it viable on 100 TB of documents.
+    */
+  def simhashHex(toks: Column): Column = {
+    // per-token nibble values: array<array<int>> (16 nibbles each)
+    val nibbles = transform(toks, t =>
+      transform(sequence(lit(1), lit(16)),
+        k => conv(md5(t).substr(k, lit(1)), 16, 10).cast("int")))
+    // ±1 votes per bit position p (p/4 = nibble idx, p%4 = bit in nibble)
+    val pw = array(lit(1), lit(2), lit(4), lit(8))
+    def bits64(h: Column): Column =
+      transform(sequence(lit(0), lit(63)), p => {
+        val nib = element_at(h, (p / 4).cast("int") + 1)
+        val p2 = element_at(pw, (p % 4).cast("int") + 1)
+        ((nib / p2).cast("int") % 2) * 2 - 1
+      })
+    val votes = aggregate(nibbles,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc, bits64(h), (x, y) => x + y))
+    // reassemble: nibble k = Σ_b (votes[4k+b] > 0) << b → hex char
+    concat_ws("",
+      transform(sequence(lit(0), lit(15)), k => {
+        val nibVal = (0 until 4).map { b =>
+          when(element_at(votes, (k * 4 + b + 1).cast("int")) > 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+        lit(hexAlphabet).substr(nibVal + 1, lit(1))
+      }))
+  }
+
+  /** Hamming distance between two equal-length hex-string simhashes. */
+  def hammingHex(a: Column, b: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(a)), k => {
+        val na = conv(a.substr(k, lit(1)), 16, 10).cast("int")
+        val nb = conv(b.substr(k, lit(1)), 16, 10).cast("int")
+        val x = na.bitwiseXOR(nb)
+        (x % 2) + ((x / 2).cast("int") % 2) + ((x / 4).cast("int") % 2) + ((x / 8).cast("int") % 2)
+      }),
+      lit(0), (acc, v) => acc + v)
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives (SURVEY.md §2.5), all pure `Column`
+  * algebra over `org.apache.spark.sql.functions` — codegen'd, no UDFs,
+  * no shuffles. Each primitive has an exact DuckDB-SQL counterpart
+  * (see LlmQueries) so results are oracle-checkable bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed, trimmed, lowercased text. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text (non-empty). */
+  def wsTokens(c: Column): Column =
+    filter(split(lower(trim(c)), " +"), t => t =!= "")
+
+  def distinctTokens(c: Column): Column = array_distinct(wsTokens(c))
+
+  /** Distinct character k-grams (shingles) of the normalized text.
+    * Scale: a narrow map — shingling never shuffles.
+    */
+  def charShingles(c: Column, k: Int): Column = {
+    val n = normText(c)
+    when(length(n) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k)))))
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, and single symbols. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** md5 fingerprint of the normalized text — the oracled document
+    * fingerprint (SURVEY.md §2.5 t4).
+    */
+  def fingerprintMd5(c: Column): Column = md5(normText(c))
+
+  /** Winnowing fingerprints: the distinct set of per-window minimum
+    * k-gram hashes (window w over the shingle sequence) — the
+    * classic local document fingerprint for plagiarism-style matching.
+    * Pure expression fold; spec-checked (not SQL-oracled).
+    */
+  def winnowing(c: Column, k: Int = 5, w: Int = 4): Column = {
+    val n = normText(c)
+    val grams = when(length(n) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k))))
+    val hashes = transform(grams, g => xxhash64(g))
+    when(size(hashes) < w, array_distinct(hashes)).otherwise(
+      array_distinct(transform(sequence(lit(0), size(hashes) - lit(w)),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+  }
+
+  /** Language-marker hit count: distinct tokens ∩ marker set. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(array_intersect(toks, array(markers.map(lit): _*)))
+
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "das", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "a", "is", "to"),
+    "es" -> Seq("el", "los", "que", "y", "es", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+}

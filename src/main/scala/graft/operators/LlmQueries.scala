@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.GraftSession.table
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries + DuckDB oracles for the LLM-pipeline operators
+  * (SURVEY.md §2.3-§2.6). The synthetic corpus contains no actual
+  * duplicates, so the oracle-checked entries verify the deterministic
+  * *signature/score pipelines* end-to-end (minhash bands, simhash,
+  * jaccard kernels, knn rankings); pair-*finding* behavior on planted
+  * duplicates is covered by ScalaTest specs (DedupSpec).
+  *
+  * Oracle parity: all hashing is md5-hex (identical both engines);
+  * ratios are int/int double divisions with identical expression
+  * trees; rankings output ids only (SURVEY.md §5).
+  */
+object LlmQueries {
+
+  /** §2.3 d1: exact dedup groups. */
+  def d1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(spark, dir, "documents"), "doc_id", "text")
+      .select(col("rep_id"), col("n_copies"))
+      .orderBy(col("rep_id"))
+
+  val d1DedupExactSql: String =
+    """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |ORDER BY rep_id""".stripMargin
+
+  /** §2.3 d2: MinHash LSH band signatures (16 hashes, 4 bands). */
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBands(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"), col("band"))
+
+  val d2MinhashLshSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([substr(t, i, 5) for i in generate_series(1, length(t) - 4)])) AS s
+      |  FROM norm WHERE length(t) >= 5
+      |), mh AS (
+      |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || s)) AS h
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+      |  GROUP BY doc_id, j
+      |)
+      |SELECT doc_id, (j // 4)::INT AS band,
+      |  md5(string_agg(h, '|' ORDER BY j)) AS band_hash
+      |FROM mh GROUP BY doc_id, (j // 4)
+      |ORDER BY doc_id, band""".stripMargin
+
+  /** §2.3 d3: 64-bit SimHash per document as hex. */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val d3SimhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS toks
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    [[CAST(strpos('0123456789abcdef', substr(md5(t), k, 1)) - 1 AS INT)
+      |      for k in generate_series(1, 16)] for t in toks] AS hs
+      |  FROM d
+      |), v AS (
+      |  SELECT doc_id,
+      |    [list_sum([((h[(p // 4) + 1] // ([1, 2, 4, 8][(p % 4) + 1])) % 2) * 2 - 1
+      |      for h in hs]) for p in generate_series(0, 63)] AS votes
+      |  FROM h
+      |)
+      |SELECT doc_id,
+      |  list_aggregate(
+      |    [substr('0123456789abcdef',
+      |       1 + (CASE WHEN votes[k * 4 + 1] > 0 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN votes[k * 4 + 2] > 0 THEN 2 ELSE 0 END)
+      |         + (CASE WHEN votes[k * 4 + 3] > 0 THEN 4 ELSE 0 END)
+      |         + (CASE WHEN votes[k * 4 + 4] > 0 THEN 8 ELSE 0 END), 1)
+      |     for k in generate_series(0, 15)], 'string_agg', '') AS simhash
+      |FROM v
+      |ORDER BY doc_id""".stripMargin
+
+  /** §2.3 d4: n-gram Jaccard verification kernel over a deterministic
+    * candidate set (same source, id gap ≤ 60).
+    */
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        col("src_a") === col("src_b") && col("id_a") < col("id_b") &&
+          col("id_b") - col("id_a") <= 60)
+      .select(col("id_a"), col("id_b"))
+    Dedup.jaccardVerify(docs, pairs, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d4NgramJaccardSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, source,
+      |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t) - 4)]) AS sh
+      |  FROM (SELECT doc_id, source,
+      |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |        FROM documents)
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |FROM norm a JOIN norm b
+      |  ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.3 d5: exact cosine near-dup pairs (the verification kernel of
+    * the bucketed ANN path). Ids only — membership at the threshold is
+    * the check, not float bits.
+    */
+  def d5EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.42)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d5EmbedNeardupSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) > 0.42
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.4 s1: brute-force cosine top-5 for queries vec_id < 8. */
+  def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    Similarity.bruteKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s1KnnBruteSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      |s AS (
+      |  SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS sim
+      |  FROM q CROSS JOIN e WHERE e.vec_id != qid
+      |), r AS (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM s
+      |)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** §2.5 t1: token counting (whitespace + BPE-ish regex). */
+  def t1Tokens(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_ws"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  val t1TokensSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS n_ws,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** §2.5 t2: quality scoring from exact ratios. */
+  def t2Quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok
+    val stop = size(array_intersect(toks,
+      array(langMarkers.toMap.apply("en").map(lit): _*))).cast("double") / nTok
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
+      length(col("text")).cast("double")
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        uniq.as("uniq_ratio"),
+        stop.as("stop_ratio"),
+        punct.as("punct_ratio"),
+        (uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t2QualitySql: String =
+    """WITH b AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+      |      CAST(length(text) AS DOUBLE) AS punct_ratio
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, n_chars, punct_ratio,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+      |    CAST(len(list_intersect(toks, ['the','and','of','a','is','to'])) AS DOUBLE) /
+      |      CAST(len(toks) AS DOUBLE) AS stop_ratio
+      |  FROM b
+      |)
+      |SELECT doc_id, n_chars, uniq_ratio, stop_ratio, punct_ratio,
+      |  uniq_ratio * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 AS quality
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** §2.5 t3: language ID by marker-token hits, deterministic
+    * alphabetical tie-break.
+    */
+  def t3Langid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = distinctTokens(col("text"))
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+    val m = greatest(scores.map(_._2): _*)
+    val guess = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === m && m > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives the FIRST (alphabetical) matching lang priority:
+    // de > en > es > fr > zh, matching the oracle's CASE order.
+    table(spark, dir, "documents")
+      .select(col("doc_id"), guess.as("lang_guess"),
+        scores.toMap.apply("en").cast("long").as("s_en"), scores.toMap.apply("fr").cast("long").as("s_fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t3LangidSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(list_intersect(toks, ['der','und','die','das','ist','nicht'])) AS s_de,
+      |    len(list_intersect(toks, ['the','and','of','a','is','to'])) AS s_en,
+      |    len(list_intersect(toks, ['el','los','que','y','es','una'])) AS s_es,
+      |    len(list_intersect(toks, ['le','la','et','les','est','une'])) AS s_fr,
+      |    len(list_intersect(toks, ['的','是','在','了','和'])) AS s_zh
+      |  FROM (SELECT doc_id,
+      |          list_distinct(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS toks
+      |        FROM documents)
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |       ELSE 'zh' END AS lang_guess,
+      |  s_en, s_fr
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** §2.5 t4: md5 fingerprint of normalized text. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val t4FingerprintSql: String =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** §2.6 m1: opaque-binary metadata extraction — the multimodal
+    * plumbing kernel (bytes, magic sniff, content hash) on a binary
+    * column materialized from text (no media libs in this container;
+    * SURVEY.md §2.6 documents the stub).
+    */
+  def m1BinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(col("doc_id"),
+        octet_length(col("blob")).cast("long").as("n_bytes"),
+        upper(hex(col("blob").substr(1, 4))).as("magic_hex"),
+        md5(col("blob")).as("content_hash"))
+      .orderBy(col("doc_id"))
+
+  val m1BinaryMetaSql: String =
+    """SELECT doc_id,
+      |  strlen(text) AS n_bytes,
+      |  upper(hex(substr(text, 1, 4))) AS magic_hex,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

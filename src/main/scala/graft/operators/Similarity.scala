@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.4).
+  *
+  * `df` holds (idCol, vecCol: array<float>). Vectors are cast to
+  * double once; all math is expression folds (VectorFunctions).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k for a query set.
+    *
+    * Scale design: the query side is broadcast (queries ≪ corpus by
+    * assumption), so the corpus streams map-side with NO shuffle of
+    * the corpus; the only shuffle is the per-query top-k window over
+    * corpus×queries rows. For very large corpora the window is
+    * replaced by the bucketed path below.
+    */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Exact cosine near-dup pairs above a threshold within a bucketed
+    * candidate set — the verification kernel of the ANN path.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Bucketed ANN top-k (sign-random-projection LSH): corpus and
+    * queries hash to `nBits`-bit buckets; exact rerank runs only
+    * inside matching buckets. One shuffle on the bucket id — the
+    * 100 TB path. Multi-probe: each query also probes the buckets at
+    * Hamming distance 1 (flip one bit), trading `nBits`× candidate
+    * volume for recall.
+    */
+  def bucketedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", srpBucket(col("cv"), nBits))
+    val q0 = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), nBits))
+    val q =
+      if (!multiProbe) q0
+      else q0.select(col("qid"), col("qv"), explode(array_distinct(array(
+        (Seq(col("bucket")) ++ (0 until nBits).map { i =>
+          // flip bit i: probe the adjacent bucket
+          concat(col("bucket").substr(lit(1), lit(i)),
+            when(col("bucket").substr(i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+            col("bucket").substr(lit(i + 2), lit(nBits - i - 1)))
+        }): _*))).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    c.join(q, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+}
