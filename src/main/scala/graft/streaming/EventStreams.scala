@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the events stream
+  * (SURVEY.md §2.7). Batch and streaming share the same Column
+  * algebra — these functions accept either a static or a streaming
+  * DataFrame with (ts: timestamp, event_type, user_id, value).
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window rollup. State is bounded by the
+    * watermark: late events beyond `lateness` are dropped, windows
+    * finalize and evict — the property that keeps state O(windows in
+    * flight) instead of O(stream length) on an unbounded stream.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"), col("approx_users"))
+
+  /** Streaming dedup on event id within the watermark horizon —
+    * exactly-once semantics for at-least-once sources, with state
+    * bounded by the watermark.
+    */
+  def dedupEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user session aggregation with a gap timeout, via the
+    * session_window built-in (state bounded by watermark + gap).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_cents"))
+}

@@ -9,7 +9,7 @@ object SparkSpec {
 }
 
 trait SparkSpec extends AnyFunSuite {
-  def spark: SparkSession = SparkSpec.spark
+  lazy val spark: SparkSession = SparkSpec.spark
   def sf0: String = "/root/testdata/sf0.001"
 
   def tmpDir(name: String): String = {

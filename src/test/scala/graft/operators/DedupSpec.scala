@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pair-finding behavior on planted duplicates — the synthetic corpus
+  * has none, so the oracle queries only pin signatures; these specs
+  * pin detection.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // genuinely distinct docs: per-doc token draws from a 5000-word
+  // synthetic vocabulary, so cross-doc shingle overlap is negligible
+  private def base: Seq[(Long, String)] =
+    (0L until 40L).map { i =>
+      val toks = (0 until 60).map(j => s"w${(i * 611 + j * 97 + (i * j) % 13) % 5000}")
+      i -> toks.mkString(" ")
+    }
+
+  /** 40 distinct docs + exact copy of #3 + near-copy of #5 (one word
+    * changed) + unrelated doc.
+    */
+  private lazy val docs: DataFrame = {
+    val nearCopy = base(5)._2.split(" ").updated(30, "zzzqqq").mkString(" ")
+    val extra = Seq(
+      100L -> base(3)._2,
+      101L -> nearCopy,
+      102L -> "completely unrelated text that matches nothing else here")
+    (base ++ extra).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups exact copies only") {
+    val groups = Dedup.exact(docs, "doc_id", "text")
+    val dup = groups.filter($"n_copies" > 1).collect()
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Seq[Long]]("ids") === Seq(3L, 100L))
+    assert(groups.count() === 42) // 43 docs, one merged pair
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)), "exact copy must share all bands")
+    assert(pairs.contains((5L, 101L)), "near copy should share >=1 band")
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc")
+  }
+
+  test("jaccard verification separates near-dup from chance collisions") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val verified = Dedup.jaccardVerify(docs, cand, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    val byPair = verified.map(v => (v._1, v._2) -> v._3).toMap
+    assert(byPair((3L, 100L)) === 1.0)
+    assert(byPair((5L, 101L)) > 0.8 && byPair((5L, 101L)) < 1.0)
+  }
+
+  test("simhash pairs: near-identical docs within hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)), "identical docs have hamming 0")
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L))
+  }
+
+  test("simhash of identical text is identical; different text differs") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(sh(3L) === sh(100L))
+    assert(sh(3L) !== sh(102L))
+    assert(sh.values.forall(_.matches("[0-9a-f]{16}")))
+  }
+
+  test("winnowing fingerprints overlap heavily for near-dups") {
+    import graft.functions.TextFunctions
+    val fp = docs.select($"doc_id",
+      TextFunctions.winnowing($"text").as("fp")).as[(Long, Seq[Long])].collect().toMap
+    val a = fp(5L).toSet; val b = fp(101L).toSet
+    val overlap = a.intersect(b).size.toDouble / a.union(b).size
+    assert(overlap > 0.7, s"winnowing overlap $overlap")
+    val u = fp(102L).toSet
+    assert(a.intersect(u).isEmpty)
+  }
+}

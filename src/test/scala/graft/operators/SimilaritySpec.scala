@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.GraftSession.table(spark, sf0, "embeddings")
+
+  test("brute-force knn: ranks are 1..k, no self matches, sims descend") {
+    val res = Similarity.bruteKnn(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding", 5)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.length === 20)
+    res.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted === (1 to 5))
+      assert(!rows.exists(_._3 == qid))
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("planted near-duplicate vector is every variant's top neighbor") {
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = v.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
+    val df = Seq((1L, v.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteKnn(df, df, "vec_id", "embedding", 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toMap
+    assert(top(1L) === 2L && top(2L) === 1L)
+    val pairs = Similarity.cosinePairs(df, "vec_id", "embedding", 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("bucketed ANN finds planted near-neighbors (strong-signal recall)") {
+    // plant queries as slight perturbations of corpus vectors: the
+    // perturbed query's true top-1 is its source vector, and SRP
+    // bucketing must put them together (possibly via multi-probe)
+    val src = emb.filter($"vec_id" < 25)
+      .as[(Long, Seq[Float], Int)].collect()
+    val queries = src.map { case (id, v, _) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 7 == 0) 0.02f else -0.01f) })
+    }.toSeq.toDF("vec_id", "embedding")
+    val hits = Similarity.bucketedKnn(emb, queries, "vec_id", "embedding",
+        k = 1, nBits = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .count { case (qid, nid) => nid == qid - 10000L }
+    assert(hits >= 20, s"only $hits/25 planted neighbors found")
+  }
+
+  test("bucket assignment is deterministic across evaluations") {
+    import graft.functions.VectorFunctions
+    val b1 = emb.select(VectorFunctions.srpBucket(
+      VectorFunctions.toDouble($"embedding"), 8).as("b")).as[String].collect()
+    val b2 = emb.select(VectorFunctions.srpBucket(
+      VectorFunctions.toDouble($"embedding"), 8).as("b")).as[String].collect()
+    assert(b1.toSeq === b2.toSeq)
+    assert(b1.forall(_.matches("[01]{8}")))
+  }
+}

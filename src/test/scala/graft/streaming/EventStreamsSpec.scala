@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics driven synchronously: the events parquet is
+  * replayed through readStream into a memory sink, and results are
+  * compared with the same operator applied in batch mode.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchEvents: DataFrame = GraftSession.table(spark, sf0, "events")
+
+  // the file stream source wants a directory — stage the single
+  // parquet file into a fresh per-test dir (tests may append flush
+  // files, so staging is never shared)
+  private def stageStream(name: String): String = {
+    val dir = java.nio.file.Paths.get(tmpDir(s"events_stream_$name"))
+    dir.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf0/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def streamEvents(streamDir: String): DataFrame = {
+    // streaming source needs an explicit schema; ts arrives as nanos
+    // long (nanosAsLong) and is converted exactly like the batch path
+    val schema = spark.read.parquet(streamDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Append-mode window aggs only emit windows the watermark has
+    * closed, so after draining the real data we feed one sentinel
+    * event far in the future; every real window finalizes and is
+    * emitted. Callers filter out the sentinel (event_id/user_id -1).
+    */
+  private def runWithFlush(df: DataFrame, name: String, streamDir: String): DataFrame = {
+    val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val maxNanos = spark.read.parquet(streamDir).agg(max("ts")).head().getLong(0)
+      val flushTs = maxNanos + 30L * 24 * 3600 * 1000 * 1000 * 1000
+      Seq((-1L, flushTs, -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming windowed agg matches batch computation") {
+    val dir = stageStream("win")
+    val streamed = runWithFlush(
+      EventStreams.windowedAgg(streamEvents(dir)), "win_agg", dir)
+      .filter($"event_type" =!= "flush")
+    val batch = EventStreams.windowedAgg(batchEvents)
+    val s = streamed.orderBy("window_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Long, Long)].collect()
+    val b = batch.orderBy("window_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Long, Long)].collect()
+    assert(s.nonEmpty)
+    assert(s.toSeq === b.toSeq)
+  }
+
+  test("streaming dedup drops replayed event ids") {
+    val dir = stageStream("dedup")
+    val ev = streamEvents(dir)
+    val doubled = ev.union(ev) // replay everything twice
+    val deduped = runToMemory(
+      EventStreams.dedupEvents(doubled), "dedup", "append")
+    assert(deduped.count() === batchEvents.count())
+    assert(deduped.groupBy("event_id").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("sessionization produces bounded per-user sessions") {
+    val dir = stageStream("sess")
+    val sessions = runWithFlush(
+      EventStreams.sessionize(streamEvents(dir)), "sess", dir)
+      .filter($"user_id" =!= -1L)
+    assert(sessions.count() > 0)
+    val bad = sessions.filter($"session_end" < $"session_start").count()
+    assert(bad === 0)
+    // every event lands in some session: totals add up
+    val nEvents = sessions.agg(sum($"n_events")).head().getLong(0)
+    assert(nEvents === batchEvents.count())
+  }
+}
