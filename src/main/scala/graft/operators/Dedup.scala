@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** (id, shingle) rows via explode over positions. The Generate node
+    * is a projection-collapse barrier, so `normText`'s regex runs once
+    * per DOC; shingling with `transform(..., i => substr(norm, i, k))`
+    * instead inlines the regex into the lambda and re-runs it per
+    * POSITION (measured ~20× slower on the minhash stage).
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    df.select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
+      .filter(length(col("t")) >= shingleK)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), length(col("t")) - lit(shingleK - 1))).as("i"))
+      .select(col(idCol), col("t").substr(col("i"), lit(shingleK)).as("s"))
+
   /** Exact dedup on normalized text: one hash-shuffle groupBy. Returns
     * (rep_id, n_copies, all ids) per distinct text.
     */
@@ -40,10 +54,7 @@ object Dedup {
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val exploded = df
-      .filter(length(TextFunctions.normText(col(textCol))) >= shingleK)
-      .select(col(idCol),
-        explode(TextFunctions.charShingles(col(textCol), shingleK)).as("s"))
+    val exploded = shingleRows(df, idCol, textCol, shingleK)
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
     val sig = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -79,8 +90,13 @@ object Dedup {
     */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 5, threshold: Double = 0.0): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextFunctions.charShingles(col(textCol), shingleK).as("sh"))
+    // materialize distinct shingle sets through an aggregation: the
+    // exchange is a barrier, so the join below carries real arrays
+    // instead of re-deriving them per pair row (projection inlining
+    // made the naive form recompute shingles 2× per candidate pair),
+    // and collect_set dedups in O(n) vs array_distinct's O(n²)
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+      .groupBy(col(idCol).as("id")).agg(collect_set(col("s")).as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
