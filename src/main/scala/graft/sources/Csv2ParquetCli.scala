@@ -99,7 +99,9 @@ object Csv2ParquetCli {
         println(ArrowSchemaJson.render(schema))
       }
       if (!opts.dry) {
-        CsvToParquet.convert(spark, input, output, opts.copy(printSchema = false, dry = false))
+        // reference parity: <PARQUET> is a single FILE (`main.rs:178`)
+        CsvToParquet.convertToSingleFile(spark, input, output,
+          opts.copy(printSchema = false, dry = false))
         ()
       }
     } finally if (!preExisting) spark.stop() // embedded callers keep their session

@@ -118,7 +118,47 @@ object CsvToParquet {
 
     val header = opts.header.getOrElse(true)
     val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter)
+    opts.writeBatchSize.foreach(v =>
+      System.err.println(s"[graft] write_batch_size=$v accepted (parquet-mr batches internally)"))
+    opts.createdBy.foreach(v =>
+      System.err.println(s"[graft] created_by=$v accepted (parquet-mr stamps its own writer id)"))
+    convertFrame(df, schema, outPath, opts)
+    Conversion(schema, json, Some(spark.read.parquet(outPath)))
+  }
 
+  /** Reference-compatible single-FILE output (`csv2parquet in.csv
+    * out.parquet` writes one file, `main.rs:178`): convert into a
+    * scratch directory with one output partition and move the part
+    * file to the exact target path. The CLI uses this; the library
+    * API keeps the directory form, which is what scales.
+    */
+  def convertToSingleFile(spark: SparkSession, csvPath: String, outFile: String,
+      opts: ConvertOptions = ConvertOptions()): Conversion = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft_c2p").toString
+    try {
+      val schema = resolveSchema(spark, csvPath, opts)
+      if (opts.dry) return Conversion(schema, ArrowSchemaJson.render(schema), None)
+      val header = opts.header.getOrElse(true)
+      val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter)
+        .coalesce(1)
+      convertFrame(df, schema, tmp, opts)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(outFile), StandardCopyOption.REPLACE_EXISTING)
+      Conversion(schema, ArrowSchemaJson.render(schema), Some(spark.read.parquet(outFile)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  /** Shared writer path for a pre-built frame. */
+  private def convertFrame(df: DataFrame, schema: ArrowSchema,
+      outPath: String, opts: ConvertOptions): Unit = {
     var w = df.write.mode("overwrite")
       .option("parquet.enable.dictionary", opts.dictionary.toString)
     opts.compression.foreach { c =>
@@ -139,12 +179,6 @@ object CsvToParquet {
       case "plain" => w = w.option("parquet.enable.dictionary", "false")
       case _ => () // rle / bit-packed / rle-dictionary: parquet-mr's own choice
     }
-    opts.writeBatchSize.foreach(v =>
-      System.err.println(s"[graft] write_batch_size=$v accepted (parquet-mr batches internally)"))
-    opts.createdBy.foreach(v =>
-      System.err.println(s"[graft] created_by=$v accepted (parquet-mr stamps its own writer id)"))
-
     w.parquet(outPath)
-    Conversion(schema, json, Some(spark.read.parquet(outPath)))
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{LlmQueries, Relational}
+
+/** Plan-shape guards: the properties that matter at 100 TB must be
+  * visible in the physical plan, not assumed (SURVEY.md §4/§6).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter and projection are pushed into the parquet scan") {
+    val plan = executed(Relational.q1Agg(spark, sf0))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter must reach the scan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"unused columns must be pruned: $readSchema")
+  }
+
+  test("q5: every dimension join is broadcast, fact side never shuffles for joins") {
+    val plan = executed(Relational.q5BroadcastJoin(spark, sf0))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("q1: aggregation is partial (map-side combine before shuffle)") {
+    val plan = executed(Relational.q1Agg(spark, sf0))
+    assert(plan.contains("HashAggregate"))
+    assert("partial".r.findFirstIn(plan.toLowerCase).isDefined,
+      "expect partial aggregation below the exchange")
+  }
+
+  test("knn: query side is broadcast, corpus is not shuffled pre-topk") {
+    val e = GraftSession.table(spark, sf0, "embeddings")
+    val plan = executed(operators.Similarity.bruteKnn(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+      "vec_id", "embedding", 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("arraydotproduct"), "native dot product expression in plan")
+  }
+
+  test("t1: scan reads only doc_id and text") {
+    val plan = executed(LlmQueries.t1Tokens(spark, sf0))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unused document columns must be pruned: $readSchema")
+  }
+
+  test("sql entry: registered views answer spark.sql") {
+    GraftSession.registerTables(spark, sf0)
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'""".stripMargin).head().getLong(0)
+    assert(n > 0)
+  }
+}

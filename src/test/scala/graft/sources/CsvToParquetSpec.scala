@@ -11,9 +11,12 @@ import scala.jdk.CollectionConverters._
 
 class CsvToParquetSpec extends SparkSpec {
 
-  private def footer(dir: String): ParquetMetadata = {
-    val part = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+  private def footer(path: String): ParquetMetadata = {
+    val f = new java.io.File(path)
+    val part = if (f.isDirectory)
+      f.listFiles().filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet")).head
+    else f
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
     try r.getFooter finally r.close()
@@ -112,13 +115,15 @@ class CsvToParquetSpec extends SparkSpec {
     assert(printed.contains("\"dict_id\": 0"))
   }
 
-  test("CLI: full conversion with options") {
+  test("CLI: full conversion writes ONE parquet file like the reference") {
     val csv = writeCsv("cli2.csv", 200)
-    val out = tmpDir("conv") + "/cli2_pq"
+    val out = tmpDir("conv") + "/cli2.parquet"
     Csv2ParquetCli.main(Array(
       "-c", "zstd", "--dictionary", "--max-row-group-size", "50", csv, out))
+    assert(new java.io.File(out).isFile, "single-file output")
     val blocks = footer(out).getBlocks.asScala
     assert(blocks.forall(_.getRowCount <= 50))
+    assert(blocks.size >= 4)
     assert(spark.read.parquet(out).count() === 200)
   }
 }
