@@ -24,7 +24,13 @@ object Dedup {
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
-    df.select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
+    df
+      // Compute-bound fan-out: file-size-based splits underestimate
+      // shingle+hash cost, so a small corpus file lands in ONE task
+      // and runs serial (measured: the whole minhash stage on 1 of 32
+      // cores). Spread docs across the cluster before exploding.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
       .filter(length(col("t")) >= shingleK)
       .select(col(idCol), col("t"),
         explode(sequence(lit(1), length(col("t")) - lit(shingleK - 1))).as("i"))
@@ -107,10 +113,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per doc (hex string) — one narrow map. */
+  /** 64-bit SimHash per doc (hex string) — one narrow map (repartition
+    * for the same compute-bound fan-out reason as shingleRows).
+    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      HashFunctions.simhashHex(TextFunctions.distinctTokens(col(textCol))).as("simhash"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        HashFunctions.simhashHex(TextFunctions.distinctTokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Banding: 4 hex chars per band (16 bits); a pair within Hamming 3
