@@ -34,6 +34,9 @@ object SparkEntry {
     "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccard _,
     "d5_embed_neardup" -> LlmQueries.d5EmbedNeardup _,
     "s1_knn_brute" -> LlmQueries.s1KnnBrute _,
+    "s2_knn_ivf" -> LlmQueries.s2KnnIvf _,
+    "m2_media_decode" -> LlmQueries.m2MediaDecode _,
+    "q_sessionize" -> LlmQueries.qSessionize _,
     "t1_tokens" -> LlmQueries.t1Tokens _,
     "t2_quality" -> LlmQueries.t2Quality _,
     "t3_langid" -> LlmQueries.t3Langid _,

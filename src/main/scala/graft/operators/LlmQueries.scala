@@ -152,6 +152,40 @@ object LlmQueries {
       |SELECT qid, rank, nid FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** §2.4 s2: bucketed ANN (sign-random-projection LSH + multi-probe
+    * + exact rerank inside buckets) — the 100 TB scale path. No SQL
+    * oracle (approximate by design); recall vs s1 is spec-checked
+    * (SimilaritySpec), driver records the rows-only check.
+    */
+  def s2KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    Similarity.bucketedKnn(e, e.filter(col("vec_id") < 64), "vec_id", "embedding",
+        k = 5, nBits = 8)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** §2.6 m2: the media decode pipeline (byte-budget partitioning +
+    * per-partition batch decode, stub codec) — rows-only check;
+    * determinism is spec-checked (MultimodalSpec).
+    */
+  def m2MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(spark, table(spark, dir, "documents"),
+      "doc_id", "text", "image")
+    Multimodal.decodeAll(media, targetPartitionBytes = 1L << 20).toDF()
+      .select(col("id"), col("kind"), col("nBytes"), col("magicHex"),
+        col("width"), col("height"), col("nFrames"))
+      .orderBy(col("id"))
+  }
+
+  /** §2.7 batch form of sessionization (session_window) — DuckDB has
+    * no session_window equivalent, so rows-only; streaming behavior
+    * is spec-checked (EventStreamsSpec).
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionize(table(spark, dir, "events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** §2.5 t1: token counting (whitespace + BPE-ish regex). */
   def t1Tokens(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")

@@ -32,6 +32,7 @@ object Csv2ParquetCli {
       |      --dictionary                                       Enable dictionary encoding
       |      --statistics <STATISTICS>                          [possible values: none, chunk, page]
       |      --max-statistics-size <MAX_STATISTICS_SIZE>        Max statistics size per column
+      |      --multiline                                        Handle quoted embedded newlines (graft extension; non-splittable)
       |  -p, --print-schema                                     Print the schema to stderr
       |  -n, --dry                                              Only print the schema
       |  -h, --help                                             Print help information
@@ -74,6 +75,8 @@ object Csv2ParquetCli {
     case ("-p" | "--print-schema") :: rest =>
       parseArgs(rest, opts.copy(printSchema = true), pos)
     case ("-n" | "--dry") :: rest => parseArgs(rest, opts.copy(dry = true), pos)
+    // graft extension: quoted embedded newlines (non-splittable read)
+    case "--multiline" :: rest => parseArgs(rest, opts.copy(multiLine = true), pos)
     case p :: rest if !p.startsWith("-") => parseArgs(rest, opts, p :: pos)
     case bad :: _ =>
       System.err.println(s"error: unexpected argument '$bad'\n\n$usage"); sys.exit(2)

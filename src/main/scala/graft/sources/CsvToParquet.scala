@@ -20,7 +20,12 @@ final case class ConvertOptions(
     statistics: Option[String] = None,
     maxStatisticsSize: Option[Long] = None,
     printSchema: Boolean = false,
-    dry: Boolean = false)
+    dry: Boolean = false,
+    // Embedded newlines inside quoted fields need multiLine, which
+    // makes CSV files NON-SPLITTABLE (one task per file). The
+    // reference streams single-threaded so it loses nothing; at scale
+    // keep this off unless the data demands it.
+    multiLine: Boolean = false)
 
 object ConvertOptions {
   val compressions: Set[String] =
@@ -82,7 +87,7 @@ object CsvToParquet {
       case None =>
         SchemaInference.toArrowSchema(
           SchemaInference.infer(spark, csvPath, opts.header.getOrElse(true),
-            opts.delimiter, opts.maxReadRecords))
+            opts.delimiter, opts.maxReadRecords, opts.multiLine))
     }
 
   /** Typed CSV read with a known schema. */
@@ -91,11 +96,15 @@ object CsvToParquet {
       csvPath: String,
       schema: StructType,
       header: Boolean,
-      delimiter: Char): DataFrame =
+      delimiter: Char,
+      multiLine: Boolean = false): DataFrame =
     spark.read
       .schema(schema)
       .option("header", header.toString)
       .option("delimiter", delimiter.toString)
+      .option("multiLine", multiLine.toString)
+      // RFC4180 doubled-quote escaping (Rust csv crate semantics)
+      .option("quote", "\"").option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd[['T'][ ]HH:mm:ss]")
       .option("mode", "PERMISSIVE")
       .csv(csvPath)
@@ -117,7 +126,7 @@ object CsvToParquet {
     if (opts.dry) return Conversion(schema, json, None)
 
     val header = opts.header.getOrElse(true)
-    val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter)
+    val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter, opts.multiLine)
     opts.writeBatchSize.foreach(v =>
       System.err.println(s"[graft] write_batch_size=$v accepted (parquet-mr batches internally)"))
     opts.createdBy.foreach(v =>
@@ -141,7 +150,7 @@ object CsvToParquet {
       val schema = resolveSchema(spark, csvPath, opts)
       if (opts.dry) return Conversion(schema, ArrowSchemaJson.render(schema), None)
       val header = opts.header.getOrElse(true)
-      val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter)
+      val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter, opts.multiLine)
         .coalesce(1)
       convertFrame(df, schema, tmp, opts)
       val part = new java.io.File(tmp).listFiles()

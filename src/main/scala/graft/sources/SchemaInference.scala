@@ -45,10 +45,15 @@ object SchemaInference {
       spark: SparkSession,
       path: String,
       header: Boolean,
-      delimiter: Char): DataFrame = {
+      delimiter: Char,
+      multiLine: Boolean = false): DataFrame = {
     val df = spark.read
       .option("header", header.toString)
       .option("delimiter", delimiter.toString)
+      .option("multiLine", multiLine.toString)
+      // RFC4180 doubled-quote escaping, matching the Rust csv crate
+      // the reference reads with (not Spark's default backslash)
+      .option("quote", "\"").option("escape", "\"")
       .option("inferSchema", "false")
       .csv(path)
     if (header) df
@@ -61,8 +66,9 @@ object SchemaInference {
       path: String,
       header: Boolean = true,
       delimiter: Char = ',',
-      maxReadRecords: Option[Long] = None): Seq[InferredField] = {
-    val raw = readRaw(spark, path, header, delimiter)
+      maxReadRecords: Option[Long] = None,
+      multiLine: Boolean = false): Seq[InferredField] = {
+    val raw = readRaw(spark, path, header, delimiter, multiLine)
     maxReadRecords match {
       case Some(0L) =>
         raw.columns.toSeq.map(InferredField(_, AUtf8, nullable = true))

@@ -126,4 +126,20 @@ class CsvToParquetSpec extends SparkSpec {
     assert(blocks.size >= 4)
     assert(spark.read.parquet(out).count() === 200)
   }
+
+  test("RFC4180 quoting: commas, doubled quotes, newlines in fields") {
+    val p = java.nio.file.Paths.get(tmpDir("conv"), "quoted.csv")
+    java.nio.file.Files.writeString(p,
+      "id,msg\n" +
+      "1,\"hello, world\"\n" +
+      "2,\"she said \"\"hi\"\"\"\n" +
+      "3,\"line1\nline2\"\n")
+    val out = tmpDir("conv") + "/quoted_pq"
+    val conv = CsvToParquet.convert(spark, p.toString, out,
+      ConvertOptions(maxReadRecords = Some(0L), multiLine = true))
+    val rows = conv.rows.get.orderBy("id").collect()
+    assert(rows(0).getString(1) === "hello, world")
+    assert(rows(1).getString(1) === "she said \"hi\"")
+    assert(rows(2).getString(1) === "line1\nline2")
+  }
 }
