@@ -37,6 +37,8 @@ object SparkEntry {
     "s2_knn_ivf" -> LlmQueries.s2KnnIvf _,
     "m2_media_decode" -> LlmQueries.m2MediaDecode _,
     "q_sessionize" -> LlmQueries.qSessionize _,
+    "p1_hash_sample" -> LlmQueries.p1HashSample _,
+    "p2_split_assign" -> LlmQueries.p2SplitAssign _,
     "t1_tokens" -> LlmQueries.t1Tokens _,
     "t2_quality" -> LlmQueries.t2Quality _,
     "t3_langid" -> LlmQueries.t3Langid _,
@@ -63,6 +65,8 @@ object SparkEntry {
     "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccardSql,
     "d5_embed_neardup" -> LlmQueries.d5EmbedNeardupSql,
     "s1_knn_brute" -> LlmQueries.s1KnnBruteSql,
+    "p1_hash_sample" -> LlmQueries.p1HashSampleSql,
+    "p2_split_assign" -> LlmQueries.p2SplitAssignSql,
     "t1_tokens" -> LlmQueries.t1TokensSql,
     "t2_quality" -> LlmQueries.t2QualitySql,
     "t3_langid" -> LlmQueries.t3LangidSql,

@@ -186,6 +186,33 @@ object LlmQueries {
     graft.streaming.EventStreams.sessionize(table(spark, dir, "events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** §2.8 p1: deterministic hash sampling — reproducible row decisions
+    * keyed on md5(id), identical in any engine.
+    */
+  def p1HashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(table(spark, dir, "documents"), "doc_id", 0.25)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
+  val p1HashSampleSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '40000000'
+      |ORDER BY doc_id""".stripMargin
+
+  /** §2.8 p2: train/val/test split assignment by hash range. */
+  def p2SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(table(spark, dir, "documents"), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+
+  val p2SplitAssignSql: String =
+    """SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
+      |            WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   /** §2.5 t1: token counting (whitespace + BPE-ish regex). */
   def t1Tokens(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")

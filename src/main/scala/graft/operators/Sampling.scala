@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment (SURVEY.md §2.8).
+  *
+  * Training pipelines need sampling that is REPRODUCIBLE — stable
+  * across runs, engines, partitionings, and cluster sizes — which
+  * `rand()`-based sampling is not. Keying on md5(id) gives an exact,
+  * engine-portable decision per row (the DuckDB oracle recomputes the
+  * identical bytes), and it's a narrow map: no shuffle, no state.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(id) — a uniform draw in [0, 16^8). */
+  private def hexKey(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 8)
+
+  private def hexThreshold(fraction: Double): String =
+    f"${math.min(0xffffffffL, (fraction * 4294967296.0).toLong)}%08x"
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hexKey(col(idCol)) < lit(hexThreshold(fraction)))
+
+  /** Assign train/val/test by hash ranges (weights sum to ≤ 1; the
+    * remainder goes to the last split). Disjoint and exhaustive.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val k = hexKey(col(idCol))
+    df.withColumn("split",
+      when(k < lit(hexThreshold(trainFrac)), lit("train"))
+        .when(k < lit(hexThreshold(trainFrac + valFrac)), lit("val"))
+        .otherwise(lit("test")))
+  }
+}
