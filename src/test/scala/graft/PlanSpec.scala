@@ -57,4 +57,11 @@ class PlanSpec extends SparkSpec {
         |WHERE o.o_orderstatus = 'F'""".stripMargin).head().getLong(0)
     assert(n > 0)
   }
+
+  test("array_dot is callable from SQL via GraftExtensions") {
+    val v = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(v === 32.0)
+  }
 }
