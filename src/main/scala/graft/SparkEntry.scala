@@ -24,6 +24,8 @@ object SparkEntry {
     "q_distinct_union" -> Relational.qDistinctUnion _,
     "q_events_bucket" -> Relational.qEventsBucket _,
     "q_topn_group" -> Relational.qTopnGroup _,
+    "q_rollup" -> Relational.qRollup _,
+    "q_pivot" -> Relational.qPivot _,
     "ref_infer_schema" -> ConversionQueries.refInferSchema _,
     "ref_headerless" -> ConversionQueries.refHeaderless _,
     "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInfer _,
@@ -55,6 +57,8 @@ object SparkEntry {
     "q_distinct_union" -> Relational.qDistinctUnionSql,
     "q_events_bucket" -> Relational.qEventsBucketSql,
     "q_topn_group" -> Relational.qTopnGroupSql,
+    "q_rollup" -> Relational.qRollupSql,
+    "q_pivot" -> Relational.qPivotSql,
     "ref_infer_schema" -> ConversionQueries.refInferSchemaSql,
     "ref_headerless" -> ConversionQueries.refHeaderlessSql,
     "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInferSql,

@@ -210,6 +210,42 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Grouping sets: subtotals + grand total via rollup. Spark emits
+    * NULL for the rolled-up level exactly like SQL ROLLUP.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY ROLLUP(event_type)
+      |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+
+  /** Pivot: event counts per user fanned into one column per type. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(col("user_id") <= 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events WHERE user_id <= 50
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Top-N per group via window: biggest event per user. */
   def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
