@@ -25,6 +25,7 @@ object SparkEntry {
     "q_events_bucket" -> Relational.qEventsBucket _,
     "q_topn_group" -> Relational.qTopnGroup _,
     "q_rollup" -> Relational.qRollup _,
+    "q_asof" -> Relational.qAsof _,
     "q_pivot" -> Relational.qPivot _,
     "ref_infer_schema" -> ConversionQueries.refInferSchema _,
     "ref_headerless" -> ConversionQueries.refHeaderless _,
@@ -58,6 +59,7 @@ object SparkEntry {
     "q_events_bucket" -> Relational.qEventsBucketSql,
     "q_topn_group" -> Relational.qTopnGroupSql,
     "q_rollup" -> Relational.qRollupSql,
+    "q_asof" -> Relational.qAsofSql,
     "q_pivot" -> Relational.qPivotSql,
     "ref_infer_schema" -> ConversionQueries.refInferSchemaSql,
     "ref_headerless" -> ConversionQueries.refHeaderlessSql,

@@ -246,6 +246,34 @@ object Relational {
       |FROM events WHERE user_id <= 50
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of join: each purchase event picks up the latest prior click
+    * of the same user (AsofJoin operator; oracle = DuckDB's native
+    * ASOF JOIN — an independent implementation of the semantics).
+    */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsofJoin.asof(purchases, clicks, "user_id", "ts", Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+        round(col("asof_value") * 100).cast("long").as("click_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+      |  CAST(round(c.value * 100) AS BIGINT) AS click_cents
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Top-N per group via window: biggest event per user. */
   def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")

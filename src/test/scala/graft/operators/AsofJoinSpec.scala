@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("picks latest prior right row per key; inclusive at equal ts; inner-drops unmatched") {
+    val left = Seq(
+      (1L, 10L, "L10"), (1L, 20L, "L20"), (1L, 5L, "Learly"),
+      (2L, 50L, "Lother")).toDF("k", "ts", "lname")
+    val right = Seq(
+      (1L, 8L, "R8"), (1L, 10L, "R10"), (1L, 15L, "R15"),
+      (3L, 1L, "Rnokey")).toDF("k", "ts", "rname")
+    val got = AsofJoin.asof(left, right, "k", "ts", Seq("ts", "rname"))
+      .select($"lname", $"asof_rname").as[(String, String)].collect().toMap
+    assert(got("L10") === "R10", "equal ts matches (inclusive >=)")
+    assert(got("L20") === "R15", "latest prior wins")
+    assert(!got.contains("Learly"), "no prior right row → dropped (inner)")
+    assert(!got.contains("Lother"), "no right rows for key → dropped")
+  }
+
+  test("single shuffle plan: no range explosion") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "v")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "p")
+    val plan = AsofJoin.asof(left, right, "k", "ts", Seq("p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"window-based, not a join: no O(|L|x|R|) risk")
+    assert(plan.contains("Window"))
+  }
+}
