@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed tables: pre-shuffle data ONCE at write time so that every
+  * subsequent equi-join/aggregation on the bucket key runs with NO
+  * exchange (SURVEY.md §4). At 100 TB this converts the nightly
+  * fact⋈fact join from the dominant shuffle into a zip of co-located
+  * buckets — the write-time shuffle is paid once, not per query.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted parquet table registered in the
+    * session catalog (bucket metadata lives in the catalog, which is
+    * why this is `saveAsTable`, not a path write).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // true overwrite: drop catalog entry AND its managed location — a
+    // stale location from a prior session otherwise fails the write
+    // with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(warehouse, table))
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key — shuffle-free
+    * when both sides were written with the same bucket count.
+    */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}
