@@ -26,6 +26,7 @@ object SparkEntry {
     "q_topn_group" -> Relational.qTopnGroup _,
     "q_rollup" -> Relational.qRollup _,
     "q_asof" -> Relational.qAsof _,
+    "q_scalar_subq" -> Relational.qScalarSubq _,
     "q_pivot" -> Relational.qPivot _,
     "ref_infer_schema" -> ConversionQueries.refInferSchema _,
     "ref_headerless" -> ConversionQueries.refHeaderless _,
@@ -60,6 +61,7 @@ object SparkEntry {
     "q_topn_group" -> Relational.qTopnGroupSql,
     "q_rollup" -> Relational.qRollupSql,
     "q_asof" -> Relational.qAsofSql,
+    "q_scalar_subq" -> Relational.qScalarSubqSql,
     "q_pivot" -> Relational.qPivotSql,
     "ref_infer_schema" -> ConversionQueries.refInferSchemaSql,
     "ref_headerless" -> ConversionQueries.refHeaderlessSql,

@@ -210,6 +210,28 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Correlated + uncorrelated scalar subqueries, via the engine's SQL
+    * entry: Catalyst rewrites both into joins (correlated → left
+    * outer aggregate join; uncorrelated → scalar broadcast), so the
+    * declarative form costs two shuffles, not a per-row probe.
+    * Exact integer-valued max keeps the equality drift-free.
+    */
+  def qScalarSubq(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    graft.GraftSession.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE (SELECT max(l_quantity) FROM lineitem WHERE l_suppkey = s_suppkey)
+        |    = (SELECT max(l_quantity) FROM lineitem)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val qScalarSubqSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE (SELECT max(l_quantity) FROM lineitem WHERE l_suppkey = s_suppkey)
+      |    = (SELECT max(l_quantity) FROM lineitem)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Grouping sets: subtotals + grand total via rollup. Spark emits
     * NULL for the rolled-up level exactly like SQL ROLLUP.
     */
