@@ -328,10 +328,13 @@ object LlmQueries {
         md5(col("blob")).as("content_hash"))
       .orderBy(col("doc_id"))
 
+  // Magic sniff must slice BYTES like Spark's binary substr, not
+  // characters — hex the whole blob and take the first 8 hex chars
+  // (= 4 bytes), which stays correct for multibyte-leading documents.
   val m1BinaryMetaSql: String =
     """SELECT doc_id,
       |  strlen(text) AS n_bytes,
-      |  upper(hex(substr(text, 1, 4))) AS magic_hex,
+      |  substr(upper(hex(text::BLOB)), 1, 8) AS magic_hex,
       |  md5(text) AS content_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -201,12 +201,15 @@ object Relational {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  // Spark reads events.ts as TIMESTAMP(NANOS) truncated to µs
+  // (GraftSession.table); the oracle truncates identically so sub-µs
+  // timestamps can never silently diverge between the engines.
   val qEventsBucketSql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
       |  count(*) AS n,
       |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents,
       |  count(DISTINCT user_id) AS n_users
-      |FROM events
+      |FROM (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
@@ -286,13 +289,17 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  // events wrapped in the same nanos→µs truncation Spark applies at
+  // the scan (see qEventsBucketSql note) — the >= tie decisions of an
+  // as-of join are exactly where sub-µs drift would bite.
   val qAsofSql: String =
-    """SELECT p.event_id, p.user_id,
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)
+      |SELECT p.event_id, p.user_id,
       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
       |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
       |  CAST(round(c.value * 100) AS BIGINT) AS click_cents
-      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-      |ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      |FROM (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT user_id, ts, value FROM ev WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 

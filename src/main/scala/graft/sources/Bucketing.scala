@@ -16,20 +16,27 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
+    // The name is interpolated into SQL and into a filesystem path
+    // below — restrict it to identifier chars (no separators, quotes,
+    // dots) and lowercase it, matching the catalog's lowercased
+    // managed-location directory.
+    require(table.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"invalid table name: '$table' (expected [A-Za-z][A-Za-z0-9_]*)")
+    val t = table.toLowerCase(java.util.Locale.ROOT)
     val spark = df.sparkSession
     // true overwrite: drop catalog entry AND its managed location — a
     // stale location from a prior session otherwise fails the write
     // with LOCATION_ALREADY_EXISTS
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(new java.io.File(warehouse, table))
+    rm(new java.io.File(warehouse, t))
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+      .saveAsTable(t)
   }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free

@@ -73,6 +73,15 @@ object SchemaInference {
       case Some(0L) =>
         raw.columns.toSeq.map(InferredField(_, AUtf8, nullable = true))
       case _ =>
+        // Sampling divergence (documented): limit(n) takes n rows from
+        // whichever splits respond first, NOT necessarily the file's
+        // leading n rows like the reference's infer_file_schema. Types
+        // can differ from the reference when the first n rows are not
+        // type-representative AND the file spans multiple splits. The
+        // tradeoff is deliberate: a single-partition leading-rows read
+        // would serialize inference at 100 TB. Callers needing
+        // byte-for-byte reference parity should pass
+        // maxReadRecords=None (full scan — order-independent).
         val sampled = maxReadRecords.fold(raw)(n => raw.limit(n.min(Int.MaxValue).toInt))
         val votes = sampled.select(raw.columns.map(c => typeVote(c).as(c)).toIndexedSeq: _*)
           .agg(bit_or(col(raw.columns.head)).as(raw.columns.head),
