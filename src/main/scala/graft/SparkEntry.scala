@@ -80,5 +80,6 @@ object SparkEntry {
     "t3_langid" -> LlmQueries.t3LangidSql,
     "t4_fingerprint" -> LlmQueries.t4FingerprintSql,
     "m1_binary_meta" -> LlmQueries.m1BinaryMetaSql,
+    "q_sessionize" -> LlmQueries.qSessionizeSql,
   )
 }

@@ -178,13 +178,46 @@ object LlmQueries {
       .orderBy(col("id"))
   }
 
-  /** §2.7 batch form of sessionization (session_window) — DuckDB has
-    * no session_window equivalent, so rows-only; streaming behavior
-    * is spec-checked (EventStreamsSpec).
+  /** §2.7 batch form of sessionization (session_window). Oracled: the
+    * DuckDB side reconstructs identical sessions from first principles
+    * (lag-gap flag → running-sum session id), an independent
+    * implementation of the same semantics — like q_asof's oracle.
+    * Streaming behavior is spec-checked (EventStreamsSpec).
     */
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.sessionize(table(spark, dir, "events"))
+      .select(
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"), col("value_cents"))
       .orderBy(col("user_id"), col("session_start"))
+
+  // Sessions from scratch: a new session starts when the gap from the
+  // previous event reaches the 30 min timeout; session_end is last
+  // event + gap (matching session_window). The running sum uses RANGE
+  // so same-ts ties always land in the same session regardless of tie
+  // order. events get the same ns→µs truncation as the Spark scan.
+  val qSessionizeSql: String =
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events),
+      |f AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f
+      |)
+      |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  user_id, count(*) AS n_events,
+      |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** §2.8 p1: deterministic hash sampling — reproducible row decisions
     * keyed on md5(id), identical in any engine.
