@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ConversionQueries, LlmQueries, Relational}
+import graft.operators.{ConversionQueries, Extended, LlmQueries, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
@@ -48,6 +48,16 @@ object SparkEntry {
     "t3_langid" -> LlmQueries.t3Langid _,
     "t4_fingerprint" -> LlmQueries.t4Fingerprint _,
     "m1_binary_meta" -> LlmQueries.m1BinaryMeta _,
+    "q_set_ops" -> Extended.qSetOps _,
+    "q_cube" -> Extended.qCube _,
+    "q_grouping_sets" -> Extended.qGroupingSets _,
+    "q_percentiles" -> Extended.qPercentiles _,
+    "q_range_join" -> Extended.qRangeJoin _,
+    "q_json_props" -> Extended.qJsonProps _,
+    "q_explode_words" -> Extended.qExplodeWords _,
+    "q_regex_extract" -> Extended.qRegexExtract _,
+    "t5_packing" -> Extended.t5Packing _,
+    "p3_stratified" -> Extended.p3Stratified _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -81,5 +91,15 @@ object SparkEntry {
     "t4_fingerprint" -> LlmQueries.t4FingerprintSql,
     "m1_binary_meta" -> LlmQueries.m1BinaryMetaSql,
     "q_sessionize" -> LlmQueries.qSessionizeSql,
+    "q_set_ops" -> Extended.qSetOpsSql,
+    "q_cube" -> Extended.qCubeSql,
+    "q_grouping_sets" -> Extended.qGroupingSetsSql,
+    "q_percentiles" -> Extended.qPercentilesSql,
+    "q_range_join" -> Extended.qRangeJoinSql,
+    "q_json_props" -> Extended.qJsonPropsSql,
+    "q_explode_words" -> Extended.qExplodeWordsSql,
+    "q_regex_extract" -> Extended.qRegexExtractSql,
+    "t5_packing" -> Extended.t5PackingSql,
+    "p3_stratified" -> Extended.p3StratifiedSql,
   )
 }

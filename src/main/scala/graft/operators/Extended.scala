@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.GraftSession.table
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 widening of the operator inventory (SURVEY.md §2.2/§2.5/
+  * §2.8 additions): set operations, cube/grouping sets, exact
+  * percentiles, bucketed range join, JSON extraction, explode/word
+  * count, regex extraction, sequence packing, stratified sampling.
+  *
+  * Same oracle-parity rules as everywhere else (SURVEY.md §5):
+  * drift-free measures, identical aliases both sides, events.ts
+  * truncated ns→µs on the DuckDB side to mirror the Spark scan.
+  */
+object Extended {
+
+  private val evMicros =
+    "SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events"
+
+  /** INTERSECT / EXCEPT with SQL set semantics (distinct): part keys
+    * seen on heavy lineitems vs. large-size catalog parts. Both are
+    * shuffles on the full row — Catalyst plans them as aggregates.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").filter(col("l_quantity") >= 49)
+      .select(col("l_partkey").as("key"))
+    val pt = table(spark, dir, "part").filter(col("p_size") >= 25)
+      .select(col("p_partkey").as("key"))
+    li.intersect(pt).withColumn("tag", lit("both"))
+      .unionByName(li.except(pt).withColumn("tag", lit("li_only")))
+      .unionByName(pt.except(li).withColumn("tag", lit("part_only")))
+      .orderBy(col("tag"), col("key"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH li AS (SELECT l_partkey AS key FROM lineitem WHERE l_quantity >= 49),
+      |     pt AS (SELECT p_partkey AS key FROM part WHERE p_size >= 25)
+      |SELECT key, 'both' AS tag FROM (SELECT * FROM li INTERSECT SELECT * FROM pt)
+      |UNION ALL
+      |SELECT key, 'li_only' AS tag FROM (SELECT * FROM li EXCEPT SELECT * FROM pt)
+      |UNION ALL
+      |SELECT key, 'part_only' AS tag FROM (SELECT * FROM pt EXCEPT SELECT * FROM li)
+      |ORDER BY tag, key""".stripMargin
+
+  /** CUBE over (event_type, user_id mod 10) with grouping indicators —
+    * all four aggregation levels in one shuffle.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("user_mod", col("user_id") % 10)
+      .cube(col("event_type"), col("user_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("user_mod")).cast("long").as("g_mod"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_mod").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT event_type, user_mod, count(*) AS n,
+      |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents,
+      |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+      |  CAST(grouping(user_mod) AS BIGINT) AS g_mod
+      |FROM (SELECT event_type, user_id % 10 AS user_mod, value FROM events)
+      |GROUP BY CUBE (event_type, user_mod)
+      |ORDER BY event_type ASC NULLS FIRST, user_mod ASC NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS via the engine's SQL entry (distinct from
+    * rollup/cube: an arbitrary, non-hierarchical set list).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_type, user_mod, count(*) AS n
+        |FROM (SELECT event_type, user_id % 10 AS user_mod FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (user_mod), ())
+        |ORDER BY event_type ASC NULLS FIRST, user_mod ASC NULLS FIRST""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT event_type, user_mod, count(*) AS n
+      |FROM (SELECT event_type, user_id % 10 AS user_mod FROM events)
+      |GROUP BY GROUPING SETS ((event_type), (user_mod), ())
+      |ORDER BY event_type ASC NULLS FIRST, user_mod ASC NULLS FIRST""".stripMargin
+
+  /** Exact percentiles (linear interpolation) per group. Quantities
+    * are integer-valued doubles and the probe points are binary
+    * fractions (k/4), so the interpolated values are exact in IEEE
+    * doubles — drift-free across engines (SURVEY.md §5).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("ps"),
+        min(col("l_quantity")).cast("long").as("q_min"),
+        max(col("l_quantity")).cast("long").as("q_max"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"),
+        col("q_min"), col("q_max"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  CAST(min(l_quantity) AS BIGINT) AS q_min,
+      |  CAST(max(l_quantity) AS BIGINT) AS q_max
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Bucketed trailing-window range join (operators.RangeJoin): clicks
+    * in the 30 minutes before each purchase, per user. The oracle is a
+    * plain (quadratic) SQL range join — an independent implementation.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    RangeJoin.trailingWindowCount(purchases, clicks, "user_id",
+        "p_ts", "c_ts", windowSec = 1800L, countAlias = "n_clicks")
+      .select(col("event_id"), col("user_id"), col("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinSql: String =
+    s"""WITH ev AS ($evMicros)
+      |SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks
+      |FROM (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM ev WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+
+  /** JSON property extraction (events.props is a JSON object) +
+    * aggregation over the extracted field — get_json_object is
+    * codegen'd, no UDF.
+    */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val qJsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Explode → word count → global top-20: the canonical shuffle-heavy
+    * text aggregation (Generate → partial agg → final agg → top-N).
+    */
+  def qExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  val qExplodeWordsSql: String =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS word
+      |  FROM documents
+      |) GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** Regex extraction + occurrence counting over documents (filtered
+    * to matching rows so no-match semantics can't diverge).
+    */
+  def qRegexExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("text").rlike("qu[a-z]+"))
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "(qu[a-z]+)", 1).as("first_qu"),
+        regexp_count(col("text"), lit("table")).cast("long").as("n_table"))
+      .orderBy(col("doc_id"))
+
+  val qRegexExtractSql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '(qu[a-z]+)', 1) AS first_qu,
+      |  len(regexp_extract_all(text, 'table')) AS n_table
+      |FROM documents
+      |WHERE regexp_matches(text, 'qu[a-z]+')
+      |ORDER BY doc_id""".stripMargin
+
+  /** §2.8 t5: sequence packing (operators.Packing) — 2048-token packs
+    * per source shard, summarized per pack.
+    */
+  def t5Packing(spark: SparkSession, dir: String): DataFrame =
+    Packing.assignPacks(
+        table(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text")),
+        "source", "doc_id", bpeTokenCount(col("text")), budget = 2048L)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(bpeTokenCount(col("text"))).cast("long").as("tok_total"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("pack_id"))
+
+  val t5PackingSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS tok_before
+      |  FROM d
+      |)
+      |SELECT source, CAST(tok_before // 2048 AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_total,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM c GROUP BY source, tok_before // 2048
+      |ORDER BY source, pack_id""".stripMargin
+
+  /** §2.8 p3: stratified hash sampling — per-language keep rates
+    * (corpus mixture reweighting), deterministic by md5(doc_id).
+    */
+  def p3Stratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(table(spark, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val p3StratifiedSql: String = {
+    val (en, zh, dflt) = (Sampling.hexThreshold(0.5),
+      Sampling.hexThreshold(0.25), Sampling.hexThreshold(0.1))
+    s"""SELECT doc_id, lang FROM documents
+      |WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+      |  CASE lang WHEN 'en' THEN '$en' WHEN 'zh' THEN '$zh' ELSE '$dflt' END
+      |ORDER BY doc_id""".stripMargin
+  }
+}

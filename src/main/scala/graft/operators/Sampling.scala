@@ -17,7 +17,10 @@ object Sampling {
   private def hexKey(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 8)
 
-  private def hexThreshold(fraction: Double): String =
+  /** Hex threshold for a keep-fraction — public so oracle SQL can be
+    * built from the exact same constant.
+    */
+  def hexThreshold(fraction: Double): String =
     f"${math.min(0xffffffffL, (fraction * 4294967296.0).toLong)}%08x"
 
   /** Keep ~`fraction` of rows, deterministically by id. */
@@ -34,5 +37,19 @@ object Sampling {
       when(k < lit(hexThreshold(trainFrac)), lit("train"))
         .when(k < lit(hexThreshold(trainFrac + valFrac)), lit("val"))
         .otherwise(lit("test")))
+  }
+
+  /** Stratified hash sampling: keep a different deterministic fraction
+    * per stratum (e.g. per language — the standard mixture-reweighting
+    * move in corpus curation). Still a narrow map: the per-row decision
+    * reads only (id, stratum); no shuffle, no per-stratum pass.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldRight(lit(hexThreshold(defaultRate))) {
+      case ((stratum, rate), acc) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hexKey(col(idCol)) < thr)
   }
 }
