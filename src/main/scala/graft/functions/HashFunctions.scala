@@ -34,6 +34,34 @@ object HashFunctions {
         (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*))
     }: _*)
 
+  /** Universal-hash MinHash family: ONE md5 per shingle to a 32-bit
+    * base hash, then `numHashes` independent draws via
+    * `(a_j·h + b_j) mod P` — pure 64-bit integer ops, codegen'd.
+    * 16× fewer md5 evaluations than the salted-md5 family above
+    * (measured: the md5s dominated the whole minhash stage), with
+    * oracle parity preserved because the DuckDB SQL is generated from
+    * the SAME constants (see LlmQueries.d2MinhashLshSql).
+    *
+    * P = 2^31 − 1 (Mersenne prime): h,a < P keeps a·h+b < 2^62 — no
+    * 64-bit overflow in either engine.
+    */
+  val MinhashP: Long = 2147483647L
+
+  def minhashA(j: Int): Long = {
+    val a = ((j + 1) * 2654435761L) % MinhashP // Knuth multiplicative constant
+    if (a == 0) 1L else a
+  }
+
+  def minhashB(j: Int): Long = ((j + 1) * 2246822519L) % MinhashP // xxhash prime
+
+  /** 32-bit base hash of a shingle, reduced mod P. */
+  def minhashBase(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashP
+
+  /** The j-th universal min-hash measure over base hashes. */
+  def universalMinhash(h: Column, j: Int): Column =
+    (h * lit(minhashA(j)) + lit(minhashB(j))) % MinhashP
+
   private val hexAlphabet = "0123456789abcdef"
 
   /** 64-bit SimHash over a (distinct) token array, emitted as a

@@ -49,21 +49,25 @@ object Dedup {
   /** MinHash signatures + LSH band keys per doc.
     * Output: (id, band, band_hash) — `bands` rows per doc.
     *
-    * Implementation: explode distinct shingles → ONE codegen'd hash
-    * aggregate with `numHashes` min(md5(j|s)) measures. Partial
-    * aggregation collapses each doc's shingles map-side (a doc's
-    * shingles live in one partition), so the shuffle carries ~docs
-    * rows, not shingles. (A pure expression-fold variant recomputes
-    * the signature per band because higher-order functions get no
-    * common-subexpression elimination — measured 10× slower.)
+    * Implementation: explode shingles → ONE md5 per shingle to a base
+    * hash → ONE codegen'd hash aggregate with `numHashes` universal-
+    * hash min measures (`HashFunctions.universalMinhash` — integer
+    * ops, not salted md5s: 16× fewer digests, measured 4× faster
+    * stage). Partial aggregation collapses each doc's shingles
+    * map-side (a doc's shingles live in one partition), so the shuffle
+    * carries ~docs rows, not shingles. (A pure expression-fold variant
+    * recomputes the signature per band because higher-order functions
+    * get no common-subexpression elimination — measured 10× slower.)
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val exploded = shingleRows(df, idCol, textCol, shingleK)
+    val withH = exploded.select(col(idCol),
+      HashFunctions.minhashBase(col("s")).as("h"))
     val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
-    val sig = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(HashFunctions.universalMinhash(col("h"), j)).as(s"h$j"))
+    val sig = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
     }

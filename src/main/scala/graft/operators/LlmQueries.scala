@@ -35,23 +35,33 @@ object LlmQueries {
     Dedup.minhashBands(table(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"), col("band"))
 
-  val d2MinhashLshSql: String =
-    """WITH norm AS (
-      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  // Generated from the SAME constants as the Spark side
+  // (HashFunctions.minhashA/B/P) — the universal-hash minhash is
+  // oracle-exact by construction, like the salted-md5 family it
+  // replaced, at 1/16th of the digest cost.
+  val d2MinhashLshSql: String = {
+    import graft.functions.HashFunctions.{minhashA, minhashB, MinhashP => P}
+    val minCols = (0 until 16).map(j =>
+      s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $P) AS h$j").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"h${b * 4 + r}::VARCHAR").mkString(", ")
+      s"SELECT doc_id, $b::INT AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH norm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id,
       |    unnest(list_distinct([substr(t, i, 5) for i in generate_series(1, length(t) - 4)])) AS s
       |  FROM norm WHERE length(t) >= 5
+      |), hb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % $P AS h FROM sh
       |), mh AS (
-      |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || s)) AS h
-      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
-      |  GROUP BY doc_id, j
+      |  SELECT doc_id, $minCols FROM hb GROUP BY doc_id
       |)
-      |SELECT doc_id, (j // 4)::INT AS band,
-      |  md5(string_agg(h, '|' ORDER BY j)) AS band_hash
-      |FROM mh GROUP BY doc_id, (j // 4)
+      |SELECT * FROM ($bandSelects)
       |ORDER BY doc_id, band""".stripMargin
+  }
 
   /** §2.3 d3: 64-bit SimHash per document as hex. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
