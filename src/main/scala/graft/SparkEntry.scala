@@ -101,5 +101,7 @@ object SparkEntry {
     "q_regex_extract" -> Extended.qRegexExtractSql,
     "t5_packing" -> Extended.t5PackingSql,
     "p3_stratified" -> Extended.p3StratifiedSql,
+    "s2_knn_ivf" -> LlmQueries.s2KnnIvfSql,
+    "m2_media_decode" -> LlmQueries.m2MediaDecodeSql,
   )
 }

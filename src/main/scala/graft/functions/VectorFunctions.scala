@@ -20,21 +20,31 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
-  /** Sign-random-projection bucket id: `nBits` deterministic
-    * pseudo-random hyperplanes with ±1 components derived from
-    * xxhash64(bit, dim) parity — no RNG state, so every executor and
-    * every run derives the same planes. Bucket = bit-string of the
-    * projection signs. This is the ANN scale path: shuffling on the
-    * bucket id groups near vectors without any pairwise work.
+  /** Deterministic ±1 sign-random-projection hyperplanes: component
+    * (bit, i) is the parity of md5("bit|i"), computed ONCE at
+    * plan-build time. The planes are plain literal arrays — every
+    * executor, every run, and every ENGINE derives the same buckets
+    * (the s2 DuckDB oracle embeds these very constants), and the
+    * runtime projection is a codegen'd dot product with zero hashing
+    * (the previous per-element xxhash64 variant hashed nBits×dims
+    * times per vector).
     */
-  def srpBucket(v: Column, nBits: Int): Column =
-    concat_ws("", (0 until nBits).map { bit =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
-          val sign = when(pmod(xxhash64(lit(bit), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-          x * sign
-        }),
-        lit(0.0), (acc, x) => acc + x)
+  def srpPlanes(nBits: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until nBits).map { b =>
+      (0 until dims).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"$b|$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** SRP bucket id: bit-string of projection signs against the fixed
+    * planes. This is the ANN scale path: shuffling on the bucket id
+    * groups near vectors without any pairwise work.
+    */
+  def srpBucket(v: Column, nBits: Int, dims: Int): Column =
+    concat_ws("", srpPlanes(nBits, dims).map { plane =>
+      val proj = ArrayDotProduct(v, array(plane.map(lit): _*))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 }

@@ -163,9 +163,12 @@ object LlmQueries {
       |ORDER BY qid, rank""".stripMargin
 
   /** §2.4 s2: bucketed ANN (sign-random-projection LSH + multi-probe
-    * + exact rerank inside buckets) — the 100 TB scale path. No SQL
-    * oracle (approximate by design); recall vs s1 is spec-checked
-    * (SimilaritySpec), driver records the rows-only check.
+    * + exact rerank inside buckets) — the 100 TB scale path. The SRP
+    * planes are deterministic literals (VectorFunctions.srpPlanes), so
+    * the WHOLE approximate pipeline is reproducible and DuckDB-oracled:
+    * the oracle embeds the same plane constants and replays bucketing,
+    * probing and rerank from first principles. Recall vs s1 is
+    * additionally spec-checked (SimilaritySpec).
     */
   def s2KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
@@ -175,9 +178,30 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  val s2KnnIvfSql: String = {
+    val planes = graft.functions.VectorFunctions.srpPlanes(8, 64)
+    val bucketExpr = planes.map { plane =>
+      val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val flips = (1 to 8).map(i =>
+      s"substr(bucket, 1, ${i - 1}) || (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 1}, ${8 - i})")
+    val probeList = (Seq("bucket") ++ flips).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |q AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
+      |      FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 64)),
+      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
+      |      FROM q JOIN b c USING (bucket) WHERE c.vec_id != qid),
+      |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** §2.6 m2: the media decode pipeline (byte-budget partitioning +
-    * per-partition batch decode, stub codec) — rows-only check;
-    * determinism is spec-checked (MultimodalSpec).
+    * per-partition batch decode, stub codec). Oracled: the stub's fake
+    * features are md5-derived (Multimodal.decodeStub), so DuckDB can
+    * recompute them exactly; determinism is also spec-checked
+    * (MultimodalSpec).
     */
   def m2MediaDecode(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromText(spark, table(spark, dir, "documents"),
@@ -187,6 +211,18 @@ object LlmQueries {
         col("width"), col("height"), col("nFrames"))
       .orderBy(col("id"))
   }
+
+  val m2MediaDecodeSql: String =
+    """SELECT doc_id AS id, 'image' AS kind,
+      |  strlen(text) AS "nBytes",
+      |  substr(upper(hex(text::BLOB)), 1, 8) AS "magicHex",
+      |  CAST(64 + h % 1024 AS INT) AS width,
+      |  CAST(64 + (h // 16) % 1024 AS INT) AS height,
+      |  CAST(1 AS INT) AS "nFrames"
+      |FROM (SELECT doc_id, text,
+      |        ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+      |      FROM documents)
+      |ORDER BY id""".stripMargin
 
   /** §2.7 batch form of sessionization (session_window). Oracled: the
     * DuckDB side reconstructs identical sessions from first principles

@@ -23,21 +23,26 @@ object Multimodal {
 
   /** STUB CODEC — deterministic fake decode. A real implementation
     * would parse the container format here; the fake derives
-    * plausible, reproducible dimensions/features from the bytes so
-    * the pipeline around it is fully testable.
+    * plausible, reproducible dimensions/features from md5 of the
+    * content bytes. md5 (not a JVM hash) keeps the fake
+    * engine-portable, which is what lets the m2 pipeline be
+    * DuckDB-oracled end-to-end despite the stub.
     */
   def decodeStub(m: MediaFile): MediaFeatures = {
-    val h = java.util.Arrays.hashCode(m.content)
-    def pos(x: Int, mod: Int): Int = math.floorMod(x, mod)
+    val d = java.security.MessageDigest.getInstance("MD5").digest(m.content)
+    // first 4 md5 bytes, big-endian, as an unsigned 32-bit value —
+    // identical to DuckDB's ('0x' || substr(md5(text), 1, 8))::BIGINT
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     val magic = m.content.take(4).map(b => f"$b%02X").mkString
     val frames = m.kind match {
-      case "video" => 1 + pos(h >> 8, 240)
-      case "audio" => 1 + pos(h >> 8, 16000)
+      case "video" => 1 + (h / 256L % 240L).toInt
+      case "audio" => 1 + (h / 256L % 16000L).toInt
       case _ => 1
     }
-    val feat = Array.tabulate(8)(i => pos(h * (i + 31), 1000) / 1000.0f)
+    val feat = Array.tabulate(8)(i => (h * (i + 31) % 1000L) / 1000.0f)
     MediaFeatures(m.id, m.kind, m.content.length.toLong, magic,
-      64 + pos(h, 1024), 64 + pos(h >> 4, 1024), frames, feat)
+      (64L + h % 1024L).toInt, (64L + h / 16L % 1024L).toInt, frames, feat)
   }
 
   /** Batched decode with byte-budget partition sizing: repartitions so

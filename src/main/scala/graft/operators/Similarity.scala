@@ -54,11 +54,12 @@ object Similarity {
     * volume for recall.
     */
   def bucketedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
+      vecCol: String, k: Int, nBits: Int = 8, multiProbe: Boolean = true,
+      dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", srpBucket(col("cv"), nBits))
+      .withColumn("bucket", srpBucket(col("cv"), nBits, dims))
     val q0 = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), nBits))
+      .withColumn("bucket", srpBucket(col("qv"), nBits, dims))
     val q =
       if (!multiProbe) q0
       else q0.select(col("qid"), col("qv"), explode(array_distinct(array(

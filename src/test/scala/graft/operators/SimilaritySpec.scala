@@ -54,9 +54,9 @@ class SimilaritySpec extends SparkSpec {
   test("bucket assignment is deterministic across evaluations") {
     import graft.functions.VectorFunctions
     val b1 = emb.select(VectorFunctions.srpBucket(
-      VectorFunctions.toDouble($"embedding"), 8).as("b")).as[String].collect()
+      VectorFunctions.toDouble($"embedding"), 8, 64).as("b")).as[String].collect()
     val b2 = emb.select(VectorFunctions.srpBucket(
-      VectorFunctions.toDouble($"embedding"), 8).as("b")).as[String].collect()
+      VectorFunctions.toDouble($"embedding"), 8, 64).as("b")).as[String].collect()
     assert(b1.toSeq === b2.toSeq)
     assert(b1.forall(_.matches("[01]{8}")))
   }
