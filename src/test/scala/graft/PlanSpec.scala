@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
       s"unused document columns must be pruned: $readSchema")
   }
 
+  test("range join: equi-join on (key, bucket), never a nested-loop over the range") {
+    val plan = executed(operators.Extended.qRangeJoin(spark, sf0))
+    assert(!plan.contains("NestedLoopJoin"),
+      "range join must run as an equi-join on the bucket key")
+    assert(plan.contains("__bkt"), "candidate-bucket key must drive the join")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+      "event-type filters must reach the scan")
+  }
+
+  test("packing: one exchange on the group key; aggregation reuses the window partitioning") {
+    val plan = executed(operators.Extended.t5Packing(spark, sf0))
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"packing must shuffle once (window + agg share the source partitioning), got $hashExchanges")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(
