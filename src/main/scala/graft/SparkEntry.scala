@@ -58,6 +58,7 @@ object SparkEntry {
     "q_regex_extract" -> Extended.qRegexExtract _,
     "t5_packing" -> Extended.t5Packing _,
     "p3_stratified" -> Extended.p3Stratified _,
+    "q_stateful_stats" -> LlmQueries.qStatefulStats _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -103,5 +104,6 @@ object SparkEntry {
     "p3_stratified" -> Extended.p3StratifiedSql,
     "s2_knn_ivf" -> LlmQueries.s2KnnIvfSql,
     "m2_media_decode" -> LlmQueries.m2MediaDecodeSql,
+    "q_stateful_stats" -> LlmQueries.qStatefulStatsSql,
   )
 }

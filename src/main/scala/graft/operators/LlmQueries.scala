@@ -265,6 +265,39 @@ object LlmQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** §2.7 q_stateful_stats: batch form of the custom keyed-state
+    * operator (streaming.StatefulStats, mapGroupsWithState) — running
+    * per-user stats incl. a gap-based session counter. The oracle
+    * recomputes the fold declaratively (lag-gap session starts).
+    */
+  def qStatefulStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.UserEvent]
+    graft.streaming.StatefulStats.runningUserStats(ev).toDF()
+      .select(col("user_id"), col("n_events"), col("value_cents"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStatefulStatsSql: String =
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events),
+      |f AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                 >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |  CAST(sum(new_s) AS BIGINT) AS n_sessions
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** §2.8 p1: deterministic hash sampling — reproducible row decisions
     * keyed on md5(id), identical in any engine.
     */

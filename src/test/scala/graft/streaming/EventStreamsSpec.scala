@@ -81,6 +81,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(deduped.groupBy("event_id").count().filter($"count" > 1).count() === 0)
   }
 
+  test("stateful running user stats: streaming updates converge to batch fold") {
+    import org.apache.spark.sql.functions.{col, max, round, sum, count, lit}
+    val dir = stageStream("stateful")
+    val ev = streamEvents(dir).select(col("user_id"), col("ts"), col("value"))
+      .as[UserEvent]
+    val q = StatefulStats.runningUserStats(ev)
+      .writeStream.outputMode("update").format("memory").queryName("ustats").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user is the converged state
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val finalStats = spark.table("ustats")
+      .withColumn("max_n", max("n_events").over(w))
+      .filter($"n_events" === $"max_n")
+      .select("user_id", "n_events", "value_cents", "n_sessions")
+      .distinct()
+    val expected = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100)).cast("long").as("value_cents"))
+    assert(finalStats.count() === expected.count())
+    assert(finalStats.join(expected, Seq("user_id", "n_events", "value_cents"))
+      .count() === expected.count())
+    // session counts agree with the session_window operator
+    val sessionCounts = EventStreams.sessionize(batchEvents)
+      .groupBy("user_id").count()
+    assert(finalStats.join(sessionCounts,
+      finalStats("user_id") === sessionCounts("user_id") &&
+        finalStats("n_sessions") === sessionCounts("count")).count() === expected.count())
+  }
+
   test("sessionization produces bounded per-user sessions") {
     val dir = stageStream("sess")
     val sessions = runWithFlush(
