@@ -37,6 +37,7 @@ object SparkEntry {
     "d3_simhash" -> LlmQueries.d3Simhash _,
     "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccard _,
     "d5_embed_neardup" -> LlmQueries.d5EmbedNeardup _,
+    "d6_embed_lsh" -> LlmQueries.d6EmbedLsh _,
     "s1_knn_brute" -> LlmQueries.s1KnnBrute _,
     "s2_knn_ivf" -> LlmQueries.s2KnnIvf _,
     "m2_media_decode" -> LlmQueries.m2MediaDecode _,
@@ -83,6 +84,7 @@ object SparkEntry {
     "d3_simhash" -> LlmQueries.d3SimhashSql,
     "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccardSql,
     "d5_embed_neardup" -> LlmQueries.d5EmbedNeardupSql,
+    "d6_embed_lsh" -> LlmQueries.d6EmbedLshSql,
     "s1_knn_brute" -> LlmQueries.s1KnnBruteSql,
     "p1_hash_sample" -> LlmQueries.p1HashSampleSql,
     "p2_split_assign" -> LlmQueries.p2SplitAssignSql,

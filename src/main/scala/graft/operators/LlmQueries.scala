@@ -140,6 +140,24 @@ object LlmQueries {
       |WHERE list_cosine_similarity(a.v, b.v) > 0.42
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.3 d6: SRP-bucketed embedding near-dup — the 100 TB form of d5
+    * (candidates from one bucket-id shuffle, exact verify inside
+    * buckets, never O(n²)). The oracle replays the identical buckets.
+    */
+  def d6EmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bucketedCosinePairs(table(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.42)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d6EmbedLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e)
+      |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      |FROM b a JOIN b c USING (bucket)
+      |WHERE a.vec_id < c.vec_id AND list_cosine_similarity(a.v, c.v) > 0.42
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** §2.4 s1: brute-force cosine top-5 for queries vec_id < 8. */
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
@@ -178,12 +196,17 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val s2KnnIvfSql: String = {
-    val planes = graft.functions.VectorFunctions.srpPlanes(8, 64)
-    val bucketExpr = planes.map { plane =>
+  /** DuckDB expression for the 8×64 SRP bucket of `vExpr` — generated
+    * from the SAME plane constants the Spark side embeds.
+    */
+  private def srpBucketSql(vExpr: String): String =
+    graft.functions.VectorFunctions.srpPlanes(8, 64).map { plane =>
       val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  val s2KnnIvfSql: String = {
+    val bucketExpr = srpBucketSql("v")
     val flips = (1 to 8).map(i =>
       s"substr(bucket, 1, ${i - 1}) || (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 1}, ${8 - i})")
     val probeList = (Seq("bucket") ++ flips).mkString("[", ", ", "]")

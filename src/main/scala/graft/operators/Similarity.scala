@@ -46,6 +46,26 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SRP-bucketed near-dup pairs — the 100 TB form of `cosinePairs`:
+    * candidates are pairs sharing an LSH bucket (one shuffle on the
+    * bucket id), exact cosine verifies only inside buckets. Recall
+    * trades against `nBits`; the deterministic planes make the whole
+    * pipeline reproducible and SQL-replayable (d6 oracle).
+    */
+  def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val b = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), nBits, dims))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    // each vector lives in exactly one bucket → every pair arises once
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Bucketed ANN top-k (sign-random-projection LSH): corpus and
     * queries hash to `nBits`-bit buckets; exact rerank runs only
     * inside matching buckets. One shuffle on the bucket id — the

@@ -51,6 +51,21 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 20, s"only $hits/25 planted neighbors found")
   }
 
+  test("bucketed near-dup pairs: planted duplicates always found, subset of exact pairs") {
+    val base = emb.select($"vec_id", $"embedding")
+    val dup = base.filter($"vec_id" < 10)
+      .select(($"vec_id" + 50000L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(dup)
+    val found = Similarity.bucketedCosinePairs(corpus, "vec_id", "embedding", 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // an identical vector shares every projection sign with its source
+    (0L until 10L).foreach(i => assert(found.contains((i, i + 50000L)),
+      s"planted duplicate $i not found"))
+    val exact = Similarity.cosinePairs(corpus, "vec_id", "embedding", 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(exact), "bucketed pairs must verify exactly")
+  }
+
   test("bucket assignment is deterministic across evaluations") {
     import graft.functions.VectorFunctions
     val b1 = emb.select(VectorFunctions.srpBucket(
