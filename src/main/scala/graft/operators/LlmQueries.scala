@@ -109,10 +109,13 @@ object LlmQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // Shingles as 60-bit md5-prefix ints on BOTH sides — see
+  // Dedup.jaccardVerify for why this preserves exact parity.
   val d4NgramJaccardSql: String =
     """WITH norm AS (
       |  SELECT doc_id, source,
-      |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t) - 4)]) AS sh
+      |    list_distinct([('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
+      |                   for i in generate_series(1, length(t) - 4)]) AS sh
       |  FROM (SELECT doc_id, source,
       |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
       |        FROM documents)
