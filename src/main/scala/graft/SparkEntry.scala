@@ -32,6 +32,7 @@ object SparkEntry {
     "ref_headerless" -> ConversionQueries.refHeaderless _,
     "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInfer _,
     "ref_roundtrip_schema" -> ConversionQueries.refRoundtripSchema _,
+    "ref_jsonl_roundtrip" -> ConversionQueries.refJsonlRoundtrip _,
     "d1_dedup_exact" -> LlmQueries.d1DedupExact _,
     "d2_minhash_lsh" -> LlmQueries.d2MinhashLsh _,
     "d3_simhash" -> LlmQueries.d3Simhash _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "ref_headerless" -> ConversionQueries.refHeaderlessSql,
     "ref_roundtrip_infer" -> ConversionQueries.refRoundtripInferSql,
     "ref_roundtrip_schema" -> ConversionQueries.refRoundtripSchemaSql,
+    "ref_jsonl_roundtrip" -> ConversionQueries.refJsonlRoundtripSql,
     "d1_dedup_exact" -> LlmQueries.d1DedupExactSql,
     "d2_minhash_lsh" -> LlmQueries.d2MinhashLshSql,
     "d3_simhash" -> LlmQueries.d3SimhashSql,

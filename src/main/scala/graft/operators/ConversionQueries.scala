@@ -157,4 +157,33 @@ object ConversionQueries {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  /** JSONL → parquet roundtrip (JsonlToParquet; engine extension
+    * beyond the reference): documents → JSONL → typed single-pass read
+    * → parquet → aggregate. Equals the oracle's aggregate over the
+    * ORIGINAL table iff the roundtrip is lossless.
+    */
+  def refJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val jsonDir = scratch(dir, "rt_jsonl_src")
+    val pqDir = scratch(dir, "rt_jsonl_pq")
+    val docs = table(spark, dir, "documents")
+    docs.write.mode("overwrite").json(jsonDir)
+    val conv = JsonlToParquet.convert(spark, jsonDir, pqDir,
+      schema = Some(docs.schema), compression = "zstd")
+    conv.rows
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val refJsonlRoundtripSql: String =
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }
