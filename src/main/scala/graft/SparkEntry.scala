@@ -61,6 +61,9 @@ object SparkEntry {
     "t5_packing" -> Extended.t5Packing _,
     "p3_stratified" -> Extended.p3Stratified _,
     "q_stateful_stats" -> LlmQueries.qStatefulStats _,
+    "q_window2" -> Extended.qWindow2 _,
+    "d7_editdist" -> Extended.d7EditDist _,
+    "q_datetime" -> Extended.qDatetime _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -109,5 +112,8 @@ object SparkEntry {
     "s2_knn_ivf" -> LlmQueries.s2KnnIvfSql,
     "m2_media_decode" -> LlmQueries.m2MediaDecodeSql,
     "q_stateful_stats" -> LlmQueries.qStatefulStatsSql,
+    "q_window2" -> Extended.qWindow2Sql,
+    "d7_editdist" -> Extended.d7EditDistSql,
+    "q_datetime" -> Extended.qDatetimeSql,
   )
 }

@@ -226,6 +226,81 @@ object Extended {
       |FROM c GROUP BY source, tok_before // 2048
       |ORDER BY source, pack_id""".stripMargin
 
+  /** Analytic-window breadth: lag/lead deltas, ntile quartiles,
+    * first/last values per supplier timeline.
+    */
+  def qWindow2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    table(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") - lag(col("l_quantity"), 1).over(w)).cast("long").as("qty_delta"),
+        lead(col("l_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("l_orderkey")).over(w).as("first_order"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qWindow2Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(l_quantity - lag(l_quantity, 1) OVER w AS BIGINT) AS qty_delta,
+      |  lead(l_orderkey, 1) OVER w AS next_order,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(l_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+      |FROM lineitem
+      |WHERE l_suppkey <= 10
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** §2.3 d7: edit-distance near-dup verification (levenshtein over a
+    * deterministic candidate set — both engines implement the standard
+    * DP distance). Candidates: same source, id gap ≤ 10.
+    */
+  def d7EditDist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+      col("text").as("t_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("source").as("src_b"),
+      col("text").as("t_b"))
+    a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b") &&
+        col("id_b") - col("id_a") <= 10)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 400)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d7EditDistSql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      |FROM documents a JOIN documents b
+      |  ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 10
+      |WHERE levenshtein(a.text, b.text) <= 400
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Calendar extraction + aggregation (year/month/quarter rollup of
+    * order totals).
+    */
+  def qDatetime(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice"))).cast("long").as("sum_total"))
+      .orderBy(col("y"), col("q"), col("m"))
+
+  val qDatetimeSql: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS y,
+      |  CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+      |  CAST(extract(month FROM o_orderdate) AS INT) AS m,
+      |  count(*) AS n,
+      |  CAST(sum(round(o_totalprice)) AS BIGINT) AS sum_total
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, q, m""".stripMargin
+
   /** §2.8 p3: stratified hash sampling — per-language keep rates
     * (corpus mixture reweighting), deterministic by md5(doc_id).
     */
