@@ -315,6 +315,32 @@ object Extended {
       |  CAST(sum(round(o_totalprice)) AS BIGINT) AS sum_total
       |FROM orders GROUP BY 1, 2, 3 ORDER BY y, q, m""".stripMargin
 
+  /** Salted skew join (operators.SkewJoin): lineitem⋈supplier forced
+    * through a shuffled hash join on (key, salt). The oracle is the
+    * plain unsalted SQL join — identical results prove salt
+    * invariance.
+    */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    // shuffle_hash hint: a broadcast join would make salting a no-op
+    // (nothing shuffles); the demo is the shuffled form
+    val supp = table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).hint("shuffle_hash")
+    SkewJoin.saltedJoin(li, supp, "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("long").as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT s_nationkey, count(*) AS n,
+      |  CAST(sum(round(l_extendedprice * (1.0 - l_discount))) AS BIGINT) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** §2.8 p3: stratified hash sampling — per-language keep rates
     * (corpus mixture reweighting), deterministic by md5(doc_id).
     */

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Approximate sketches (HLL++ distinct counts, quantile summaries):
+  * not oracle-able across engines (implementation-defined), so the
+  * checks pin accuracy bounds against exact computation.
+  */
+class SketchSpec extends SparkSpec {
+
+  private def events = GraftSession.table(spark, sf0, "events")
+
+  test("approx_count_distinct within 5% of exact") {
+    val row = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile brackets the exact median") {
+    val li = GraftSession.table(spark, sf0, "lineitem")
+    val row = li.agg(
+      expr("percentile(l_quantity, 0.5)").as("exact"),
+      expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) <= 2.0, s"approx $approx vs exact $exact")
+  }
+
+  test("salted join equals unsalted join for any salt count") {
+    val li = GraftSession.table(spark, sf0, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"))
+    val supp = GraftSession.table(spark, sf0, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val plain = li.join(supp, col("l_suppkey") === col("s_suppkey")).count()
+    Seq(1, 4, 16).foreach { s =>
+      val salted = SkewJoin.saltedJoin(li, supp, "l_suppkey", "s_suppkey", s).count()
+      assert(salted === plain, s"salts=$s")
+    }
+  }
+
+  test("salted join plan: join key includes the salt column") {
+    val li = GraftSession.table(spark, sf0, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"))
+    val supp = GraftSession.table(spark, sf0, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).hint("shuffle_hash")
+    val plan = SkewJoin.saltedJoin(li, supp, "l_suppkey", "s_suppkey", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__lsalt") && plan.contains("__rsalt"),
+      "salt must be part of the join key")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted demo must not broadcast")
+  }
+}
