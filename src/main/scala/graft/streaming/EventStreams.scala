@@ -35,6 +35,25 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding 30 minutes. The time bound is
+    * what makes unbounded stream×stream feasible: with both sides
+    * watermarked, state retention is (watermark + interval) — each
+    * side buffers only rows that could still match, and older state
+    * evicts. Batch equivalence vs the RangeJoin operator is
+    * spec-checked.
+    *
+    * Inputs must carry distinct column names: purchases(user_id,
+    * p_ts, ...), clicks(c_user_id, c_ts, ...).
+    */
+  def clicksBeforePurchases(purchases: DataFrame, clicks: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    purchases.withWatermark("p_ts", lateness)
+      .join(clicks.withWatermark("c_ts", lateness),
+        expr("""user_id = c_user_id
+               |AND c_ts >= p_ts - INTERVAL 30 MINUTES
+               |AND c_ts < p_ts""".stripMargin))
+
   /** Per-user session aggregation with a gap timeout, via the
     * session_window built-in (state bounded by watermark + gap).
     */

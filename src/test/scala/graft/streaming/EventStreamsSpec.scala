@@ -81,6 +81,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(deduped.groupBy("event_id").count().filter($"count" > 1).count() === 0)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import org.apache.spark.sql.functions.col
+    val dir = stageStream("ssjoin")
+    def split(df: DataFrame) = (
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts")))
+    val (sp, sc) = split(streamEvents(dir))
+    val streamed = runToMemory(
+      EventStreams.clicksBeforePurchases(sp, sc), "ssjoin", "append")
+    val (bp, bc) = split(batchEvents)
+    val batchPairs = graft.operators.RangeJoin.trailingWindowJoin(
+      bp, bc.withColumnRenamed("c_user_id", "user_id"), "user_id",
+      "p_ts", "c_ts", windowSec = 1800L)
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batchPairs.count())
+  }
+
   test("stateful running user stats: streaming updates converge to batch fold") {
     import org.apache.spark.sql.functions.{col, max, round, sum, count, lit}
     val dir = stageStream("stateful")
