@@ -22,10 +22,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // A silent min-length truncation would project against a partial
+  // plane (e.g. srpBucket with a wrong `dims`) and yield
+  // plausible-but-wrong results — mismatched lengths fail loudly.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"ArrayDotProduct: length mismatch $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -38,7 +43,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        int $n = $x.numElements();
+        if ($n != $y.numElements()) {
+          throw new IllegalArgumentException(
+            "ArrayDotProduct: length mismatch " + $n + " vs " + $y.numElements());
+        }
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $s += $x.getDouble($i) * $y.getDouble($i);

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-id-gap candidate pair generation (the candidate sets d4 /
+  * d7 verify).
+  *
+  * Scale design — the RangeJoin bucket trick applied to id space: a
+  * naive "same key AND id_b − id_a ≤ gap" self-join equi-joins on the
+  * key ALONE (the gap predicate is a non-equi residual), so Spark
+  * enumerates ALL same-key pairs before filtering — quadratic per key
+  * (at 100× data that is ~10⁹ probe pairs on a handful of hot source
+  * keys). Instead ids are bucketed into gap-sized blocks: a pair with
+  * `id_b − id_a ≤ gap` must have `floor(id_a/gap)` equal to
+  * `floor(id_b/gap)` or `floor(id_b/gap) − 1`, so the probe side
+  * explodes into those TWO candidate blocks and the join runs equi on
+  * `(key, block)`. Shuffle cardinality is 2·N + N, never Σ n_k²; the
+  * residual (id order, gap, caller predicates) evaluates only within
+  * a block pair. Every true pair arises exactly once because the left
+  * row lives in exactly one block.
+  */
+object CandidatePairs {
+
+  /** Self-join `df` on (same `keyCol`, `0 < id_b − id_a ≤ gap`) via
+    * gap-sized id blocks. Output columns: `id_a`, `id_b`, and
+    * `<c>_a`/`<c>_b` for every payload column.
+    *
+    * `lastConjunct` is appended as the FINAL conjunct of the join
+    * condition — expensive verification predicates (levenshtein,
+    * cosine) belong there, not in a post-join filter: a pushed-down
+    * filter gets PREPENDED to the join residual and would run before
+    * the cheap id checks for every candidate (measured 100× slowdown
+    * on d7).
+    */
+  def idGapJoin(df: DataFrame, idCol: String, keyCol: String, gap: Long,
+      payloadCols: Seq[String] = Nil,
+      lastConjunct: Column = lit(true)): DataFrame = {
+    val a = df.select(col(keyCol).as("__gka") +: col(idCol).as("id_a") +:
+        payloadCols.map(c => col(c).as(s"${c}_a")): _*)
+      .withColumn("__blka", floor(col("id_a") / gap))
+    val b = df.select(col(keyCol).as("__gkb") +: col(idCol).as("id_b") +:
+        payloadCols.map(c => col(c).as(s"${c}_b")): _*)
+      .withColumn("__b0", floor(col("id_b") / gap))
+      .withColumn("__blkb", explode(array(col("__b0") - 1, col("__b0"))))
+      .drop("__b0")
+    a.join(b,
+        col("__gka") === col("__gkb") && col("__blka") === col("__blkb") &&
+          col("id_a") < col("id_b") && col("id_b") - col("id_a") <= gap &&
+          lastConjunct)
+      .drop("__gka", "__gkb", "__blka", "__blkb")
+  }
+}

@@ -83,10 +83,15 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
-    val capped = b.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // Skew cap without a window pass: a `count over (band, band_hash)`
+    // window sorts ALL (doc, band) rows; oversized buckets are instead
+    // found with a partial-agg groupBy (tiny result — pathological
+    // buckets only) and removed via a broadcast anti-join. No sort.
+    val oversized = b.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("band_hash"))
+    val capped = b.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
     val l = capped.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val r = capped.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_hash"))

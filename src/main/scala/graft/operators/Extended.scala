@@ -266,21 +266,15 @@ object Extended {
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         substring(col("text"), 1, 200).as("t"))
-    // compute-bound fan-out (same reason as Dedup.shingleRows): one
-    // input file = one split, and the DP distance would run 1-of-N
-    // cores without an explicit spread of the probe side
-    val a = docs.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("id_a"), col("source").as("src_a"),
-        col("t").as("t_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("source").as("src_b"),
-      col("t").as("t_b"))
-    // the threshold is the LAST conjunct of the join condition, not a
-    // post-join filter: a pushed-down filter gets PREPENDED to the
-    // residual, making the O(len²) distance run before the cheap id
-    // checks for every same-source pair (measured: 100× slowdown)
-    a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b") &&
-        col("id_b") - col("id_a") <= 60 &&
-        levenshtein(col("t_a"), col("t_b")) <= 145)
+    // Candidates via the gap-block equi-join (CandidatePairs): the
+    // join shuffles on (source, id-block) — hot sources never
+    // enumerate all their pairs, and the shuffle itself spreads the
+    // DP distance across the cluster (no explicit repartition
+    // needed). The levenshtein threshold rides as the LAST join
+    // conjunct (see idGapJoin doc) so it runs only on candidates that
+    // already passed the cheap id checks.
+    CandidatePairs.idGapJoin(docs, "doc_id", "source", 60, Seq("t"),
+        lastConjunct = levenshtein(col("t_a"), col("t_b")) <= 145)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
       .orderBy(col("id_a"), col("id_b"))

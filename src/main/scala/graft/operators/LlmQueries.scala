@@ -96,14 +96,14 @@ object LlmQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** §2.3 d4: n-gram Jaccard verification kernel over a deterministic
-    * candidate set (same source, id gap ≤ 60).
+    * candidate set (same source, id gap ≤ 60). Candidates come from the
+    * gap-block equi-join (CandidatePairs.idGapJoin) — the join key is
+    * (source, id-block), NOT source alone, so hot sources never
+    * enumerate all their pairs.
     */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")),
-        col("src_a") === col("src_b") && col("id_a") < col("id_b") &&
-          col("id_b") - col("id_a") <= 60)
+    val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
       .select(col("id_a"), col("id_b"))
     Dedup.jaccardVerify(docs, pairs, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
@@ -127,20 +127,29 @@ object LlmQueries {
       |  ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** §2.3 d5: exact cosine near-dup pairs (the verification kernel of
-    * the bucketed ANN path). Ids only — membership at the threshold is
-    * the check, not float bits.
+  /** §2.3 d5: embedding near-dup pairs — exact cosine verification
+    * over MULTI-PROBE SRP candidates (buckets within Hamming ≤ 1).
+    * This is the scale-shaped entry: one bucket-key shuffle, pairwise
+    * cosine only inside matched buckets, no cartesian anywhere in the
+    * plan (PlanSpec pins it). The all-pairs `Similarity.cosinePairs`
+    * kernel remains for bounded candidate sets; d6 is the cheaper
+    * single-bucket form. Ids only — membership at the threshold is
+    * the check, not float bits. The oracle replays the identical
+    * probe buckets from the same plane constants.
     */
   def d5EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(table(spark, dir, "embeddings"), "vec_id", "embedding", 0.42)
+    Similarity.multiProbeCosinePairs(table(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.42)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
 
   val d5EmbedNeardupSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.v, b.v) > 0.42
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e),
+      |p AS (SELECT vec_id, v, unnest(list_distinct(${srpProbeListSql("bucket")})) AS bucket FROM b)
+      |SELECT a.vec_id AS id_a, p.vec_id AS id_b
+      |FROM b a JOIN p USING (bucket)
+      |WHERE a.vec_id < p.vec_id AND list_cosine_similarity(a.v, p.v) > 0.42
       |ORDER BY id_a, id_b""".stripMargin
 
   /** §2.3 d6: SRP-bucketed embedding near-dup — the 100 TB form of d5
@@ -208,11 +217,18 @@ object LlmQueries {
       s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** DuckDB list of the Hamming-≤1 probe buckets of an 8-bit bucket
+    * expression — mirrors Similarity.probeSet.
+    */
+  private def srpProbeListSql(bucketExpr: String): String = {
+    val flips = (1 to 8).map(i =>
+      s"substr($bucketExpr, 1, ${i - 1}) || (CASE WHEN substr($bucketExpr, $i, 1) = '1' THEN '0' ELSE '1' END) || substr($bucketExpr, ${i + 1}, ${8 - i})")
+    (Seq(bucketExpr) ++ flips).mkString("[", ", ", "]")
+  }
+
   val s2KnnIvfSql: String = {
     val bucketExpr = srpBucketSql("v")
-    val flips = (1 to 8).map(i =>
-      s"substr(bucket, 1, ${i - 1}) || (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 1}, ${8 - i})")
-    val probeList = (Seq("bucket") ++ flips).mkString("[", ", ", "]")
+    val probeList = srpProbeListSql("bucket")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
       |q AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket

@@ -55,10 +55,15 @@ object Multimodal {
   def decodeAll(ds: Dataset[MediaFile],
       targetPartitionBytes: Long = 128L << 20): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    val totalBytes = ds.select(sum(octet_length(col("content")).cast("long")))
-      .head().getLong(0)
-    val parts = math.max(1, math.min(Int.MaxValue.toLong,
-      (totalBytes + targetPartitionBytes - 1) / targetPartitionBytes)).toInt
+    // Partition count comes from the optimizer's size ESTIMATE
+    // (parquet footer/file stats propagated through the plan), not
+    // from scanning the payload: a `sum(octet_length(content))`
+    // pre-pass would read every content byte twice — a full extra
+    // pass over 100 TB. Sizing needs only the right order of
+    // magnitude, which plan statistics give for free.
+    val totalBytes = ds.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((totalBytes + targetPartitionBytes - 1) / targetPartitionBytes)
+      .max(1).min(1 << 20).toInt
     ds.repartition(parts).mapPartitions(_.map(decodeStub))
   }
 

@@ -51,12 +51,17 @@ object RangeJoin {
   /** Count of right-side rows in the trailing window per left row —
     * the common "clicks in the last N minutes before each purchase"
     * shape. Zero-match left rows report 0 (`count` skips the null
-    * rows the candidate join emits for them).
+    * rows the candidate join emits for them). Per-ROW semantics: fully
+    * identical left rows stay distinct output rows (an internal row
+    * key — stable within the query, which is all grouping needs —
+    * keeps them apart through the aggregation).
     */
   def trailingWindowCount(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowSec: Long,
       countAlias: String = "n_matches"): DataFrame =
-    candidateJoin(left, right, key, leftTs, rightTs, windowSec)
-      .groupBy(left.columns.map(col).toIndexedSeq: _*)
+    candidateJoin(left.withColumn("__rowid", monotonically_increasing_id()),
+        right, key, leftTs, rightTs, windowSec)
+      .groupBy((col("__rowid") +: left.columns.map(col)).toIndexedSeq: _*)
       .agg(count(col(rightTs)).as(countAlias))
+      .drop("__rowid")
 }

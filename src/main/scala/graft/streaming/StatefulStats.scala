@@ -42,7 +42,12 @@ object StatefulStats {
           evs.foreach { e =>
             if (last == null || e.ts.getTime - last.getTime >= gapMs) sessions += 1
             n += 1
-            cents += math.round(e.value * 100)
+            // HALF_UP = away-from-zero at exact halves — the semantics
+            // of round() in both the DuckDB oracle and Spark's round()
+            // (java Math.round rounds half toward +inf, which diverges
+            // on negative values landing exactly on a half-cent)
+            cents += BigDecimal(e.value * 100)
+              .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
             last = e.ts
           }
           val out = UserStats(uid, n, cents, last, sessions)

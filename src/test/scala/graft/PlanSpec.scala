@@ -65,6 +65,26 @@ class PlanSpec extends SparkSpec {
       s"packing must shuffle once (window + agg share the source partitioning), got $hashExchanges")
   }
 
+  test("d4/d7 candidates: equi-join key includes the id-gap block, never source alone") {
+    // the gap predicate must NOT be a residual over all same-source
+    // pairs — the block column has to drive the shuffle (quadratic-
+    // per-source enumeration otherwise, the round-2 scale-killer)
+    Seq(LlmQueries.d4NgramJaccard(spark, sf0),
+        operators.Extended.d7EditDist(spark, sf0)).foreach { df =>
+      val plan = executed(df)
+      assert(plan.contains("__blk"), "id-block must be part of the join key")
+      assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "candidate join must stay an equi-join")
+    }
+  }
+
+  test("d5: multi-probe near-dup has no cartesian/nested-loop anywhere in the plan") {
+    val plan = executed(LlmQueries.d5EmbedNeardup(spark, sf0))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "d5 must be bucket-join shaped, not all-pairs")
+    assert(plan.contains("arraydotproduct"), "exact verify uses the native dot product")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(

@@ -98,6 +98,13 @@ class EventStreamsSpec extends SparkSpec {
       "p_ts", "c_ts", windowSec = 1800L)
     assert(streamed.count() > 0)
     assert(streamed.count() === batchPairs.count())
+    // content, not just cardinality: the (event_id, c_ts) pair sets
+    // must match in both directions (a join pairing the wrong clicks
+    // with the right counts would otherwise pass)
+    val sPairs = streamed.select(col("event_id"), col("c_ts"))
+    val bPairs = batchPairs.select(col("event_id"), col("c_ts"))
+    assert(sPairs.except(bPairs).count() === 0)
+    assert(bPairs.except(sPairs).count() === 0)
   }
 
   test("stateful running user stats: streaming updates converge to batch fold") {
