@@ -1,6 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Bench-only entries (no DuckDB oracle, so not in SparkEntry):
+    * production variants whose speedup vs the oracled form is the
+    * point of measuring them.
+    */
+  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // xxhash64 minhash family vs d2's md5 family — same query shape
+    "d2x_minhash_xxhash" -> ((s, dir) =>
+      operators.Dedup.minhashBands(
+          GraftSession.table(s, dir, "documents"), "doc_id", "text",
+          baseHash = functions.HashFunctions.minhashBaseXx)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("band"))))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core on the box: the driver's contract is local[32]
@@ -26,26 +40,44 @@ object Bench {
     spark.read.option("header", "true").csv(s"$warmDir/csv")
       .write.mode("overwrite").parquet(s"$warmDir/pq")
     spark.read.parquet(s"$warmDir/pq").count()
-    // best-of-2: steady-state per-query time (first run can absorb
-    // one-time codegen/datasource init; min is the honest throughput).
+    // median-of-3 (first run may absorb one-time codegen/datasource
+    // init; single-run numbers at this scale carry ±seconds of
+    // environment noise, which has manufactured phantom regressions
+    // before — the median plus the published per-query spread makes a
+    // real regression distinguishable from a noisy run).
     // A throwing query reports -1 sec (sentinel), never its
     // time-to-exception — a broken query must not read as a fast one.
+    val runsPer = 3
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val results = (SparkEntry.queries ++ extraQueries).map { case (name, fn) =>
+      val times = (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; -1.0 }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val summary = results.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
+    }
+    val qs = summary.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val detail = results.map { case (k, ts) =>
+      val ok = !ts.exists(_ < 0)
+      val m = if (ok) median(ts) else -1.0
+      val mn = if (ok) ts.min else -1.0
+      s"\"$k\":{\"median\":${f(m)},\"min\":${f(mn)},\"runs\":[${ts.map(f).mkString(",")}]}"
+    }.mkString("{", ",", "}")
+    val total = summary.values.filter(_ >= 0).sum
     val errJson = errors.distinct
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"runs_per_query":$runsPer,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

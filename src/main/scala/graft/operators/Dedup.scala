@@ -60,11 +60,13 @@ object Dedup {
     * get no common-subexpression elimination — measured 10× slower.)
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      // md5 base = oracle-replayable (default); HashFunctions
+      // .minhashBaseXx = faster production family, same API
+      baseHash: Column => Column = HashFunctions.minhashBase): DataFrame = {
     val rows = numHashes / bands
     val exploded = shingleRows(df, idCol, textCol, shingleK)
-    val withH = exploded.select(col(idCol),
-      HashFunctions.minhashBase(col("s")).as("h"))
+    val withH = exploded.select(col(idCol), baseHash(col("s")).as("h"))
     val aggs = (0 until numHashes).map(j =>
       min(HashFunctions.universalMinhash(col("h"), j)).as(s"h$j"))
     val sig = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -81,8 +83,9 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
-    val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
+      maxBucket: Int = 1000,
+      baseHash: Column => Column = HashFunctions.minhashBase): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands, baseHash)
     // Skew cap without a window pass: a `count over (band, band_hash)`
     // window sorts ALL (doc, band) rows; oversized buckets are instead
     // found with a partial-agg groupBy (tiny result — pathological

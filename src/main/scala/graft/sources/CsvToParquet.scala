@@ -65,6 +65,12 @@ object ConvertOptions {
   *   encoding delta-*     → parquet.writer.version=PARQUET_2_0 (v2
   *                          picks the delta encodings; parquet-mr does
   *                          not support forcing one encoding globally)
+  *   encoding rle/bit-packed/rle-dictionary → ERROR at write time:
+  *                          the reference's writer itself rejects
+  *                          these as forced encodings for typical
+  *                          (non-boolean) schemas, so failing matches
+  *                          its behavior where ignoring would not.
+  *                          --dry still prints the schema first.
   *   write_batch_size     → parquet.page.row.count.limit analog is NOT
   *                          set; accepted + logged (parquet-mr batches
   *                          internally)
@@ -186,7 +192,18 @@ object CsvToParquet {
     opts.encoding.foreach {
       case e if e.startsWith("delta-") => w = w.option("parquet.writer.version", "PARQUET_2_0")
       case "plain" => w = w.option("parquet.enable.dictionary", "false")
-      case _ => () // rle / bit-packed / rle-dictionary: parquet-mr's own choice
+      // Reference fidelity: forcing RLE/BIT_PACKED globally makes the
+      // reference's own writer reject every non-boolean column at
+      // write time, and RLE_DICTIONARY is rejected as a fallback
+      // encoding outright — so a typical conversion FAILS there.
+      // parquet-mr has no global-encoding override at all, so the
+      // honest mapping is the same failure, not a silent ignore.
+      // (--dry never reaches this point, matching the reference's
+      // exit-before-write.)
+      case e => throw new IllegalArgumentException(
+        s"encoding $e cannot be honored: parquet rejects it as a forced " +
+          "global encoding for non-boolean columns (the reference errors at " +
+          "write time); use plain or a delta-* encoding")
     }
     w.parquet(outPath)
   }

@@ -73,16 +73,22 @@ object SchemaInference {
       case Some(0L) =>
         raw.columns.toSeq.map(InferredField(_, AUtf8, nullable = true))
       case _ =>
-        // Sampling divergence (documented): limit(n) takes n rows from
-        // whichever splits respond first, NOT necessarily the file's
-        // leading n rows like the reference's infer_file_schema. Types
-        // can differ from the reference when the first n rows are not
-        // type-representative AND the file spans multiple splits. The
-        // tradeoff is deliberate: a single-partition leading-rows read
-        // would serialize inference at 100 TB. Callers needing
-        // byte-for-byte reference parity should pass
-        // maxReadRecords=None (full scan — order-independent).
-        val sampled = maxReadRecords.fold(raw)(n => raw.limit(n.min(Int.MaxValue).toInt))
+        // maxReadRecords=Some(n): LEADING-n-rows semantics, matching
+        // the reference's infer_file_schema (`main.rs:146-158` reads
+        // the FIRST n records). A DataFrame `limit(n)` would take n
+        // rows from whichever splits answer first — and even
+        // `coalesce(1)` doesn't fix it, because the file scan orders
+        // splits by SIZE (bin-packing), not byte offset. Instead
+        // `leadingRows` takes the first n lines through the RDD text
+        // reader, whose partitions are in (file, offset) order — a
+        // bounded read of ~n records (only the needed leading splits
+        // are touched), never a full scan. Cost and driver memory are
+        // O(n) — the reference pays the same, single-threaded.
+        // maxReadRecords=None keeps the fully distributed full scan
+        // (order-independent, the 100 TB path).
+        val sampled = maxReadRecords.fold(raw)(n =>
+          leadingRows(spark, path, raw.columns, header, delimiter,
+            n.min(Int.MaxValue - 1).toInt))
         val votes = sampled.select(raw.columns.map(c => typeVote(c).as(c)).toIndexedSeq: _*)
           .agg(bit_or(col(raw.columns.head)).as(raw.columns.head),
             raw.columns.tail.map(c => bit_or(col(c)).as(c)).toIndexedSeq: _*)
@@ -92,6 +98,30 @@ object SchemaInference {
           InferredField(name, resolve(b), nullable = (b & BIT_NULL) != 0 || b == BIT_NULL)
         }
     }
+  }
+
+  /** The file's first `n` data rows as an all-Utf8 frame, in TRUE file
+    * order: `sc.textFile` partitions sit in (file, byte-offset) order
+    * (files in listing order), and `take` drains them by partition
+    * index, so — unlike a DataFrame limit — the result is the leading
+    * rows the reference samples. Line-based: a quoted embedded newline
+    * (multiLine) counts as two lines here; leading-rows sampling is
+    * documented unsupported for multiLine inputs (pass
+    * maxReadRecords=None there).
+    */
+  private def leadingRows(spark: SparkSession, path: String,
+      columns: Array[String], header: Boolean, delimiter: Char,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    val take = if (header) n + 1 else n // the header line is not a record
+    val lines = spark.sparkContext.textFile(path).take(take)
+    val parsed = spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter.toString)
+      .option("quote", "\"").option("escape", "\"")
+      .option("inferSchema", "false")
+      .csv(spark.createDataset(lines.toIndexedSeq))
+    parsed.toDF(columns.toIndexedSeq: _*)
   }
 
   /** Per-value first-match type category, as a codegen'd CASE chain.

@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc")
   }
 
+  test("xxhash64 production family finds the same planted duplicates as md5") {
+    import graft.functions.HashFunctions
+    val md5Pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val xxPairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        baseHash = HashFunctions.minhashBaseXx)
+      .as[(Long, Long)].collect().toSet
+    assert(xxPairs.contains((3L, 100L)), "exact copy must share all bands")
+    assert(xxPairs.contains((5L, 101L)), "near copy should share >=1 band")
+    assert(!xxPairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc")
+    // both families agree on the planted set (chance collisions may
+    // differ — that's the nature of distinct hash families)
+    assert(md5Pairs.intersect(xxPairs).contains((3L, 100L)))
+  }
+
   test("jaccard verification separates near-dup from chance collisions") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
     val verified = Dedup.jaccardVerify(docs, cand, "doc_id", "text", threshold = 0.8)

@@ -84,6 +84,37 @@ class CsvToParquetSpec extends SparkSpec {
     assert(s == null || s.isEmpty || !s.hasNonNullValue)
   }
 
+  test("encoding fidelity: every reference encoding maps or fails loudly") {
+    val csv = writeCsv("enc.csv", 300)
+    // plain → dictionary disabled, write succeeds
+    val plainOut = tmpDir("conv") + "/enc_plain"
+    CsvToParquet.convert(spark, csv, plainOut, ConvertOptions(encoding = Some("plain")))
+    val plainEnc = footer(plainOut).getBlocks.get(0).getColumns.asScala
+      .flatMap(_.getEncodings.asScala.map(_.name()))
+    assert(!plainEnc.exists(_.contains("DICTIONARY")))
+    // delta-* → v2 writer (delta encodings appear on the int column)
+    for (e <- Seq("delta-binary-packed", "delta-length-byte-array", "delta-byte-array")) {
+      val out = tmpDir("conv") + s"/enc_$e"
+      CsvToParquet.convert(spark, csv, out, ConvertOptions(encoding = Some(e)))
+      val encs = footer(out).getBlocks.get(0).getColumns.asScala
+        .flatMap(_.getEncodings.asScala.map(_.name())).toSet
+      assert(encs.exists(_.startsWith("DELTA")), s"$e: v2 writer must pick delta, got $encs")
+    }
+    // rle / bit-packed / rle-dictionary: the reference's own writer
+    // rejects these as forced encodings on typical schemas — we fail
+    // the same way instead of silently ignoring
+    for (e <- Seq("rle", "bit-packed", "rle-dictionary")) {
+      intercept[IllegalArgumentException] {
+        CsvToParquet.convert(spark, csv, tmpDir("conv") + s"/enc_fail_$e",
+          ConvertOptions(encoding = Some(e)))
+      }
+    }
+    // --dry exits before the writer, like the reference
+    val dry = CsvToParquet.convert(spark, csv, tmpDir("conv") + "/enc_dry",
+      ConvertOptions(encoding = Some("rle"), dry = true))
+    assert(dry.rows.isEmpty && dry.schemaJson.contains("\"fields\""))
+  }
+
   test("dry resolves schema but writes nothing") {
     val csv = writeCsv("dry.csv", 10)
     val out = tmpDir("conv") + "/dry_pq"

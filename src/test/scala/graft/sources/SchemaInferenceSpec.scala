@@ -53,6 +53,32 @@ class SchemaInferenceSpec extends SparkSpec {
     assert(limited.head.arrowType === AInt64)
   }
 
+  test("maxReadRecords samples the LEADING rows even across multiple splits") {
+    // Two files in one directory; listing order puts the all-integer
+    // file first and a LARGER all-string file second. A non-leading
+    // sample (old limit(n), or any size-ordered split walk) would hit
+    // the bigger string file; reference semantics (first n records)
+    // must infer Int64.
+    val dir = Paths.get(tmpDir("infer_lead"))
+    Files.writeString(dir.resolve("a_part0.csv"),
+      (1 to 50).map(i => s"$i").mkString("", "\n", "\n"))
+    Files.writeString(dir.resolve("b_part1.csv"),
+      (1 to 5000).map(i => s"str_$i").mkString("", "\n", "\n"))
+    val lead = SchemaInference.infer(spark, dir.toString, header = false,
+      maxReadRecords = Some(50L))
+    assert(lead.head.arrowType === AInt64,
+      "sample must be the leading rows of the first file")
+    val full = SchemaInference.infer(spark, dir.toString, header = false)
+    assert(full.head.arrowType === AUtf8, "full scan sees the string rows")
+  }
+
+  test("leading-rows sample keeps header semantics: header line is not a record") {
+    // poison row is record #3; sampling 2 records must stay Int64
+    val csv = writeCsv("lead_hdr.csv", "a\n1\n2\nnope\n")
+    val got = SchemaInference.infer(spark, csv, maxReadRecords = Some(2L))
+    assert(got.head.arrowType === AInt64)
+  }
+
   test("headerless naming matches arrow: column_1..n") {
     val csv = writeCsv("nohdr.csv", "1,x\n2,y\n")
     val got = SchemaInference.infer(spark, csv, header = false)

@@ -136,6 +136,33 @@ class EventStreamsSpec extends SparkSpec {
         finalStats("n_sessions") === sessionCounts("count")).count() === expected.count())
   }
 
+  test("exactly-once sink: crash-replay of a batch leaves the output unchanged") {
+    val dir = stageStream("eos")
+    val stamp = System.nanoTime()
+    val out = tmpDir(s"eos_out_$stamp")
+    val chk = tmpDir(s"eos_chk_$stamp")
+    val ev = streamEvents(dir).select(col("event_id"), col("user_id"), col("value"))
+    val q = ExactlyOnceSink.start(ev, out, chk)
+    try q.processAllAvailable() finally q.stop()
+    val table = spark.read.parquet(out)
+    assert(table.count() === batchEvents.count())
+    val before = table.orderBy("event_id")
+      .select("event_id", "user_id", "value").collect().toSeq
+    // crash-replay: re-deliver batch 0's rows with the SAME batchId
+    // (foreachBatch's at-least-once contract). Materialize first —
+    // overwrite deletes the directory being read otherwise.
+    val batchDir = s"$out/batch_id=0"
+    val replayRows = spark.read.parquet(batchDir).collect().toIndexedSeq
+    val replayDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(replayRows),
+      spark.read.parquet(batchDir).schema)
+    ExactlyOnceSink.writeBatch(out)(replayDf, 0L)
+    val after = spark.read.parquet(out)
+    assert(after.count() === batchEvents.count(), "replay must not double-count")
+    assert(after.orderBy("event_id").select("event_id", "user_id", "value")
+      .collect().toSeq === before, "replay must leave contents unchanged")
+  }
+
   test("sessionization produces bounded per-user sessions") {
     val dir = stageStream("sess")
     val sessions = runWithFlush(
