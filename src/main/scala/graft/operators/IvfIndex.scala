@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.ArrayDotProduct
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** True IVF (inverted-file) ANN: k-means-learned centroids partition
+  * the corpus into cells; queries probe only the `nprobe` nearest
+  * cells and rerank exactly inside them (SURVEY.md §2.4 s3).
+  *
+  * Learning is deterministic AND engine-portable, so the whole index
+  * — seeding, Lloyd iterations, assignment, probe, rerank — replays
+  * in the DuckDB oracle from first principles:
+  *   - seeds = the k vectors with the smallest (md5(id), id) — a
+  *     deterministic pseudo-random draw both engines compute
+  *     identically;
+  *   - distance = sequential-order Σ(v_i−c_i)² in doubles, the same
+  *     arithmetic DuckDB's `list_distance` performs (modulo its final
+  *     monotone sqrt), so argmin assignment agrees bit-for-bit;
+  *   - new centroids = per-dimension means ROUNDED to 6 decimals —
+  *     the rounding absorbs summation-order float drift between
+  *     engines (and between cluster topologies, so local[32] and a
+  *     1000-executor run learn the same index).
+  *
+  * Scale design: each Lloyd iteration is ONE distributed aggregation
+  * pass (partial map-side combine; shuffle carries k rows); the
+  * driver holds only the k×dims centroid matrix, which re-enters the
+  * next pass as plan literals — no per-row driver work, no O(n)
+  * collect. Search shuffles the corpus once on the learned cell id;
+  * queries broadcast (queries ≪ corpus); rerank is the codegen'd
+  * dot-product top-k inside probed cells only.
+  */
+object IvfIndex {
+
+  /** Squared L2 distance to a centroid literal, accumulated strictly
+    * left-to-right — the exact arithmetic the DuckDB oracle's
+    * `list_distance` runs, which is what makes nearest-centroid
+    * assignment reproducible across engines.
+    */
+  private def dist2(v: Column, cent: Seq[Double]): Column = {
+    val diff = zip_with(v, array(cent.map(lit): _*), (x, y) => x - y)
+    ArrayDotProduct(diff, diff)
+  }
+
+  /** (distance, cid) candidates as a sortable struct array. */
+  private def distStructs(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cid, c) =>
+      struct(dist2(v, c).as("d"), lit(cid).as("cid"))
+    }: _*)
+
+  /** The nearest centroid id (ties by cid — struct ordering). */
+  def nearestCid(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(distStructs(v, cents)).getField("cid")
+
+  /** The `nprobe` nearest centroid ids, nearest first. */
+  def probeCids(v: Column, cents: Seq[(Int, Seq[Double])], nprobe: Int): Column =
+    transform(slice(array_sort(distStructs(v, cents)), 1, nprobe),
+      s => s.getField("cid"))
+
+  /** Deterministic seeded k-means (Lloyd). Returns (cid → centroid)
+    * sorted by cid; a cell that loses all members drops out (both
+    * engines drop it identically). `iters` distributed agg passes.
+    */
+  def learnCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 2, dims: Int = 64): Seq[(Int, Seq[Double])] = {
+    val e = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val seeds = e.orderBy(md5(col("id").cast("string")), col("id")).limit(k)
+      .select(col("v")).collect()
+    var cents: Seq[(Int, Seq[Double])] = seeds.toSeq.zipWithIndex.map {
+      case (r, i) => (i + 1) -> r.getSeq[Double](0)
+    }
+    for (_ <- 0 until iters) {
+      val assigned = e.withColumn("cid", nearestCid(col("v"), cents))
+      val aggs = (0 until dims).map(i =>
+        round(avg(element_at(col("v"), i + 1)), 6).as(s"c$i"))
+      val rows = assigned.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*).collect()
+      cents = rows.toSeq.map(r =>
+        r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 1)).toSeq
+      ).sortBy(_._1)
+    }
+    cents
+  }
+
+  /** IVF top-k search: corpus shuffled ONCE on its learned cell id;
+    * each query explodes into its `nprobe` probe cells; exact cosine
+    * rerank + two-phase top-k inside probed cells.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Seq[(Int, Seq[Double])],
+      nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cid", nearestCid(col("cv"), cents))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, nprobe)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    c.join(q, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+}

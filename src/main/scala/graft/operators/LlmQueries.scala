@@ -198,9 +198,10 @@ object LlmQueries {
     * the WHOLE approximate pipeline is reproducible and DuckDB-oracled:
     * the oracle embeds the same plane constants and replays bucketing,
     * probing and rerank from first principles. Recall vs s1 is
-    * additionally spec-checked (SimilaritySpec).
+    * additionally spec-checked (SimilaritySpec). (s3 is the
+    * learned-centroid IVF variant.)
     */
-  def s2KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
     Similarity.bucketedKnn(e, e.filter(col("vec_id") < 64), "vec_id", "embedding",
         k = 5, nBits = 8)
@@ -226,7 +227,7 @@ object LlmQueries {
     (Seq(bucketExpr) ++ flips).mkString("[", ", ", "]")
   }
 
-  val s2KnnIvfSql: String = {
+  val s2KnnLshSql: String = {
     val bucketExpr = srpBucketSql("v")
     val probeList = srpProbeListSql("bucket")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -236,6 +237,66 @@ object LlmQueries {
       |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
       |      FROM q JOIN b c USING (bucket) WHERE c.vec_id != qid),
       |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** §2.4 s3: true IVF ANN — k-means-learned centroids (deterministic
+    * md5 seeding, 2 Lloyd iterations, 6-decimal centroid rounding)
+    * partition the corpus into cells; queries probe the 2 nearest
+    * cells and rerank exactly. The oracle replays the ENTIRE pipeline
+    * — seeding, both iterations, assignment, probe, rerank — in SQL
+    * from first principles (IvfIndex Scaladoc explains why the
+    * arithmetic agrees bit-for-bit).
+    */
+  def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 2, dims = 64)
+    IvfIndex.ivfKnn(e, e.filter(col("vec_id") < 64), "vec_id", "embedding",
+        k = 5, cents, nprobe = 2)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s3KnnIvfSql: String = {
+    // one Lloyd step: assign to nearest centroid (ties by cid), then
+    // per-dimension means rounded to 6 decimals — the same recipe
+    // IvfIndex.learnCentroids runs as literal-embedded aggregations
+    def assign(centSrc: String, out: String, filter: String = ""): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, s.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, s.v), s.cid) AS rn
+         |    FROM e $filter CROSS JOIN $centSrc s) t WHERE rn = 1)""".stripMargin
+    def recompute(asgn: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cid, list(av ORDER BY i) AS v FROM (
+         |    SELECT cid, i, round(avg(v[i]), 6) AS av
+         |    FROM $asgn, generate_series(1, 64) AS t(i) GROUP BY cid, i) u
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
+      |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      |${assign("seeds", "a0")},
+      |${recompute("a0", "c0")},
+      |${assign("c0", "a1")},
+      |${recompute("a1", "c1")},
+      |${assign("c1", "corpus")},
+      |qp AS (
+      |  SELECT qid, qv, cid FROM (
+      |    SELECT q.vec_id AS qid, q.v AS qv, s.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_distance(q.v, s.v), s.cid) AS rn
+      |    FROM e q CROSS JOIN c1 s WHERE q.vec_id < 64) t WHERE rn <= 2),
+      |sim AS (
+      |  SELECT qid, n.vec_id AS nid, list_cosine_similarity(qv, n.v) AS sim
+      |  FROM qp JOIN corpus n USING (cid) WHERE n.vec_id != qid),
+      |r AS (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM sim)
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 

@@ -51,6 +51,33 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 20, s"only $hits/25 planted neighbors found")
   }
 
+  test("IVF ANN: learned index matches or beats SRP recall on planted neighbors") {
+    val src = emb.filter($"vec_id" < 25)
+      .as[(Long, Seq[Float], Int)].collect()
+    val queries = src.map { case (id, v, _) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 7 == 0) 0.02f else -0.01f) })
+    }.toSeq.toDF("vec_id", "embedding")
+    def hits(res: org.apache.spark.sql.DataFrame): Int =
+      res.select($"qid", $"nid").as[(Long, Long)].collect()
+        .count { case (qid, nid) => nid == qid - 10000L }
+    val srpHits = hits(Similarity.bucketedKnn(emb, queries, "vec_id", "embedding",
+      k = 1, nBits = 8))
+    val cents = IvfIndex.learnCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 2, dims = 64)
+    val ivfHits = hits(IvfIndex.ivfKnn(emb, queries, "vec_id", "embedding",
+      k = 1, cents, nprobe = 2))
+    assert(ivfHits >= srpHits, s"IVF recall $ivfHits/25 below SRP's $srpHits/25")
+    assert(ivfHits >= 20, s"only $ivfHits/25 planted neighbors found")
+  }
+
+  test("k-means learning is deterministic run to run") {
+    val c1 = IvfIndex.learnCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val c2 = IvfIndex.learnCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(c1 === c2)
+    assert(c1.nonEmpty && c1.forall(_._2.length === 64))
+  }
+
   test("bucketed near-dup pairs: planted duplicates always found, subset of exact pairs") {
     val base = emb.select($"vec_id", $"embedding")
     val dup = base.filter($"vec_id" < 10)
