@@ -266,14 +266,20 @@ object Extended {
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         substring(col("text"), 1, 200).as("t"))
-    // Candidates via the gap-block equi-join (CandidatePairs): the
-    // join shuffles on (source, id-block) — hot sources never
-    // enumerate all their pairs, and the shuffle itself spreads the
-    // DP distance across the cluster (no explicit repartition
-    // needed). The levenshtein threshold rides as the LAST join
-    // conjunct (see idGapJoin doc) so it runs only on candidates that
-    // already passed the cheap id checks.
-    CandidatePairs.idGapJoin(docs, "doc_id", "source", 60, Seq("t"),
+    // Candidates via the gap-block equi-join (CandidatePairs): hot
+    // sources never enumerate all their pairs. Compute-bound fan-out
+    // (same reason as Dedup.shingleRows): a small corpus file is ONE
+    // split and the exploded side broadcasts, so without an explicit
+    // spread the whole DP-distance stage streams on 1 core (measured
+    // 4.4s vs 0.6s at sf0.1). At 100 TB the input arrives in
+    // thousands of splits and the join shuffles both sides anyway —
+    // the repartition is the small-file measure, one reused shuffle.
+    // The levenshtein threshold rides as the LAST join conjunct (see
+    // idGapJoin doc) so it runs only on candidates that already
+    // passed the cheap id checks.
+    CandidatePairs.idGapJoin(
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", "source", 60, Seq("t"),
         lastConjunct = levenshtein(col("t_a"), col("t_b")) <= 145)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
