@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.GraftSession.table
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-data-pipeline operators (SURVEY.md §2.5/§2.3):
+  * PII scrubbing, TF-IDF keywording, internal-repetition quality
+  * filtering (Gopher-style), and benchmark-contamination detection.
+  * All are Column algebra / equi-join shapes with DuckDB oracles
+  * (md5-int shingles, int-ratio doubles, 6-decimal rounded logs —
+  * SURVEY.md §5 rules).
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------
+  // t6: PII scrubbing
+  // ---------------------------------------------------------------
+
+  // Conservative RE2-and-Java-compatible patterns (no lookaround):
+  // identical match semantics in Spark (java.util.regex) and DuckDB
+  // (RE2) for these constructs.
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+\\d[\\d-]{7,}\\d"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** §2.5 t6: PII scrub — regex redaction of emails/phones/IPs, a
+    * narrow map (no shuffle). The synthetic corpus contains no PII,
+    * so the entry PLANTS deterministic doc_id-derived PII first and
+    * the oracle replays plant + scrub: the redaction behavior is
+    * exercised on every row, not vacuously green. Replacement order
+    * (email → phone → ip) is fixed; the replaced tags contain no
+    * digits, so later patterns cannot match inside earlier
+    * redactions.
+    */
+  def t6PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.org tel +1-555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(planted, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(planted, lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(planted, lit(phoneRe)).cast("long").as("n_phone"),
+        regexp_count(planted, lit(ipRe)).cast("long").as("n_ip"),
+        length(scrubbed).cast("long").as("n_chars_scrubbed"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t6PiiScrubSql: String = {
+    // RE2 string literals (single-escaped in SQL)
+    val (e, p, ip) = ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      "\\+\\d[\\d-]{7,}\\d",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    s"""WITH w AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.org tel +1-555-' ||
+      |      lpad(doc_id::VARCHAR, 4, '0') || ' ip 10.' || (doc_id % 256) || '.0.1' AS planted
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, planted,
+      |    regexp_replace(regexp_replace(regexp_replace(planted,
+      |      '$e', '[EMAIL]', 'g'), '$p', '[PHONE]', 'g'), '$ip', '[IP]', 'g') AS scrubbed
+      |  FROM w
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(planted, '$e')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(planted, '$p')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(planted, '$ip')) AS BIGINT) AS n_ip,
+      |  CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed,
+      |  md5(scrubbed) AS scrubbed_md5
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // t7: TF-IDF keywords
+  // ---------------------------------------------------------------
+
+  /** §2.5 t7: TF-IDF top-5 keywords per document. Shuffle structure:
+    * explode → partial-agg groupBy(doc, term) → groupBy(term) for
+    * document frequency → term-key join back → per-doc top-k window.
+    * The corpus size enters as a 1-row broadcast, and ln-scores are
+    * rounded to 6 decimals so JVM/libm last-ulp differences cannot
+    * flip the (score, term) ordering between engines.
+    */
+  def t7Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("dfreq").cast("double")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("dfreq"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t7TfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS term
+      |  FROM documents
+      |), tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT doc_id, term, tf, dfreq,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE)), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |), r AS (
+      |  SELECT doc_id, term, tf, dfreq, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+      |  FROM s
+      |)
+      |SELECT doc_id, rank, term, tf, dfreq, score FROM r WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t8: internal repetition (quality filter)
+  // ---------------------------------------------------------------
+
+  /** (id, trigram-hash) rows — explode-over-positions so the token
+    * split runs once per DOC (the Generate barrier; see
+    * Dedup.shingleRows for the measured HOF-inlining trap). Hashes
+    * are 60-bit md5-prefix ints, identical in the oracle.
+    */
+  private def triShingles(d: DataFrame, idCol: String): DataFrame = {
+    val spread = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), wsTokens(col("text")).as("tk"))
+    spread
+      .select(col(idCol), col("tk"),
+        explode(when(size(col("tk")) >= 3,
+            sequence(lit(1), size(col("tk")) - lit(2)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(idCol),
+        concat_ws(" ", element_at(col("tk"), col("i")),
+          element_at(col("tk"), col("i") + 1),
+          element_at(col("tk"), col("i") + 2)).as("tri"))
+      .select(col(idCol),
+        conv(substring(md5(col("tri")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  /** §2.5 t8: internal-repetition quality metrics (Gopher-style
+    * duplicate-trigram ratio): one explode + one partial-agg groupBy
+    * per doc. Ratios are int/int — drift-free.
+    */
+  def t8Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tris = triShingles(docs, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), countDistinct(col("h")).as("n_uniq_tri"))
+    val nTok = docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+    nTok.join(tris, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_uniq_tri"), lit(0L)).as("n_uniq_tri"),
+        when(coalesce(col("n_tri"), lit(0L)) === 0, lit(0.0))
+          .otherwise((col("n_tri") - col("n_uniq_tri")).cast("double") /
+            col("n_tri").cast("double")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t8RepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(tk) AS n_tokens,
+      |    CASE WHEN len(tk) < 3 THEN []::BIGINT[]
+      |         ELSE [('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT
+      |               for i in generate_series(1, len(tk) - 2)] END AS tris
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(len(tris) AS BIGINT) AS n_tri,
+      |  CAST(len(list_distinct(tris)) AS BIGINT) AS n_uniq_tri,
+      |  CASE WHEN len(tris) = 0 THEN 0.0
+      |       ELSE CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / CAST(len(tris) AS DOUBLE)
+      |  END AS dup_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // d8: benchmark contamination
+  // ---------------------------------------------------------------
+
+  /** §2.3 d8: benchmark-contamination check — training docs sharing
+    * distinct token trigrams with a held-out "benchmark" set (every
+    * 50th doc). Scale design: both sides reduce to distinct
+    * (doc, trigram-hash) rows; the join is equi on the 60-bit hash,
+    * so shuffle cardinality is shingles, never docs². Ubiquitous
+    * trigrams (df > maxDf) are dropped via a broadcast anti-join
+    * BEFORE the join — they carry no contamination signal and they
+    * are exactly the hot keys that would skew it.
+    */
+  def d8Contamination(spark: SparkSession, dir: String,
+      maxDf: Int = 50, minShared: Int = 1): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bench = triShingles(docs.filter(col("doc_id") % 50 === 0), "doc_id")
+      .withColumnRenamed("doc_id", "bench_id").distinct()
+    val corpus = triShingles(docs.filter(col("doc_id") % 50 =!= 0), "doc_id")
+      .distinct()
+    val hot = corpus.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    corpus.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(bench, Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val d8ContaminationSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, h FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(tk) < 3 THEN []::BIGINT[]
+      |        ELSE [('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT
+      |              for i in generate_series(1, len(tk) - 2)] END) AS h
+      |    FROM t) u
+      |), corpus AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 != 0),
+      |bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 50 = 0),
+      |hot AS (SELECT h FROM corpus GROUP BY h HAVING count(*) > 50)
+      |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      |FROM corpus c JOIN bench b USING (h)
+      |WHERE c.h NOT IN (SELECT h FROM hot)
+      |GROUP BY c.doc_id, b.bench_id
+      |HAVING count(*) >= 1
+      |ORDER BY doc_id, bench_id""".stripMargin
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Planted-behavior checks for the round-3 pipeline operators — the
+  * oracles pin engine parity; these pin semantics on known inputs.
+  */
+class PipelineQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii scrub redacts emails, phones and IPs and nothing else") {
+    val out = PipelineQueries.t6PiiScrub(spark, sf0)
+    assert(out.count() === 500)
+    // every doc gets exactly one planted instance of each kind
+    assert(out.filter($"n_email" =!= 1 || $"n_phone" =!= 1 || $"n_ip" =!= 1).count() === 0)
+    // scrubbed text no longer matches any pattern: scrub twice = fixpoint
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.org tel +1-555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+    val once = regexp_replace(regexp_replace(regexp_replace(planted,
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+      "\\+\\d[\\d-]{7,}\\d", "[PHONE]"),
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
+    val redacted = GraftSession.table(spark, sf0, "documents").select(once.as("s"))
+    assert(redacted.filter($"s".rlike("@|\\+\\d|\\d+\\.\\d+\\.\\d+\\.\\d+")).count() === 0)
+  }
+
+  test("contamination: a doc copying benchmark text is the top-shared pair") {
+    val docs = GraftSession.table(spark, sf0, "documents")
+      .select($"doc_id", $"text")
+    // plant: doc 9999 copies benchmark doc 100's text verbatim
+    val benchText = docs.filter($"doc_id" === 100L).select($"text").head().getString(0)
+    val planted = docs.unionByName(Seq((9999L, benchText)).toDF("doc_id", "text"))
+    val tmp = tmpDir("contam") + "/documents.parquet"
+    planted.coalesce(1).write.mode("overwrite").parquet(tmp + ".dir")
+    // d8 reads a table dir layout — stage as <dir>/documents.parquet
+    val stage = tmpDir(s"contam_stage_${System.nanoTime()}")
+    val part = new java.io.File(tmp + ".dir").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(stage, "documents.parquet"))
+    val res = PipelineQueries.d8Contamination(spark, stage)
+      .as[(Long, Long, Long)].collect()
+    val top = res.maxBy(_._3)
+    assert((top._1, top._2) === (9999L, 100L),
+      s"verbatim copy must dominate, got $top")
+    assert(top._3 > 10, "a full copy shares nearly all trigrams")
+  }
+
+  test("repetition: a doc of one repeated token has dup_ratio ~1, distinct doc ~0") {
+    val df = Seq(
+      (1L, Seq.fill(30)("spam").mkString(" ")),
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val stage = tmpDir(s"rep_stage_${System.nanoTime()}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage + "/raw")
+    val part = new java.io.File(stage + "/raw").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(stage, "documents.parquet"))
+    val res = PipelineQueries.t8Repetition(spark, stage)
+      .select($"doc_id", $"dup_ratio").as[(Long, Double)].collect().toMap
+    assert(res(1L) > 0.9, s"all-same trigrams: ${res(1L)}")
+    assert(res(2L) === 0.0, s"all-distinct trigrams: ${res(2L)}")
+  }
+}
