@@ -295,6 +295,37 @@ object Extended {
       |WHERE levenshtein(a.t, b.t) <= 145
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Wide→long reshaping via the native unpivot (melt) operator, then
+    * per-measure aggregation. Unpivot is a narrow map (each row emits
+    * one row per measure column — no shuffle); the only exchange is
+    * the final agg.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(
+      col("l_suppkey"),
+      round(col("l_quantity")).cast("long").as("quantity"),
+      round(col("l_extendedprice")).cast("long").as("extendedprice"),
+      round(col("l_tax") * 100).cast("long").as("tax_pct"))
+    li.unpivot(Array(col("l_suppkey")),
+        Array(col("quantity"), col("extendedprice"), col("tax_pct")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .orderBy(col("measure"))
+  }
+
+  val qUnpivotSql: String =
+    """SELECT measure, count(*) AS n, CAST(sum(value) AS BIGINT) AS total
+      |FROM (
+      |  UNPIVOT (SELECT l_suppkey,
+      |             CAST(round(l_quantity) AS BIGINT) AS quantity,
+      |             CAST(round(l_extendedprice) AS BIGINT) AS extendedprice,
+      |             CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+      |           FROM lineitem)
+      |  ON quantity, extendedprice, tax_pct
+      |  INTO NAME measure VALUE value)
+      |GROUP BY measure ORDER BY measure""".stripMargin
+
   /** Calendar extraction + aggregation (year/month/quarter rollup of
     * order totals).
     */
