@@ -54,6 +54,15 @@ object EventStreams {
                |AND c_ts >= p_ts - INTERVAL 30 MINUTES
                |AND c_ts < p_ts""".stripMargin))
 
+  /** Stream-static enrichment join: each micro-batch joins the static
+    * dimension broadcast — NO stream state (nothing to watermark,
+    * unlike stream-stream joins) and no shuffle of the stream. The
+    * static side is re-resolved per micro-batch, so slowly-changing
+    * dimensions are picked up without restarting the query.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Per-user session aggregation with a gap timeout, via the
     * session_window built-in (state bounded by watermark + gap).
     */

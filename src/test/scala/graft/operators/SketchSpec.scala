@@ -29,6 +29,18 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 2.0, s"approx $approx vs exact $exact")
   }
 
+  test("freqItems sketch surfaces every true heavy hitter") {
+    import spark.implicits._
+    // planted skew: 30% of rows carry key 42 over a uniform base
+    val base = (1 to 7000).map(i => (i % 997).toLong)
+    val skew = Seq.fill(3000)(42L)
+    val df = (base ++ skew).toDF("k")
+    val frequent = df.stat.freqItems(Array("k"), 0.2)
+      .head().getSeq[Long](0)
+    assert(frequent.contains(42L),
+      s"heavy hitter must be in the sketch result: $frequent")
+  }
+
   test("salted join equals unsalted join for any salt count") {
     val li = GraftSession.table(spark, sf0, "lineitem")
       .select(col("l_suppkey"), col("l_quantity"))

@@ -163,6 +163,19 @@ class EventStreamsSpec extends SparkSpec {
       .collect().toSeq === before, "replay must leave contents unchanged")
   }
 
+  test("stream-static enrichment matches the batch broadcast join") {
+    val dir = stageStream("enrich")
+    val dim = batchEvents.select($"user_id").distinct()
+      .withColumn("cohort", ($"user_id" % 7).cast("long"))
+    val streamed = runToMemory(
+      EventStreams.enrichEvents(streamEvents(dir), dim, "user_id"), "enrich", "append")
+    val batch = EventStreams.enrichEvents(batchEvents, dim, "user_id")
+    assert(streamed.count() === batch.count())
+    val s = streamed.select($"event_id", $"cohort")
+    val b = batch.select($"event_id", $"cohort")
+    assert(s.except(b).count() === 0 && b.except(s).count() === 0)
+  }
+
   test("sessionization produces bounded per-user sessions") {
     val dir = stageStream("sess")
     val sessions = runWithFlush(
