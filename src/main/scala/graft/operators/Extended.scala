@@ -295,6 +295,44 @@ object Extended {
       |WHERE levenshtein(a.t, b.t) <= 145
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.8 q_profile: one-pass column profiling (row count, null count,
+    * exact distinct count, min/max) — the data-quality census every
+    * ingestion run needs. ONE distributed aggregation pass over the
+    * scan (all stats partial-agg map-side); the single stat row is
+    * reshaped to per-column rows with `stack` (no extra scan).
+    * Profiled columns avoid raw doubles (SURVEY.md §5): dates/strings
+    * cast to identical text on both engines.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    val o = table(spark, dir, "orders")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))
+    }
+    val stacked = cols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stacked) AS (column, n_null, n_distinct, min_s, max_s)")
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+        col("min_s"), col("max_s"))
+      .orderBy(col("column"))
+  }
+
+  val qProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  min($c::VARCHAR) AS min_s, max($c::VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** Wide→long reshaping via the native unpivot (melt) operator, then
     * per-measure aggregation. Unpivot is a narrow map (each row emits
     * one row per measure column — no shuffle); the only exchange is

@@ -85,6 +85,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("arraydotproduct"), "exact verify uses the native dot product")
   }
 
+  test("ivf search: no cartesian, two-phase top-k inside probed cells") {
+    val plan = executed(LlmQueries.s3KnnIvf(spark, sf0))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cell-id equi-join only")
+    assert(plan.contains("WindowGroupLimit"), "rerank must be a two-phase top-k")
+    assert(plan.contains("arraydotproduct"), "assignment/rerank use the native dot product")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(
