@@ -62,10 +62,21 @@ object IvfIndex {
   /** Deterministic seeded k-means (Lloyd). Returns (cid → centroid)
     * sorted by cid; a cell that loses all members drops out (both
     * engines drop it identically). `iters` distributed agg passes.
+    *
+    * `sampleRate < 1` learns on a deterministic md5 hash-sample — the
+    * standard practice at corpus scale (centroid quality needs a
+    * sample, not every vector; only the final ASSIGNMENT is a full
+    * pass). The sample is engine-portable (same md5 rule as
+    * `Sampling.hashSample`), so a sampled index stays SQL-replayable.
     */
   def learnCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 2, dims: Int = 64): Seq[(Int, Seq[Double])] = {
-    val e = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      k: Int = 16, iters: Int = 2, dims: Int = 64,
+      sampleRate: Double = 1.0): Seq[(Int, Seq[Double])] = {
+    val all = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val e =
+      if (sampleRate >= 1.0) all
+      else all.filter(substring(md5(col("id").cast("string")), 1, 8) <
+        Sampling.hexThreshold(sampleRate))
     val seeds = e.orderBy(md5(col("id").cast("string")), col("id")).limit(k)
       .select(col("v")).collect()
     var cents: Seq[(Int, Seq[Double])] = seeds.toSeq.zipWithIndex.map {
