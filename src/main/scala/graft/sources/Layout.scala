@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions.col
+
+/** Data-layout control for write-time clustering (SURVEY.md §2.8).
+  *
+  * Parquet readers skip row groups whose column min/max statistics
+  * exclude the query predicate — but only if the writer clustered
+  * values so the ranges are actually narrow. A shuffled-order write
+  * gives every row group the full value range (nothing skips);
+  * `writeClustered` range-partitions and sorts within partitions on
+  * the cluster keys, so each row group covers a tight, mostly
+  * disjoint slice and point/range scans touch a fraction of the data.
+  *
+  * Scale notes: `repartitionByRange` samples key quantiles (one light
+  * pass) and shuffles once; the within-partition sort is the standard
+  * write-side cost of any clustered layout. This is the single
+  * highest-leverage storage decision for a 100 TB table scanned by
+  * key ranges.
+  */
+object Layout {
+
+  /** Range-partition + sort on `clusterCols`, returning the writer so
+    * callers add format options. `partitions` defaults to the session
+    * shuffle parallelism.
+    */
+  def clusteredWriter(df: DataFrame, clusterCols: Seq[String],
+      partitions: Option[Int] = None): DataFrameWriter[Row] = {
+    val cols = clusterCols.map(col)
+    val ranged = partitions match {
+      case Some(n) => df.repartitionByRange(n, cols: _*)
+      case None => df.repartitionByRange(cols: _*)
+    }
+    ranged.sortWithinPartitions(cols: _*).write
+  }
+
+  /** Clustered parquet write. */
+  def writeClustered(df: DataFrame, out: String, clusterCols: Seq[String],
+      partitions: Option[Int] = None): Unit =
+    clusteredWriter(df, clusterCols, partitions).mode("overwrite").parquet(out)
+}

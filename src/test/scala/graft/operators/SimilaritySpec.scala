@@ -78,6 +78,18 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.nonEmpty && c1.forall(_._2.length === 64))
   }
 
+  test("sampled k-means learning: deterministic, usable index") {
+    val cs = IvfIndex.learnCentroids(emb, "vec_id", "embedding", k = 8, iters = 2,
+      sampleRate = 0.5)
+    assert(cs === IvfIndex.learnCentroids(emb, "vec_id", "embedding", k = 8,
+      iters = 2, sampleRate = 0.5))
+    assert(cs.nonEmpty && cs.forall(_._2.length === 64))
+    // a full search against the sampled index still returns k results per query
+    val res = IvfIndex.ivfKnn(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding",
+      k = 3, cs, nprobe = 2)
+    assert(res.groupBy("qid").count().filter($"count" =!= 3).count() === 0)
+  }
+
   test("bucketed near-dup pairs: planted duplicates always found, subset of exact pairs") {
     val base = emb.select($"vec_id", $"embedding")
     val dup = base.filter($"vec_id" < 10)
