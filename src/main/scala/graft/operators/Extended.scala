@@ -303,18 +303,27 @@ object Extended {
     * Profiled columns avoid raw doubles (SURVEY.md §5): dates/strings
     * cast to identical text on both engines.
     */
-  def qProfile(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
-    val o = table(spark, dir, "orders")
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(table(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+
+  /** Census over `cols`: exact distincts (oracle-able — multiple
+    * countDistincts run via Catalyst's Expand, one pass but rows×
+    * (cols+1)); `approx = true` swaps in HLL++ `approx_count_distinct`
+    * — NO Expand, a plain single-pass agg, the form a 100 TB census
+    * actually runs (accuracy-bound spec'd in SketchSpec).
+    */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_nd"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"${c}_nd"),
         min(col(c).cast("string")).as(s"${c}_min"),
         max(col(c).cast("string")).as(s"${c}_max"))
     }
     val stacked = cols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
-    o.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
       .selectExpr("n_rows",
         s"stack(${cols.size}, $stacked) AS (column, n_null, n_distinct, min_s, max_s)")
       .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),

@@ -29,6 +29,26 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 2.0, s"approx $approx vs exact $exact")
   }
 
+  test("approx profile matches exact profile within HLL accuracy, no Expand in plan") {
+    import spark.implicits._
+    val orders = GraftSession.table(spark, sf0, "orders")
+    val cols = Seq("o_orderkey", "o_orderstatus")
+    val exact = Extended.profile(orders, cols)
+      .select($"column", $"n_distinct").as[(String, Long)].collect().toMap
+    val approxDf = Extended.profile(orders, cols, approx = true)
+    val approx = approxDf
+      .select($"column", $"n_distinct").as[(String, Long)].collect().toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      // default HLL++ rsd is 5% (one sigma) — allow 2 sigma
+      assert(math.abs(a - e) / e.max(1.0) < 0.10, s"$c: approx $a vs exact $e")
+    }
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx census must be a plain single-pass agg")
+    assert(Extended.profile(orders, cols).queryExecution.executedPlan.toString
+      .contains("Expand"), "exact multi-distinct goes through Expand (sanity)")
+  }
+
   test("freqItems sketch surfaces every true heavy hitter") {
     import spark.implicits._
     // planted skew: 30% of rows carry key 42 over a uniform base
