@@ -21,6 +21,12 @@ final case class ConvertOptions(
     maxStatisticsSize: Option[Long] = None,
     printSchema: Boolean = false,
     dry: Boolean = false,
+    // Reference fidelity: arrow's CSV reader FAILS the conversion on a
+    // value that doesn't parse under the (explicit) schema; FAILFAST
+    // reproduces that. permissive=true is the cluster-pragmatic escape
+    // hatch (bad values become nulls) — an explicit divergence, never
+    // the default.
+    permissive: Boolean = false,
     // Embedded newlines inside quoted fields need multiLine, which
     // makes CSV files NON-SPLITTABLE (one task per file). The
     // reference streams single-threaded so it loses nothing; at scale
@@ -103,7 +109,8 @@ object CsvToParquet {
       schema: StructType,
       header: Boolean,
       delimiter: Char,
-      multiLine: Boolean = false): DataFrame =
+      multiLine: Boolean = false,
+      permissive: Boolean = false): DataFrame =
     spark.read
       .schema(schema)
       .option("header", header.toString)
@@ -112,7 +119,9 @@ object CsvToParquet {
       // RFC4180 doubled-quote escaping (Rust csv crate semantics)
       .option("quote", "\"").option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd[['T'][ ]HH:mm:ss]")
-      .option("mode", "PERMISSIVE")
+      // FAILFAST = the reference's behavior (arrow errors out on an
+      // unparseable value); PERMISSIVE nulls it — opt-in only
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
       .csv(csvPath)
 
   /** Full conversion. Returns the resolved schema + its reference-format
@@ -132,7 +141,8 @@ object CsvToParquet {
     if (opts.dry) return Conversion(schema, json, None)
 
     val header = opts.header.getOrElse(true)
-    val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter, opts.multiLine)
+    val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter,
+      opts.multiLine, opts.permissive)
     opts.writeBatchSize.foreach(v =>
       System.err.println(s"[graft] write_batch_size=$v accepted (parquet-mr batches internally)"))
     opts.createdBy.foreach(v =>
@@ -156,7 +166,8 @@ object CsvToParquet {
       val schema = resolveSchema(spark, csvPath, opts)
       if (opts.dry) return Conversion(schema, ArrowSchemaJson.render(schema), None)
       val header = opts.header.getOrElse(true)
-      val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter, opts.multiLine)
+      val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter,
+        opts.multiLine, opts.permissive)
         .coalesce(1)
       convertFrame(df, schema, tmp, opts)
       val part = new java.io.File(tmp).listFiles()

@@ -124,6 +124,30 @@ class CsvToParquetSpec extends SparkSpec {
     assert(!new java.io.File(out).exists())
   }
 
+  test("explicit-schema conversion fails on unparseable values like the reference; permissive opts out") {
+    val p = java.nio.file.Paths.get(tmpDir("conv"), "bad_value.csv")
+    java.nio.file.Files.writeString(p, "id,price\n1,2.5\noops,3.5\n")
+    val schemaFile = java.nio.file.Paths.get(tmpDir("conv"), "bad_value_schema.json")
+    java.nio.file.Files.writeString(schemaFile,
+      """{"fields": [
+        |  {"name": "id", "data_type": "Int64", "nullable": false,
+        |   "dict_id": 0, "dict_is_ordered": false, "metadata": {}},
+        |  {"name": "price", "data_type": "Float64", "nullable": false,
+        |   "dict_id": 0, "dict_is_ordered": false, "metadata": {}}
+        |]}""".stripMargin)
+    val opts = ConvertOptions(schemaFile = Some(schemaFile.toString))
+    // reference behavior: arrow's reader errors on 'oops' under Int64
+    intercept[Exception] {
+      CsvToParquet.convert(spark, p.toString, tmpDir("conv") + "/bad_ff", opts)
+    }
+    // documented escape hatch: bad value becomes null
+    val conv = CsvToParquet.convert(spark, p.toString, tmpDir("conv") + "/bad_pm",
+      opts.copy(permissive = true))
+    val rows = conv.rows.get.orderBy("price").collect()
+    assert(rows.length === 2)
+    assert(rows.exists(_.isNullAt(0)), "unparseable id must null out in permissive mode")
+  }
+
   test("invalid enums are rejected") {
     val csv = writeCsv("bad.csv", 10)
     intercept[IllegalArgumentException] {
