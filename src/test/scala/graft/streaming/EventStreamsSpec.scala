@@ -176,6 +176,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(s.except(b).count() === 0 && b.except(s).count() === 0)
   }
 
+  test("exactly-once sink: checkpoint restart processes only new data") {
+    val dir = stageStream("eos_restart")
+    val stamp = System.nanoTime()
+    val out = tmpDir(s"eos_r_out_$stamp")
+    val chk = tmpDir(s"eos_r_chk_$stamp")
+    def run(): Unit = {
+      val ev = streamEvents(dir).select(col("event_id"), col("user_id"), col("value"))
+      val q = ExactlyOnceSink.start(ev, out, chk)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === batchEvents.count())
+    // new data lands while the query is DOWN; restart from checkpoint
+    Seq((-7L, 1L, -7L, "late", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+    run()
+    val after = spark.read.parquet(out)
+    assert(after.count() === n1 + 1, "restart must process exactly the new rows")
+    assert(after.groupBy("event_id").count().filter($"count" > 1).count() === 0,
+      "no event reprocessed after checkpoint recovery")
+  }
+
   test("sessionization produces bounded per-user sessions") {
     val dir = stageStream("sess")
     val sessions = runWithFlush(
