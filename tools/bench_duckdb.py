@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Dev tool: time each oracle SQL in DuckDB (native, multithreaded)
+as a single-node baseline for the graft bench.
+
+Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [graftBenchJson]
+
+Caveat: oracle SQL is the SEMANTIC spec, not graft's plan — e.g. the
+d4/d7 oracles are deliberately naive quadratic joins that DuckDB then
+optimizes its own way. The comparison shows engine-level throughput
+on identical results, not plan-for-plan parity.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main(sf_dir, out_dir, bench_json=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    graft = {}
+    if bench_json:
+        graft = json.loads(Path(bench_json).read_text())["queries"]
+    rows = []
+    for name in sorted(oracle):
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(oracle[name]).fetchall()
+            times.append(time.time() - t0)
+        med = sorted(times)[1]
+        rows.append((name, med, graft.get(name)))
+    print(f"{'query':24s} {'duckdb_s':>9s} {'graft_s':>9s}")
+    td = tg = 0.0
+    for name, d, g in rows:
+        td += d
+        tg += g or 0.0
+        gs = f"{g:9.3f}" if g is not None else "        -"
+        print(f"{name:24s} {d:9.3f} {gs}")
+    print(f"{'TOTAL':24s} {td:9.3f} {tg:9.3f}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
