@@ -307,25 +307,43 @@ object Extended {
     profile(table(spark, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
 
-  /** Census over `cols`: exact distincts (oracle-able — multiple
-    * countDistincts run via Catalyst's Expand, one pass but rows×
-    * (cols+1)); `approx = true` swaps in HLL++ `approx_count_distinct`
-    * — NO Expand, a plain single-pass agg, the form a 100 TB census
-    * actually runs (accuracy-bound spec'd in SketchSpec).
+  /** Census over `cols`. Two Expand-free passes:
+    *   1. one plain agg for n_rows / nulls / min / max (all partial
+    *      map-side, no distinct involved);
+    *   2. exact distincts via melt: stack to (column, value) rows and
+    *      `groupBy(column).agg(countDistinct(value))` — a SINGLE
+    *      distinct aggregate per group plans as a two-phase agg with
+    *      NO Expand, so the scan is never multiplied ×(cols+1) the
+    *      way a one-pass multi-countDistinct is.
+    * `approx = true` collapses back to one pass with HLL++
+    * `approx_count_distinct` — the form a 100 TB census actually runs
+    * (accuracy-bound spec'd in SketchSpec).
     */
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
-          .as(s"${c}_nd"),
         min(col(c).cast("string")).as(s"${c}_min"),
-        max(col(c).cast("string")).as(s"${c}_max"))
+        max(col(c).cast("string")).as(s"${c}_max")) ++
+        (if (approx) Seq(approx_count_distinct(col(c)).as(s"${c}_nd")) else Nil)
     }
-    val stacked = cols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
+    val stackedCols = (c: String) =>
+      s"'$c', ${c}_nn, ${c}_min, ${c}_max" + (if (approx) s", ${c}_nd" else "")
+    val outCols = "column, n_null, min_s, max_s" + (if (approx) ", n_distinct" else "")
+    val stats = df.agg(aggs.head, aggs.tail: _*)
       .selectExpr("n_rows",
-        s"stack(${cols.size}, $stacked) AS (column, n_null, n_distinct, min_s, max_s)")
+        s"stack(${cols.size}, ${cols.map(stackedCols).mkString(", ")}) AS ($outCols)")
+    val profiled =
+      if (approx) stats
+      else {
+        val melted = df.selectExpr(
+          s"stack(${cols.size}, ${cols.map(c => s"'$c', cast($c as string)").mkString(", ")}) " +
+            "AS (column, value)")
+        val nd = melted.groupBy(col("column"))
+          .agg(countDistinct(col("value")).as("n_distinct"))
+        stats.join(nd, "column")
+      }
+    profiled
       .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
         col("min_s"), col("max_s"))
       .orderBy(col("column"))

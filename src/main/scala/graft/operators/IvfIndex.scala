@@ -84,12 +84,21 @@ object IvfIndex {
     }
     for (_ <- 0 until iters) {
       val assigned = e.withColumn("cid", nearestCid(col("v"), cents))
-      val aggs = (0 until dims).map(i =>
-        round(avg(element_at(col("v"), i + 1)), 6).as(s"c$i"))
-      val rows = assigned.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*).collect()
-      cents = rows.toSeq.map(r =>
-        r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 1)).toSeq
-      ).sortBy(_._1)
+      // per-dimension means via posexplode + (cid, pos) groupBy: a
+      // 3-column agg instead of `dims` generated aggregate columns —
+      // far smaller codegen, same partial-agg shuffle shape (k·dims
+      // result rows), identical math
+      val rows = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+      cents = rows.toSeq
+        .groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        .toSeq.sortBy(_._1)
     }
     cents
   }

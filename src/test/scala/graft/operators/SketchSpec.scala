@@ -45,8 +45,10 @@ class SketchSpec extends SparkSpec {
     }
     val plan = approxDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "approx census must be a plain single-pass agg")
-    assert(Extended.profile(orders, cols).queryExecution.executedPlan.toString
-      .contains("Expand"), "exact multi-distinct goes through Expand (sanity)")
+    // the exact path's melt + single-distinct-per-group shape is also
+    // Expand-free (a one-pass multi-countDistinct would not be)
+    assert(!Extended.profile(orders, cols).queryExecution.executedPlan.toString
+      .contains("Expand"), "exact census must avoid the multi-distinct Expand")
   }
 
   test("freqItems sketch surfaces every true heavy hitter") {
