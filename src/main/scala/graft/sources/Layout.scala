@@ -39,4 +39,24 @@ object Layout {
   def writeClustered(df: DataFrame, out: String, clusterCols: Seq[String],
       partitions: Option[Int] = None): Unit =
     clusteredWriter(df, clusterCols, partitions).mode("overwrite").parquet(out)
+
+  /** Compact a small-files parquet dataset (the debris a micro-batch
+    * sink accumulates: thousands of KB-sized files whose open/footer
+    * overhead eventually dominates scans). Rewrites into
+    * ceil(bytes / targetFileBytes) files sized from the dataset's own
+    * on-disk footprint, into a NEW directory — parquet writes are not
+    * atomic over their own input, so callers swap directories after
+    * (the pattern every table format uses).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long = 128L << 20): Int = {
+    require(new java.io.File(outDir).getCanonicalPath !=
+      new java.io.File(inDir).getCanonicalPath, "compact into a new directory")
+    val df = spark.read.parquet(inDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).min(1 << 20).toInt
+    // coalesce, not repartition: merging files needs no shuffle
+    df.coalesce(files).write.mode("overwrite").parquet(outDir)
+    files
+  }
 }

@@ -31,6 +31,27 @@ class LayoutSpec extends SparkSpec {
     if (pairs.isEmpty) 0.0 else pairs.sum.toDouble / pairs.size
   }
 
+  test("compaction merges a small-files dataset without a shuffle, preserving rows") {
+    val li = GraftSession.table(spark, sf0, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"))
+    val messy = tmpDir("layout") + "/messy"
+    li.repartition(64).write.mode("overwrite").parquet(messy) // 64 tiny files
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(messy) === 64)
+    val compacted = tmpDir("layout") + "/compacted"
+    Layout.compact(spark, messy, compacted, targetFileBytes = 1L << 30)
+    assert(parts(compacted) === 1)
+    assert(spark.read.parquet(compacted).count() === li.count())
+    // no shuffle: the compaction plan must not contain an Exchange
+    val plan = spark.read.parquet(messy).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "coalesce-based compaction must not shuffle")
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, messy, messy)
+    }
+  }
+
   test("clustered write produces mostly disjoint row-group ranges; shuffled write does not") {
     val li = GraftSession.table(spark, sf0, "lineitem")
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
