@@ -140,6 +140,16 @@ object Dedup {
       .select(col(idCol),
         HashFunctions.simhashHex(TextFunctions.distinctTokens(col(textCol))).as("simhash"))
 
+  /** Frequency-WEIGHTED SimHash: the vote fold runs over ALL token
+    * occurrences, so a token appearing n times votes n — the standard
+    * simhash weighting (a boilerplate-dominated doc hashes like its
+    * boilerplate). Same narrow-map shape as the unweighted form.
+    */
+  def simhashWeighted(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        HashFunctions.simhashHex(TextFunctions.wsTokens(col(textCol))).as("simhash"))
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Banding: 4 hex chars per band (16 bits); a pair within Hamming 3
     * of 64 bits must agree on ≥1 of 4 bands (pigeonhole), so the

@@ -68,10 +68,13 @@ object LlmQueries {
     Dedup.simhash(table(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  val d3SimhashSql: String =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS toks
+  /** Shared vote/assembly SQL for both simhash variants — only the
+    * token expression differs (distinct = unweighted, raw = count-
+    * weighted votes).
+    */
+  private def simhashSqlFor(toksExpr: String): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, $toksExpr AS toks
       |  FROM documents
       |), h AS (
       |  SELECT doc_id,
@@ -94,6 +97,20 @@ object LlmQueries {
       |     for k in generate_series(0, 15)], 'string_agg', '') AS simhash
       |FROM v
       |ORDER BY doc_id""".stripMargin
+
+  val d3SimhashSql: String = simhashSqlFor(
+    "list_distinct(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != ''))")
+
+  /** §2.3 d3b: frequency-WEIGHTED simhash — a token occurring n times
+    * votes n (standard simhash weighting); d3 is the cheaper
+    * unweighted distinct-token form. Same narrow-map scale shape.
+    */
+  def d3bSimhashWeighted(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashWeighted(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val d3bSimhashWeightedSql: String = simhashSqlFor(
+    "list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')")
 
   /** §2.3 d4: n-gram Jaccard verification kernel over a deterministic
     * candidate set (same source, id gap ≤ 60). Candidates come from the

@@ -86,6 +86,21 @@ class DedupSpec extends SparkSpec {
     assert(sh.values.forall(_.matches("[0-9a-f]{16}")))
   }
 
+  test("weighted simhash: a dominant token drives the hash; unweighted ignores frequency") {
+    val df = Seq(
+      (1L, (Seq.fill(30)("spam") :+ "zzz").mkString(" ")),
+      (2L, "spam")).toDF("doc_id", "text")
+    val weighted = Dedup.simhashWeighted(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // 30 'spam' votes outvote one 'zzz' on every bit → identical hash
+    assert(weighted(1L) === weighted(2L))
+    val unweighted = Dedup.simhash(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // distinct-token form sees {spam, zzz}: ties broken by the second
+    // token, so it differs from pure 'spam' with near-certainty
+    assert(unweighted(1L) !== unweighted(2L))
+  }
+
   test("winnowing fingerprints overlap heavily for near-dups") {
     import graft.functions.TextFunctions
     val fp = docs.select($"doc_id",
