@@ -31,22 +31,32 @@ object AsofJoin {
     * prefixed `asof_`) from the matched right row; left rows with no
     * prior right row are dropped (inner semantics, like DuckDB's
     * default ASOF JOIN).
+    *
+    * `toleranceSec` (pandas merge_asof semantics): a match older than
+    * `left.ts − tolerance` is discarded — stale state should not
+    * enrich an event from hours later. The matched right timestamp is
+    * carried in the window payload anyway, so the bound is one extra
+    * filter on the SAME single-shuffle plan.
     */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], toleranceSec: Option[Long] = None): DataFrame = {
     val lPay = struct(left.columns.map(col).toIndexedSeq: _*)
-    val rPay = struct(rightCols.map(col).toIndexedSeq: _*)
+    // the matched right TS rides along for the tolerance bound
+    val rPay = struct(col(ts).as("_rts") +: rightCols.map(col).toIndexedSeq: _*)
+    val rSchema = right.select(col(ts).as("_rts") +: rightCols.map(col): _*).schema
     val l = left.select(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_tag"),
       lPay.as("_l"),
-      lit(null).cast(right.select(rightCols.map(col): _*).schema).as("_r"))
+      lit(null).cast(rSchema).as("_r"))
     val r = right.select(col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_tag"),
       lit(null).cast(left.schema).as("_l"), rPay.as("_r"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinTol = toleranceSec.fold(lit(true))(t =>
+      col("_m").getField("_rts") >= col("_ts") - expr(s"INTERVAL $t SECONDS"))
     val carried = l.unionByName(r)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1 && col("_m").isNotNull)
+      .filter(col("_tag") === 1 && col("_m").isNotNull && withinTol)
     val leftCols = left.columns.map(c => col("_l").getField(c).as(c))
     val matchCols = rightCols.map(c => col("_m").getField(c).as(s"asof_$c"))
     carried.select((leftCols ++ matchCols).toIndexedSeq: _*)

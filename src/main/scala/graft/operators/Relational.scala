@@ -289,6 +289,42 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a tolerance bound (pandas merge_asof semantics):
+    * clicks older than 30 minutes before the purchase do not enrich
+    * it. Same single-shuffle plan as q_asof plus one filter.
+    */
+  def qAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsofJoin.asof(purchases, clicks, "user_id", "ts", Seq("ts", "value"),
+        toleranceSec = Some(1800L))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+        round(col("asof_value") * 100).cast("long").as("click_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  // the MATERIALIZED CTE stops DuckDB pushing the tolerance filter
+  // into the ASOF condition (its binder allows one inequality there)
+  val qAsofTolSql: String =
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events),
+      |j AS MATERIALIZED (
+      |  SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts, c.value
+      |  FROM (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') p
+      |  ASOF JOIN (SELECT user_id, ts, value FROM ev WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND p.ts >= c.ts
+      |)
+      |SELECT event_id, user_id,
+      |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |  strftime(cts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+      |  CAST(round(value * 100) AS BIGINT) AS click_cents
+      |FROM j WHERE cts >= pts - INTERVAL '30 minutes'
+      |ORDER BY event_id""".stripMargin
+
   // events wrapped in the same nanos→µs truncation Spark applies at
   // the scan (see qEventsBucketSql note) — the >= tie decisions of an
   // as-of join are exactly where sub-µs drift would bite.
