@@ -40,6 +40,8 @@ object AsofJoin {
     */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], toleranceSec: Option[Long] = None): DataFrame = {
+    require(!rightCols.contains("_rts"), "right column name _rts is reserved")
+    require(toleranceSec.forall(_ > 0), "tolerance must be positive")
     val lPay = struct(left.columns.map(col).toIndexedSeq: _*)
     // the matched right TS rides along for the tolerance bound
     val rPay = struct(col(ts).as("_rts") +: rightCols.map(col).toIndexedSeq: _*)

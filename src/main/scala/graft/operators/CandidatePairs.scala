@@ -36,6 +36,7 @@ object CandidatePairs {
   def idGapJoin(df: DataFrame, idCol: String, keyCol: String, gap: Long,
       payloadCols: Seq[String] = Nil,
       lastConjunct: Column = lit(true)): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
     val a = df.select(col(keyCol).as("__gka") +: col(idCol).as("id_a") +:
         payloadCols.map(c => col(c).as(s"${c}_a")): _*)
       .withColumn("__blka", floor(col("id_a") / gap))

@@ -320,6 +320,7 @@ object Extended {
     * (accuracy-bound spec'd in SketchSpec).
     */
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),

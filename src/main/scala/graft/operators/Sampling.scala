@@ -50,7 +50,10 @@ object Sampling {
   def temperatureRates(df: DataFrame, strataCol: String, temperature: Double,
       targetRows: Long): Map[String, Double] = {
     require(temperature > 0, "temperature must be positive")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // null strata can never match stratifiedSample's equality test, so
+    // rating them would silently shift the mixture — drop them here
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val weights = counts.map { case (s, n) => s -> math.pow(n.toDouble, 1.0 / temperature) }
     val z = weights.values.sum
