@@ -244,4 +244,74 @@ object PipelineQueries {
       |GROUP BY c.doc_id, b.bench_id
       |HAVING count(*) >= 1
       |ORDER BY doc_id, bench_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // e2e: full curation pipeline
+  // ---------------------------------------------------------------
+
+  /** §2.8 e2e_curation: the operators COMPOSED as one plan — exact
+    * dedup → quality filter → deterministic 60% sample → per-source
+    * sequence packing (512-token budget) → per-pack rollup. One query,
+    * one oracle, proving the curation pipeline a training run actually
+    * executes is reproducible end-to-end across engines. Shuffle
+    * structure: dedup groupBy + semi-join, then narrow maps until the
+    * packing window (per-source) and the final partial-agg rollup.
+    */
+  def e2eCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val reps = docs.groupBy(fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = docs.join(reps, Seq("doc_id"), "left_semi")
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok
+    val stop = size(array_intersect(toks,
+      array(langMarkers.toMap.apply("en").map(lit): _*))).cast("double") / nTok
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
+      length(col("text")).cast("double")
+    val quality = uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2
+    val filtered = deduped.filter(quality > 0.55)
+    val sampled = Sampling.hashSample(filtered, "doc_id", 0.6)
+      .withColumn("n_tok", size(wsTokens(col("text"))).cast("long"))
+    Packing.assignPacks(sampled, "source", "doc_id", col("n_tok"), 512)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val e2eCurationSql: String = {
+    val thr = Sampling.hexThreshold(0.6)
+    s"""WITH reps AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      |), d AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM reps)
+      |), q AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
+      |    CAST(len(list_intersect(toks, ['the','and','of','a','is','to'])) AS DOUBLE) /
+      |      CAST(len(toks) AS DOUBLE) * 0.3 +
+      |    (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+      |      CAST(length(text) AS DOUBLE)) * 0.2 AS quality
+      |  FROM (SELECT doc_id, source, text,
+      |          list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |        FROM d)
+      |), s AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS n_tok
+      |  FROM q
+      |  WHERE quality > 0.55 AND substr(md5(doc_id::VARCHAR), 1, 8) < '$thr'
+      |), p AS (
+      |  SELECT source,
+      |    CAST(floor(CAST(sum(n_tok) OVER w - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+      |    n_tok
+      |  FROM s
+      |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+  }
 }
