@@ -156,8 +156,9 @@ object Dedup {
     * shuffle key is (band, 4-hex-chunk) — again no O(n²).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+      maxHamming: Int = 3, weighted: Boolean = false): DataFrame = {
+    val sh = if (weighted) simhashWeighted(df, idCol, textCol)
+      else simhash(df, idCol, textCol)
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         col("simhash").substr(b * 4 + 1, 4)): _*)))

@@ -93,6 +93,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("arraydotproduct"), "assignment/rerank use the native dot product")
   }
 
+  test("e2e curation: composed pipeline stays equi-join + partial-agg shaped") {
+    val plan = executed(operators.PipelineQueries.e2eCuration(spark, sf0))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      "dedup semi-join must stay an equi-join")
+    assert("partial".r.findFirstIn(plan.toLowerCase).isDefined,
+      "rollup must partial-aggregate map-side")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(

@@ -71,11 +71,14 @@ class DedupSpec extends SparkSpec {
     assert(byPair((5L, 101L)) > 0.8 && byPair((5L, 101L)) < 1.0)
   }
 
-  test("simhash pairs: near-identical docs within hamming radius") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((3L, 100L)), "identical docs have hamming 0")
-    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L))
+  test("simhash pairs: near-identical docs within hamming radius (both weightings)") {
+    for (weighted <- Seq(false, true)) {
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+          weighted = weighted)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((3L, 100L)), s"identical docs have hamming 0 (weighted=$weighted)")
+      assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), s"weighted=$weighted")
+    }
   }
 
   test("simhash of identical text is identical; different text differs") {
