@@ -89,6 +89,31 @@ object Extended {
     * fractions (k/4), so the interpolated values are exact in IEEE
     * doubles — drift-free across engines (SURVEY.md §5).
     */
+  /** Statistical aggregates (correlation, population covariance /
+    * stddev / variance) per group — population definitions are
+    * identical across engines (sample-corrected skewness/kurtosis are
+    * NOT, and are deliberately absent); 6-decimal rounding absorbs
+    * summation-order float drift (relative error ~1e-14 at this
+    * cardinality, far inside the rounding).
+    */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qp"),
+        round(stddev_pop(col("l_quantity")), 6).as("sd_q"),
+        round(var_pop(col("l_quantity")), 6).as("var_q"))
+      .orderBy(col("l_returnflag"))
+
+  val qStatsAggSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_qp,
+      |  round(stddev_pop(l_quantity), 6) AS sd_q,
+      |  round(var_pop(l_quantity), 6) AS var_q
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
