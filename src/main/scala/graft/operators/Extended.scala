@@ -84,11 +84,36 @@ object Extended {
       |GROUP BY GROUPING SETS ((event_type), (user_mod), ())
       |ORDER BY event_type ASC NULLS FIRST, user_mod ASC NULLS FIRST""".stripMargin
 
-  /** Exact percentiles (linear interpolation) per group. Quantities
-    * are integer-valued doubles and the probe points are binary
-    * fractions (k/4), so the interpolated values are exact in IEEE
-    * doubles — drift-free across engines (SURVEY.md §5).
+  /** Time-based sliding window aggregation: RANGE frames bounded by an
+    * INTERVAL over event time — "activity in the trailing 30 minutes"
+    * per row without a self-join. Same single (user, ts-sorted)
+    * shuffle as any analytic window; the frame bound does the range
+    * scan incrementally. Expressed via spark.sql (the DataFrame
+    * rangeBetween API takes only numeric offsets; SQL takes
+    * intervals).
     */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events").createOrReplaceTempView("events_wr")
+    spark.sql(
+      """SELECT event_id,
+        |  count(*) OVER w AS n_30m,
+        |  CAST(sum(round(value * 100)) OVER w AS BIGINT) AS cents_30m
+        |FROM events_wr WHERE user_id <= 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val qWindowRangeSql: String =
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)
+      |SELECT event_id,
+      |  count(*) OVER w AS n_30m,
+      |  CAST(sum(round(value * 100)) OVER w AS BIGINT) AS cents_30m
+      |FROM ev WHERE user_id <= 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Statistical aggregates (correlation, population covariance /
     * stddev / variance) per group — population definitions are
     * identical across engines (sample-corrected skewness/kurtosis are
@@ -114,6 +139,11 @@ object Extended {
       |  round(var_pop(l_quantity), 6) AS var_q
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact percentiles (linear interpolation) per group. Quantities
+    * are integer-valued doubles and the probe points are binary
+    * fractions (k/4), so the interpolated values are exact in IEEE
+    * doubles — drift-free across engines (SURVEY.md §5).
+    */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
