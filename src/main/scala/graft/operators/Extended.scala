@@ -114,6 +114,47 @@ object Extended {
       |             RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** NULL semantics in one oracled snapshot: standard equality joins
+    * drop null keys (every null-key probe is unmatched), `count(col)`
+    * skips nulls while `count(*)` does not, and distinct counts
+    * ignore nulls. The build side is DISTINCT non-null keys, so there
+    * is no null-key fanout anywhere — the null-safe `<=>` join that
+    * WOULD match nulls to each other is exactly the hot-key explosion
+    * a 100 TB plan must avoid (nulls cluster on one reducer), and is
+    * deliberately absent.
+    */
+  def qNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey")).as("ck"))
+    val m = table(spark, dir, "customer")
+      .filter(col("c_custkey") % 5 =!= 0)
+      .select(col("c_custkey").as("mk")).distinct()
+    o.join(m, col("ck") === col("mk"), "left")
+      .groupBy(when(col("ck").isNull, lit("null_key")).otherwise(lit("keyed")).as("side"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("ck")).as("n_nonnull"),
+        countDistinct(col("ck")).as("n_distinct"),
+        sum(when(col("mk").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy(col("side"))
+  }
+
+  val qNullSemanticsSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS ck
+      |  FROM orders WHERE o_orderkey <= 2000
+      |), m AS (
+      |  SELECT DISTINCT c_custkey AS mk FROM customer WHERE c_custkey % 5 != 0
+      |)
+      |SELECT CASE WHEN ck IS NULL THEN 'null_key' ELSE 'keyed' END AS side,
+      |  count(*) AS n_rows,
+      |  count(ck) AS n_nonnull,
+      |  CAST(count(DISTINCT ck) AS BIGINT) AS n_distinct,
+      |  CAST(sum(CASE WHEN mk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+      |FROM o LEFT JOIN m ON o.ck = m.mk
+      |GROUP BY 1 ORDER BY side""".stripMargin
+
   /** Statistical aggregates (correlation, population covariance /
     * stddev / variance) per group — population definitions are
     * identical across engines (sample-corrected skewness/kurtosis are
