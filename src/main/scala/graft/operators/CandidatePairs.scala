@@ -37,12 +37,21 @@ object CandidatePairs {
       payloadCols: Seq[String] = Nil,
       lastConjunct: Column = lit(true)): DataFrame = {
     require(gap > 0, s"gap must be positive, got $gap")
+    // PURE integer block math: floor(id / gap) via (id − pmod) `div`.
+    // A double division (`floor(col/gap)`) loses bits past 2^53 —
+    // snowflake-scale ids would land in the wrong block and true
+    // pairs would silently vanish. `id − pmod(id, gap)` is an exact
+    // floor-multiple of gap (pmod ∈ [0, gap) handles negatives), so
+    // the truncating `div` equals true floor division, exactly, for
+    // the full long range.
+    def blk(name: String): Column =
+      expr(s"cast(($name - pmod($name, ${gap}L)) div ${gap}L as long)")
     val a = df.select(col(keyCol).as("__gka") +: col(idCol).as("id_a") +:
         payloadCols.map(c => col(c).as(s"${c}_a")): _*)
-      .withColumn("__blka", floor(col("id_a") / gap))
+      .withColumn("__blka", blk("id_a"))
     val b = df.select(col(keyCol).as("__gkb") +: col(idCol).as("id_b") +:
         payloadCols.map(c => col(c).as(s"${c}_b")): _*)
-      .withColumn("__b0", floor(col("id_b") / gap))
+      .withColumn("__b0", blk("id_b"))
       .withColumn("__blkb", explode(array(col("__b0") - 1, col("__b0"))))
       .drop("__b0")
     a.join(b,

@@ -62,9 +62,19 @@ object Multimodal {
     // pass over 100 TB. Sizing needs only the right order of
     // magnitude, which plan statistics give for free.
     val totalBytes = ds.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = ((totalBytes + targetPartitionBytes - 1) / targetPartitionBytes)
-      .max(1).min(1 << 20).toInt
-    ds.repartition(parts).mapPartitions(_.map(decodeStub))
+    // RDD-backed datasets report the unknown-stats sentinel
+    // (defaultSizeInBytes ≈ Long.MaxValue) — repartitioning by THAT
+    // would launch the max-partition cap in tasks. With no usable
+    // estimate, keep the input partitioning (the caller's layout is a
+    // better guess than a made-up byte count).
+    val unknown = BigInt(ds.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (totalBytes >= unknown)
+      ds.mapPartitions(_.map(decodeStub))
+    else {
+      val parts = ((totalBytes + targetPartitionBytes - 1) / targetPartitionBytes)
+        .max(1).min(1 << 20).toInt
+      ds.repartition(parts).mapPartitions(_.map(decodeStub))
+    }
   }
 
   /** Attach media features back to a DataFrame by id (broadcast-safe

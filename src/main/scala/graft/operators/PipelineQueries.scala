@@ -153,21 +153,33 @@ object PipelineQueries {
   }
 
   /** §2.5 t8: internal-repetition quality metrics (Gopher-style
-    * duplicate-trigram ratio): one explode + one partial-agg groupBy
-    * per doc. Ratios are int/int — drift-free.
+    * duplicate-trigram ratio): ONE scan (token count rides the
+    * exploded rows via explode_outer, so a short doc still emits its
+    * row) and ONE partial-agg groupBy — no second tokenize pass, no
+    * reconciliation join. Ratios are int/int — drift-free.
     */
   def t8Repetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val tris = triShingles(docs, "doc_id")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"), countDistinct(col("h")).as("n_uniq_tri"))
-    val nTok = docs.select(col("doc_id"),
-      size(wsTokens(col("text"))).cast("long").as("n_tokens"))
-    nTok.join(tris, Seq("doc_id"), "left")
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), wsTokens(col("text")).as("tk"))
+    val exploded = spread
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"),
+        explode_outer(when(size(col("tk")) >= 3,
+            sequence(lit(1), size(col("tk")) - lit(2)))
+          .otherwise(array().cast("array<int>"))).as("i"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        coalesce(col("n_uniq_tri"), lit(0L)).as("n_uniq_tri"),
-        when(coalesce(col("n_tri"), lit(0L)) === 0, lit(0.0))
+        when(col("i").isNotNull,
+          conv(substring(md5(concat_ws(" ",
+            element_at(col("tk"), col("i")),
+            element_at(col("tk"), col("i") + 1),
+            element_at(col("tk"), col("i") + 2))), 1, 15), 16, 10).cast("long"))
+          .as("h"))
+    exploded.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(col("h")).as("n_tri"), // count(col) skips the null outer row
+        countDistinct(col("h")).as("n_uniq_tri"))
+      .select(col("doc_id"), col("n_tokens"), col("n_tri"), col("n_uniq_tri"),
+        when(col("n_tri") === 0, lit(0.0))
           .otherwise((col("n_tri") - col("n_uniq_tri")).cast("double") /
             col("n_tri").cast("double")).as("dup_ratio"))
       .orderBy(col("doc_id"))

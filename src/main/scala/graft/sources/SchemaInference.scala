@@ -100,23 +100,51 @@ object SchemaInference {
     }
   }
 
-  /** The file's first `n` data rows as an all-Utf8 frame, in TRUE file
-    * order: `sc.textFile` partitions sit in (file, byte-offset) order
-    * (files in listing order), and `take` drains them by partition
-    * index, so — unlike a DataFrame limit — the result is the leading
-    * rows the reference samples. Line-based: a quoted embedded newline
-    * (multiLine) counts as two lines here; leading-rows sampling is
-    * documented unsupported for multiLine inputs (pass
-    * maxReadRecords=None there).
+  /** The input's first `n` data rows as an all-Utf8 frame, in TRUE
+    * file order. Files are walked in sorted-path order and each
+    * contributes its leading lines via `sc.textFile(file).take(...)`
+    * (partitions sit in byte-offset order, so take() is genuinely the
+    * file head) — per FILE, so a header=true directory drops every
+    * part file's own header line instead of voting it as a Utf8
+    * record. Only the needed leading splits of the needed leading
+    * files are read. Line-based: a quoted embedded newline (multiLine)
+    * counts as two lines here; leading-rows sampling is documented
+    * unsupported for multiLine inputs (pass maxReadRecords=None
+    * there).
     */
   private def leadingRows(spark: SparkSession, path: String,
       columns: Array[String], header: Boolean, delimiter: Char,
       n: Int): DataFrame = {
     import spark.implicits._
-    val take = if (header) n + 1 else n // the header line is not a record
-    val lines = spark.sparkContext.textFile(path).take(take)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] = {
+      val st = fs.globStatus(hPath) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case s => s
+      }
+      st.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile)
+        else Array(s)
+      }.map(_.getPath.toString).sorted.toIndexedSeq
+    }
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = files.iterator
+    while (lines.size < n && it.hasNext) {
+      val f = it.next()
+      val budget = n - lines.size + (if (header) 1 else 0)
+      val head = spark.sparkContext.textFile(f).take(budget)
+      lines ++= (if (header) head.drop(1) else head).toIndexedSeq
+    }
+    if (lines.isEmpty) {
+      // no data rows in the sampled prefix → all-Utf8 nullable vote
+      val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val parsed = spark.read
-      .option("header", header.toString)
+      .option("header", "false")
       .option("delimiter", delimiter.toString)
       .option("quote", "\"").option("escape", "\"")
       .option("inferSchema", "false")

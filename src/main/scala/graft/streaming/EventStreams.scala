@@ -57,8 +57,11 @@ object EventStreams {
   /** Stream-static enrichment join: each micro-batch joins the static
     * dimension broadcast — NO stream state (nothing to watermark,
     * unlike stream-stream joins) and no shuffle of the stream. The
-    * static side is re-resolved per micro-batch, so slowly-changing
-    * dimensions are picked up without restarting the query.
+    * static PLAN re-executes per micro-batch; whether new DATA is
+    * visible depends on the source: catalog/Delta-style tables
+    * re-resolve, but a plain file-based DataFrame keeps its listing
+    * snapshot from creation — rebuild the dim frame (or refresh the
+    * catalog cache) to pick up new files.
     */
   def enrichEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")

@@ -72,6 +72,19 @@ class SchemaInferenceSpec extends SparkSpec {
     assert(full.head.arrowType === AUtf8, "full scan sees the string rows")
   }
 
+  test("leading-rows sample drops every part file's OWN header in a header=true dir") {
+    // first file is SHORT, so the sample spills into the second file:
+    // its header line must not be voted as a Utf8 record, and the
+    // record budget must not be consumed by header lines
+    val dir = Paths.get(tmpDir("infer_hdr_dir"))
+    Files.writeString(dir.resolve("p0.csv"), "a\n1\n2\n")
+    Files.writeString(dir.resolve("p1.csv"), "a\n" + (3 to 40).mkString("\n") + "\n")
+    val got = SchemaInference.infer(spark, dir.toString, header = true,
+      maxReadRecords = Some(10L))
+    assert(got.head.arrowType === AInt64,
+      "part-file headers must be stripped, not voted as records")
+  }
+
   test("leading-rows sample keeps header semantics: header line is not a record") {
     // poison row is record #3; sampling 2 records must stay Int64
     val csv = writeCsv("lead_hdr.csv", "a\n1\n2\nnope\n")

@@ -39,13 +39,23 @@ def main(sf_dir, out_dir, bench_json=None):
         med = sorted(times)[1]
         rows.append((name, med, graft.get(name)))
     print(f"{'query':24s} {'duckdb_s':>9s} {'graft_s':>9s}")
+    # totals cover only queries BOTH engines timed successfully — a
+    # graft -1.0 error sentinel or a missing bench entry must not
+    # read as "graft was faster"
     td = tg = 0.0
+    skipped = []
     for name, d, g in rows:
-        td += d
-        tg += g or 0.0
-        gs = f"{g:9.3f}" if g is not None else "        -"
+        ok = g is not None and g >= 0
+        if ok:
+            td += d
+            tg += g
+        else:
+            skipped.append(name)
+        gs = f"{g:9.3f}" if ok else "        -"
         print(f"{name:24s} {d:9.3f} {gs}")
-    print(f"{'TOTAL':24s} {td:9.3f} {tg:9.3f}")
+    print(f"{'TOTAL (both engines)':24s} {td:9.3f} {tg:9.3f}")
+    if skipped:
+        print(f"excluded from totals (no/err graft time): {', '.join(skipped)}")
 
 
 if __name__ == "__main__":
