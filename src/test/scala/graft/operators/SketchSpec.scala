@@ -51,6 +51,20 @@ class SketchSpec extends SparkSpec {
       .contains("Expand"), "exact census must avoid the multi-distinct Expand")
   }
 
+  test("HLL sketches MERGE: per-group sketches union to the global estimate") {
+    // the property that makes sketches work distributed: build one
+    // sketch per shard, union the small sketch bytes — never re-scan
+    import spark.implicits._
+    val perGroup = events
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = perGroup.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0).toDouble
+    val exact = events.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"merged sketch estimate $merged vs exact $exact")
+  }
+
   test("freqItems sketch surfaces every true heavy hitter") {
     import spark.implicits._
     // planted skew: 30% of rows carry key 42 over a uniform base
