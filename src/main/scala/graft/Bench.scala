@@ -77,7 +77,19 @@ object Bench {
     val errJson = errors.distinct
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"queries_detail":$detail,"runs_per_query":$runsPer,"errors":$errJson,"sf":"$sfDir"}""")
+    // The stdout contract is ONE compact JSON line (the driver tail-captures
+    // output; round-3's inline per-query {median,min,runs} detail pushed the
+    // line past the capture window and truncated its START, so the driver
+    // recorded "parsed": null). Detail goes to stderr + a side file instead.
+    val detailJson =
+      s"""{"runs_per_query":$runsPer,"queries":$detail,"errors":$errJson,"sf":"$sfDir"}"""
+    System.err.println(detailJson)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/target/bench_detail.json"),
+        detailJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

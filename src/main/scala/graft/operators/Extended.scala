@@ -420,8 +420,11 @@ object Extended {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-        min(col(c).cast("string")).as(s"${c}_min"),
-        max(col(c).cast("string")).as(s"${c}_max")) ++
+        // min/max on the NATIVE type, cast the result to string: a string
+        // cast first would give lexicographic extremes on numeric columns
+        // (max over 1..15000 = "9999")
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")) ++
         (if (approx) Seq(approx_count_distinct(col(c)).as(s"${c}_nd")) else Nil)
     }
     val stackedCols = (c: String) =>
@@ -438,7 +441,10 @@ object Extended {
             "AS (column, value)")
         val nd = melted.groupBy(col("column"))
           .agg(countDistinct(col("value")).as("n_distinct"))
-        stats.join(nd, "column")
+        // LEFT join: on an empty input the melt produces no groups, but the
+        // census must still report one row per column (n_distinct = 0)
+        stats.join(nd, Seq("column"), "left")
+          .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
       }
     profiled
       .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
@@ -452,7 +458,7 @@ object Extended {
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-         |  min($c::VARCHAR) AS min_s, max($c::VARCHAR) AS max_s
+         |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }

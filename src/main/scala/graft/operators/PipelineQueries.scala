@@ -283,7 +283,10 @@ object PipelineQueries {
     val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
       length(col("text")).cast("double")
     val quality = uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2
-    val filtered = deduped.filter(quality > 0.55)
+    // threshold the 6dp-ROUNDED score (SURVEY §5): a doc whose raw score
+    // sits within last-ulp drift of 0.55 must not flip inclusion between
+    // engines (FMA/association differences in DuckDB vs the JVM)
+    val filtered = deduped.filter(round(quality, 6) > 0.55)
     val sampled = Sampling.hashSample(filtered, "doc_id", 0.6)
       .withColumn("n_tok", size(wsTokens(col("text"))).cast("long"))
     Packing.assignPacks(sampled, "source", "doc_id", col("n_tok"), 512)
@@ -314,7 +317,7 @@ object PipelineQueries {
       |  SELECT doc_id, source,
       |    len(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS n_tok
       |  FROM q
-      |  WHERE quality > 0.55 AND substr(md5(doc_id::VARCHAR), 1, 8) < '$thr'
+      |  WHERE round(quality, 6) > 0.55 AND substr(md5(doc_id::VARCHAR), 1, 8) < '$thr'
       |), p AS (
       |  SELECT source,
       |    CAST(floor(CAST(sum(n_tok) OVER w - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id,

@@ -51,6 +51,25 @@ class SketchSpec extends SparkSpec {
       .contains("Expand"), "exact census must avoid the multi-distinct Expand")
   }
 
+  test("profile: native-type min/max; one row per column on empty input") {
+    import spark.implicits._
+    val orders = GraftSession.table(spark, sf0, "orders")
+    val prof = Extended.profile(orders, Seq("o_orderkey")).head()
+    // min/max must be numeric extremes, not lexicographic string extremes
+    val nat = orders.agg(min($"o_orderkey").cast("string"),
+      max($"o_orderkey").cast("string")).head()
+    assert(prof.getAs[String]("min_s") == nat.getString(0))
+    assert(prof.getAs[String]("max_s") == nat.getString(1))
+    assert(prof.getAs[String]("max_s").toLong > prof.getAs[String]("min_s").toLong)
+    // empty input: the census still reports every column (n_distinct = 0),
+    // not zero rows (the melt side produces no groups — left join + coalesce)
+    val empty = Extended.profile(orders.filter(lit(false)),
+      Seq("o_orderkey", "o_orderstatus")).collect()
+    assert(empty.length == 2, s"expected 2 census rows, got ${empty.length}")
+    assert(empty.forall(r => r.getAs[Long]("n_rows") == 0L &&
+      r.getAs[Long]("n_distinct") == 0L))
+  }
+
   test("HLL sketches MERGE: per-group sketches union to the global estimate") {
     // the property that makes sketches work distributed: build one
     // sketch per shard, union the small sketch bytes — never re-scan
