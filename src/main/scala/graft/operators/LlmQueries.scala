@@ -144,6 +144,59 @@ object LlmQueries {
       |  ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.3 d9: near-dup CLUSTER assignment — the step after pairwise
+    * verification. Verified pairs (d4's kernel, jaccard ≥ 0.2) become
+    * edges; connected components assign every involved doc a
+    * cluster_id (min reachable doc id); `is_rep` marks the one doc
+    * per cluster a dedup pass would keep. Near-dup is not transitive
+    * but retention must be — pairs alone cannot express "keep one of
+    * {A,B,C}" (see DedupClusters). The component fixpoint is unique,
+    * so the DuckDB oracle replays it exactly with a recursive CTE.
+    */
+  def d9DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
+      .select(col("id_a"), col("id_b"))
+    val edges = Dedup.jaccardVerify(docs, pairs, "doc_id", "text", threshold = 0.2)
+    DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"),
+        when(col("node") === col("cluster_id"), 1).otherwise(0).as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Min-label reachability as a recursive CTE. `r.label < e.dst`
+  // prunes the propagation without changing the fixpoint: the
+  // component's min id m is smaller than every other member, so (m)
+  // still reaches all of them; labels that are not the running min
+  // are dropped early instead of exploding the recursion state.
+  val d9DedupClustersSql: String =
+    """WITH RECURSIVE norm AS (
+      |  SELECT doc_id, source,
+      |    list_distinct([('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
+      |                   for i in generate_series(1, length(t) - 4)]) AS sh
+      |  FROM (SELECT doc_id, source,
+      |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |        FROM documents)
+      |), jac AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM norm a JOIN norm b
+      |    ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jac
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM jac
+      |), reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.label < e.dst
+      |)
+      |SELECT node AS doc_id, min(label) AS cluster_id,
+      |  CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_rep
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** §2.3 d5: embedding near-dup pairs — exact cosine verification
     * over MULTI-PROBE SRP candidates (buckets within Hamming ≤ 1).
     * This is the scale-shaped entry: one bucket-key shuffle, pairwise

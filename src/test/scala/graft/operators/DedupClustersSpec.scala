@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClustersSpec extends SparkSpec {
+
+  test("planted components: chain, triangle, pair get min-id labels") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle (cycle)
+      (21L, 20L) // pair, given in "reversed" order
+    ).toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("pointer jumping: a 200-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for plain propagation (diameter 199, would need 199
+    // rounds and trip the maxRounds valve); jumping needs ~log2
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(edges, "a", "b", maxRounds = 20)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 200 && cc.forall(_._2 == 0L))
+  }
+
+  test("d9 entry: one representative per cluster, labels are cluster minima") {
+    import spark.implicits._
+    val df = LlmQueries.d9DedupClusters(spark, sf0).cache()
+    val n = df.count()
+    assert(n > 0, "cluster entry must be non-vacuous on the test corpus")
+    // exactly one is_rep per cluster_id, and it is the min doc_id
+    val byCluster = df.groupBy($"cluster_id")
+      .agg(sum($"is_rep").as("reps"), min($"doc_id").as("mn"))
+    assert(byCluster.filter($"reps" =!= 1L).count() == 0)
+    assert(byCluster.filter($"cluster_id" =!= $"mn").count() == 0)
+    // every member's cluster_id is itself a member doc_id (label = a node)
+    val ids = df.select($"doc_id").as[Long].collect().toSet
+    val labels = df.select($"cluster_id").as[Long].collect().toSet
+    assert(labels.subsetOf(ids))
+    df.unpersist()
+  }
+}
