@@ -258,6 +258,87 @@ object PipelineQueries {
       |ORDER BY doc_id, bench_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // t9: per-source quality-quantile filter
+  // ---------------------------------------------------------------
+
+  /** §2.5 t9: ADAPTIVE quality filtering — keep each source's top 60%
+    * by quality score rather than applying one global threshold (a
+    * global cut empties low-scoring domains and keeps every doc of
+    * high-scoring ones; per-source quantiles keep the mixture).
+    * percent_rank over (quality, doc_id) within source: the ordering
+    * key is unique, so ranks are tie-free and (rank−1)/(n−1) is an
+    * exact int ratio — bit-identical across engines. One shuffle on
+    * source; scores are a narrow map.
+    */
+  def t9QuantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok
+    val stop = size(array_intersect(toks,
+      array(langMarkers.toMap.apply("en").map(lit): _*))).cast("double") / nTok
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
+      length(col("text")).cast("double")
+    val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), quality.as("q"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") >= 0.4)
+      .select(col("doc_id"), col("source"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t9QuantileFilterSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
+      |      CAST(len(list_intersect(toks, ['the','and','of','a','is','to'])) AS DOUBLE) /
+      |        CAST(len(toks) AS DOUBLE) * 0.3 +
+      |      (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+      |        CAST(length(text) AS DOUBLE)) * 0.2, 6) AS q
+      |  FROM (SELECT doc_id, source, text,
+      |          list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |        FROM documents)
+      |), r AS (
+      |  SELECT doc_id, source,
+      |    round(percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id), 6) AS pr
+      |  FROM q
+      |)
+      |SELECT doc_id, source, pr FROM r WHERE pr >= 0.4 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // p4: per-domain cap
+  // ---------------------------------------------------------------
+
+  /** §2.8 p4: per-domain quota — keep at most `cap` docs per source,
+    * chosen by md5 order (a deterministic uniform pick, free of
+    * crawl-order bias; the same hash-keyed determinism as p1-p3).
+    * The rank-≤-cap filter plans as WindowGroupLimit: partial top-k
+    * per map task BEFORE the source shuffle, so a hot domain never
+    * materializes its full sorted partition — the 100 TB failure mode
+    * of naive per-domain row_number.
+    */
+  def p4DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("doc_id"))
+  }
+
+  val p4DomainCapSql: String =
+    """SELECT doc_id, source, rk FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // e2e: full curation pipeline
   // ---------------------------------------------------------------
 

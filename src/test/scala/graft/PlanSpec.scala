@@ -101,6 +101,19 @@ class PlanSpec extends SparkSpec {
       "rollup must partial-aggregate map-side")
   }
 
+  test("p4 domain cap: rank filter plans as two-phase WindowGroupLimit") {
+    val plan = executed(operators.PipelineQueries.p4DomainCap(spark, sf0))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-domain cap must top-k partial before the source shuffle, not sort whole domains")
+  }
+
+  test("upsert: one key shuffle, latest-wins window is group-limited") {
+    val plan = executed(operators.Upsert.qUpsert(spark, sf0))
+    assert(plan.contains("WindowGroupLimit"),
+      "latest-wins row_number must keep one row per key map-side")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(
