@@ -31,7 +31,12 @@ final case class ConvertOptions(
     // makes CSV files NON-SPLITTABLE (one task per file). The
     // reference streams single-threaded so it loses nothing; at scale
     // keep this off unless the data demands it.
-    multiLine: Boolean = false)
+    multiLine: Boolean = false,
+    // Engine extension (no reference analogue): hive-style partitioned
+    // output — `col=value/` directories the reader prunes BEFORE
+    // touching any file. The storage-layout half of what makes a
+    // 100 TB table queryable; directory form only.
+    partitionBy: Seq[String] = Nil)
 
 object ConvertOptions {
   val compressions: Set[String] =
@@ -159,6 +164,8 @@ object CsvToParquet {
     */
   def convertToSingleFile(spark: SparkSession, csvPath: String, outFile: String,
       opts: ConvertOptions = ConvertOptions()): Conversion = {
+    require(opts.partitionBy.isEmpty,
+      "partitioned output needs the directory form (a single file has no partition dirs)")
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory(
       Paths.get(sys.props("java.io.tmpdir")), "graft_c2p").toString
@@ -187,6 +194,11 @@ object CsvToParquet {
       outPath: String, opts: ConvertOptions): Unit = {
     var w = df.write.mode("overwrite")
       .option("parquet.enable.dictionary", opts.dictionary.toString)
+    if (opts.partitionBy.nonEmpty) {
+      val missing = opts.partitionBy.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"partitionBy columns not in schema: $missing")
+      w = w.partitionBy(opts.partitionBy: _*)
+    }
     opts.compression.foreach { c =>
       w = w.option("compression", if (c == "uncompressed") "none" else c)
     }

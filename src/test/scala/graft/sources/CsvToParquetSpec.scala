@@ -40,6 +40,36 @@ class CsvToParquetSpec extends SparkSpec {
     assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
   }
 
+  test("partitioned output: hive dirs, roundtrip, reader prunes partitions") {
+    import org.apache.spark.sql.functions.col
+    val csv = writeCsv("part.csv", 1000)
+    val out = tmpDir("conv") + "/part_pq"
+    val conv = CsvToParquet.convert(spark, csv, out,
+      ConvertOptions(partitionBy = Seq("flag")))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("flag=A", "flag=B"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
+    // partition pruning: the flag predicate becomes a PartitionFilter on
+    // the scan (directory-level pruning, before any file is opened)
+    val pruned = back.filter(col("flag") === "A")
+    assert(pruned.count() === 500)
+    val scan = pruned.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.contains("flag")),
+      s"flag predicate must be a partition filter, plan scan: $pf")
+    // unknown partition column fails fast; single-file form refuses
+    intercept[IllegalArgumentException] {
+      CsvToParquet.convert(spark, csv, out, ConvertOptions(partitionBy = Seq("nope")))
+    }
+    intercept[IllegalArgumentException] {
+      CsvToParquet.convertToSingleFile(spark, csv, out + ".parquet",
+        ConvertOptions(partitionBy = Seq("flag")))
+    }
+    assert(conv.rows.get.count() === 1000)
+  }
+
   test("compression option reaches the parquet footer") {
     val csv = writeCsv("comp.csv", 500)
     for (codec <- Seq("snappy", "gzip", "zstd", "uncompressed")) {

@@ -52,6 +52,36 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order clusters BOTH dimensions: probes on either column skip row groups") {
+    val li = GraftSession.table(spark, sf0, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+    val zdir = tmpDir("layout") + "/zorder"
+    val kdir = tmpDir("layout") + "/keyonly"
+    Layout.zOrderedWriter(li, "l_orderkey", "l_partkey", partitions = Some(4))
+      .option("parquet.block.row.count.limit", "500")
+      .mode("overwrite").parquet(zdir)
+    Layout.clusteredWriter(li, Seq("l_orderkey"), partitions = Some(4))
+      .option("parquet.block.row.count.limit", "500")
+      .mode("overwrite").parquet(kdir)
+    assert(spark.read.parquet(zdir).count() === li.count())
+    // fraction of row groups a point probe on `column` touches
+    def touchFrac(dir: String, column: String): Double = {
+      val rs = rowGroupRanges(dir, column)
+      val probe = (rs.map(_._1).min + rs.map(_._2).max) / 2
+      rs.count(r => r._1 <= probe && probe <= r._2).toDouble / rs.size
+    }
+    // single-key layout: perfect on the cluster key, useless on the other
+    assert(touchFrac(kdir, "l_orderkey") <= 0.25)
+    assert(touchFrac(kdir, "l_partkey") > 0.9,
+      "a key-only layout cannot prune the second column")
+    // z-order: real pruning on BOTH columns
+    assert(touchFrac(zdir, "l_orderkey") <= 0.5,
+      s"z-order must prune on dim A, got ${touchFrac(zdir, "l_orderkey")}")
+    assert(touchFrac(zdir, "l_partkey") <= 0.5,
+      s"z-order must prune on dim B, got ${touchFrac(zdir, "l_partkey")}")
+  }
+
   test("clustered write produces mostly disjoint row-group ranges; shuffled write does not") {
     val li = GraftSession.table(spark, sf0, "lineitem")
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
