@@ -56,9 +56,16 @@ object DedupClusters {
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // convergence check: labels only ever DECREASE, so Σlabel strictly
+    // decreases every round until the fixpoint — one cheap agg over the
+    // materialized round result instead of a join+count. decimal(38,0)
+    // so the sum cannot overflow at any node-count × id-range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < maxRounds) {
+    var converged = false
+    while (!converged && rounds < maxRounds) {
       // min label among neighbors
       val viaEdge = adj.join(labels, adj("src") === labels("node"))
         .select(adj("dst").as("node"), col("label"))
@@ -70,13 +77,13 @@ object DedupClusters {
         .union(viaEdge).union(viaJump)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       rounds += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 }
