@@ -339,6 +339,59 @@ object PipelineQueries {
       |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // p5: token-budget selection
+  // ---------------------------------------------------------------
+
+  /** §2.8 p5: BUDGETED corpus selection — each source contributes its
+    * best docs (quality-descending) until a per-source token budget is
+    * exhausted; the complement of sampling when the target is a token
+    * count, not a rate (how training mixtures are actually specified).
+    * Running-sum window over a tie-free (quality desc, doc_id)
+    * ordering; one shuffle on source. Unlike a rank cap the cumsum
+    * cannot early-stop inside a group (every candidate's tokens count
+    * toward the budget), so the group scan is the honest cost.
+    */
+  def p5BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok.cast("double")
+    val stop = size(array_intersect(toks,
+      array(langMarkers.toMap.apply("en").map(lit): _*))).cast("double") / nTok.cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
+      length(col("text")).cast("double")
+    val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source"), quality.as("q"), nTok.as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= 800)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p5BudgetSelectSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
+      |      CAST(len(list_intersect(toks, ['the','and','of','a','is','to'])) AS DOUBLE) /
+      |        CAST(len(toks) AS DOUBLE) * 0.3 +
+      |      (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+      |        CAST(length(text) AS DOUBLE)) * 0.2, 6) AS q
+      |  FROM (SELECT doc_id, source, text,
+      |          list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |        FROM documents)
+      |), c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |  FROM q
+      |)
+      |SELECT doc_id, source, n_tok, cum_tok FROM c
+      |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // e2e: full curation pipeline
   // ---------------------------------------------------------------
 

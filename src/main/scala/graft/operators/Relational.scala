@@ -219,6 +219,34 @@ object Relational {
     * declarative form costs two shuffles, not a per-row probe.
     * Exact integer-valued max keeps the equality drift-free.
     */
+  /** §2.2 q_lateral: correlated LATERAL subquery — per-nation top-2
+    * customers by balance. Catalyst decorrelates the lateral into a
+    * join + per-key WindowGroupLimit (the same two-phase top-k as
+    * q_topn_group), so the SQL-surface convenience costs nothing at
+    * scale. Balance rounded to cents-exact long; ties broken by key.
+    */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.table(spark, dir, "nation").createOrReplaceTempView("nation")
+    graft.GraftSession.table(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT n_name, c.c_name, c.bal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |           FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY bal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT n_name, c.c_name, c.bal
+      |FROM nation n,
+      |  LATERAL (SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |           FROM customer
+      |           WHERE c_nationkey = n.n_nationkey
+      |           ORDER BY bal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n_name, bal DESC, c_name""".stripMargin
+
   def qScalarSubq(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.table(spark, dir, "supplier").createOrReplaceTempView("supplier")
     graft.GraftSession.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
