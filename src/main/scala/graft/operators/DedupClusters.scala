@@ -73,6 +73,9 @@ object DedupClusters {
       val lab2 = labels.select(col("node").as("l_node"), col("label").as("l_label"))
       val viaJump = labels.join(lab2, labels("label") === lab2("l_node"))
         .select(labels("node"), col("l_label").as("label"))
+      // (a second jump per round was tried and measured SLOWER at
+      // sf0.1 — the extra self-join's recompute outweighs the saved
+      // rounds; one jump per round is the sweet spot)
       val next = labels.select("node", "label")
         .union(viaEdge).union(viaJump)
         .groupBy("node").agg(min(col("label")).as("label"))

@@ -258,6 +258,44 @@ object PipelineQueries {
       |ORDER BY doc_id, bench_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // t10: token-entropy quality signal
+  // ---------------------------------------------------------------
+
+  /** §2.5 t10: token-distribution entropy per doc,
+    * H = ln(n) − (Σ tf·ln tf)/n — low-entropy docs are
+    * template/keyword-stuffed text that repetition ratios (t8) can
+    * miss when duplicates aren't adjacent. One explode + two
+    * partial-agg groupBys (term fan-out reduces map-side). Entropy is
+    * rounded to 6dp: the float SUM is order-dependent across engines,
+    * and 6dp absorbs last-ulp association drift (same rule as the
+    * t7/s3 log scores).
+    */
+  def t10TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("tf")).cast("double")) -
+          sum(col("tf").cast("double") * log(col("tf").cast("double"))) /
+            sum(col("tf")).cast("double"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t10TokenEntropySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS term
+      |  FROM documents
+      |), tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(ln(CAST(sum(tf) AS DOUBLE)) -
+      |    sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) / CAST(sum(tf) AS DOUBLE), 6) AS entropy
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // t9: per-source quality-quantile filter
   // ---------------------------------------------------------------
 

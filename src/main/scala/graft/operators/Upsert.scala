@@ -61,6 +61,62 @@ object Upsert {
       .orderBy(col("version"), col("status"))
   }
 
+  /** §2.2 q_snapshot_diff: reconcile two snapshot versions — the audit
+    * counterpart of `applyChangeset` (what changed between corpus
+    * builds?). FULL OUTER join on the key classifies every key as
+    * unchanged / changed / added / removed; the rollup is the diff
+    * report. One shuffle on the key each side; no broadcast needed.
+    * The "next" snapshot is derived deterministically (drop every 13th
+    * key, re-price every 7th, add fresh keys from every 11th) so all
+    * four classes are non-vacuous.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val prev = orders.select(col("o_orderkey").as("k"),
+      round(col("o_totalprice")).cast("long").as("price_l"))
+    val next = orders.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        (round(col("o_totalprice")).cast("long") +
+          when(col("o_orderkey") % 7 === 0, 1000L).otherwise(0L)).as("price_l"))
+      .unionByName(orders.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 500000000L).as("k"),
+          round(col("o_totalprice")).cast("long").as("price_l")))
+    val a = prev.withColumnsRenamed(Map("price_l" -> "p_prev"))
+    val b = next.withColumnsRenamed(Map("price_l" -> "p_next"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("p_prev").isNull, "added")
+          .when(col("p_next").isNull, "removed")
+          .when(col("p_prev") === col("p_next"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      .orderBy(col("status"))
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH prev AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS p_prev
+      |  FROM orders
+      |), next AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice) AS BIGINT) +
+      |      CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END AS p_next
+      |  FROM orders WHERE o_orderkey % 13 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 500000000 AS k, CAST(round(o_totalprice) AS BIGINT) AS p_next
+      |  FROM orders WHERE o_orderkey % 11 = 0
+      |), d AS (
+      |  SELECT coalesce(prev.k, next.k) AS k,
+      |    CASE WHEN p_prev IS NULL THEN 'added'
+      |         WHEN p_next IS NULL THEN 'removed'
+      |         WHEN p_prev = p_next THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM prev FULL OUTER JOIN next ON prev.k = next.k
+      |)
+      |SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   val qUpsertSql: String =
     """WITH base AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS status,
