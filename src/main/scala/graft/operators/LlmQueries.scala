@@ -318,6 +318,53 @@ object LlmQueries {
     * from first principles (IvfIndex Scaladoc explains why the
     * arithmetic agrees bit-for-bit).
     */
+  /** §2.4 s4: per-vector symmetric int8 quantization census — the
+    * storage op a 100 TB embedding table runs before serving
+    * (4× smaller than float32, cheap int dot products). Shape:
+    * posexplode (Generate barrier — a higher-order-lambda form would
+    * re-derive the O(dims) scale per ELEMENT, the HOF-inlining trap)
+    * → per-vector max|x| via window → quantize per row → groupBy
+    * REUSES the window's vec_id partitioning (one shuffle total).
+    * Emits scale, quantized checksums, and reconstruction MSE (6dp —
+    * float-sum order drift absorbed, SURVEY §5).
+    */
+  def s4Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val rows = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+    val q = rows
+      .withColumn("scale", max(abs(col("x"))).over(w) / 127.0)
+      .withColumn("q", round(col("x") / col("scale")).cast("int"))
+    q.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        round(max(col("scale")), 6).as("scale6"),
+        sum(col("q")).cast("long").as("q_sum"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+        round(avg(pow(col("x") - col("q") * col("scale"), 2)), 6).as("mse6"))
+      .orderBy(col("vec_id"))
+  }
+
+  val s4QuantizeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qs,
+      |    list_transform(v, x -> x - round(x / scale) * scale) AS err
+      |  FROM s
+      |)
+      |SELECT vec_id, CAST(len(qs) AS BIGINT) AS n_dims,
+      |  round(scale, 6) AS scale6,
+      |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+      |  list_min(qs) AS q_min, list_max(qs) AS q_max,
+      |  round(list_sum(list_transform(err, x -> x * x)) / len(err), 6) AS mse6
+      |FROM q ORDER BY vec_id""".stripMargin
+
   def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
     val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
