@@ -258,6 +258,81 @@ object PipelineQueries {
       |ORDER BY doc_id, bench_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // d11: span-level (passage) dedup
+  // ---------------------------------------------------------------
+
+  /** §2.3 d11: repeated-PASSAGE detection — doc pairs sharing ≥3
+    * distinct 8-token windows. Document-level dedup (d1-d10) misses
+    * copy-pasted spans inside otherwise-different docs; span-level
+    * windows catch them (the suffix-array dedup problem, Spark-shaped:
+    * rolling windows → 60-bit hashes → equi-join). Scale: both sides
+    * are distinct (doc, window-hash) rows, shuffle ∝ windows, never
+    * docs²; ubiquitous windows (df > 100 — site boilerplate) dropped
+    * via broadcast anti-join before the join, the d8 hot-key guard.
+    *
+    * The synthetic corpus shares no natural 8-token spans, so the
+    * entry PLANTS them: every doc gets its decade-head doc's first 12
+    * tokens appended (docs in a decade then share 5 rolling windows —
+    * above threshold, below the boilerplate cap). The oracle replays
+    * plant + windows + hashes exactly.
+    */
+  def d11PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val heads = docs.select(col("doc_id").as("head_id"),
+      slice(wsTokens(col("text")), 1, 12).as("ptoks"))
+    val planted = docs
+      .withColumn("head_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
+      .join(heads, "head_id")
+      .select(col("doc_id"), concat(wsTokens(col("text")), col("ptoks")).as("tk"))
+    val wins = planted
+      .repartition(planted.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - lit(7)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        conv(substring(md5(array_join(slice(col("tk"), col("i"), lit(8)), " ")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val hot = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select(col("h"))
+    val ok = wins.join(broadcast(hot), Seq("h"), "left_anti")
+    ok.select(col("h"), col("doc_id").as("doc_a"))
+      .join(ok.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d11PassageDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |  FROM documents
+      |), planted AS (
+      |  SELECT d.doc_id, list_concat(d.toks, h.toks[1:12]) AS tk
+      |  FROM d JOIN d h ON h.doc_id = d.doc_id - d.doc_id % 10
+      |), wins AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id,
+      |          unnest([array_to_string(tk[i:i+7], ' ')
+      |                  for i in generate_series(1, len(tk) - 7)]) AS w
+      |        FROM planted WHERE len(tk) >= 8)
+      |), hot AS (
+      |  SELECT h FROM wins GROUP BY h HAVING count(*) > 100
+      |), ok AS (
+      |  SELECT * FROM wins WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = wins.h)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |FROM ok a JOIN ok b USING (h)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY doc_a, doc_b
+      |HAVING count(*) >= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
   // t10: token-entropy quality signal
   // ---------------------------------------------------------------
 
