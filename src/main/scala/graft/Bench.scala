@@ -16,6 +16,9 @@ object Bench {
           org.apache.spark.sql.functions.col("band"))))
 
   def main(args: Array[String]): Unit = {
+    // optional arg: regex of query names (dev-loop subset timing);
+    // the driver passes no args and benches everything
+    val nameFilter = args.headOption.getOrElse(".*")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core on the box: the driver's contract is local[32]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -49,7 +52,8 @@ object Bench {
     // time-to-exception — a broken query must not read as a fast one.
     val runsPer = 3
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = (SparkEntry.queries ++ extraQueries).map { case (name, fn) =>
+    val results = (SparkEntry.queries ++ extraQueries)
+      .filter(_._1.matches(nameFilter)).map { case (name, fn) =>
       val times = (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -60,8 +60,11 @@ object DedupClusters {
     // decreases every round until the fixpoint — one cheap agg over the
     // materialized round result instead of a join+count. decimal(38,0)
     // so the sum cannot overflow at any node-count × id-range.
+    // sum() over zero rows is null — an EMPTY edge set (no verified
+    // pairs) must yield an empty result, not an NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false

@@ -284,14 +284,21 @@ object PipelineQueries {
       .withColumn("head_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
       .join(heads, "head_id")
       .select(col("doc_id"), concat(wsTokens(col("text")), col("ptoks")).as("tk"))
+    // hash INSIDE a transform over the post-exchange `tk` attribute,
+    // then explode only the resulting longs: the explode-over-positions
+    // form carried the full token array on every window row (~windows×
+    // array bytes of Generate traffic — measured 3× slower than DuckDB
+    // at sf0.1); `tk` is a plain attribute here (the repartition is the
+    // barrier), so the lambda does NOT re-derive it per element
+    val winHashes = transform(
+      sequence(lit(1), size(col("tk")) - lit(7)),
+      i => conv(substring(md5(array_join(slice(col("tk"), i, lit(8)), " ")), 1, 15), 16, 10)
+        .cast("long"))
     val wins = planted
       .repartition(planted.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("tk"),
-        explode(when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - lit(7)))
-          .otherwise(array().cast("array<int>"))).as("i"))
       .select(col("doc_id"),
-        conv(substring(md5(array_join(slice(col("tk"), col("i"), lit(8)), " ")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        explode(when(size(col("tk")) >= 8, winHashes)
+          .otherwise(array().cast("array<long>"))).as("h"))
       .distinct()
     val hot = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 100).select(col("h"))

@@ -32,6 +32,11 @@ object Upsert {
     */
   def applyChangeset(snapshot: DataFrame, changes: DataFrame, keyCol: String,
       versionCol: String, deleteCol: String): DataFrame = {
+    val required = Seq(keyCol, versionCol, deleteCol)
+    require(required.forall(snapshot.columns.contains),
+      s"snapshot is missing one of $required (has ${snapshot.columns.mkString(",")})")
+    require(snapshot.columns.toSet == changes.columns.toSet,
+      s"snapshot/changes schemas differ: ${snapshot.columns.toSet.diff(changes.columns.toSet)} vs ${changes.columns.toSet.diff(snapshot.columns.toSet)}")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
     snapshot.unionByName(changes)
       .withColumn("__rn", row_number().over(w))

@@ -18,6 +18,12 @@ class DedupClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("empty edge set yields an empty result, not a crash") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupClusters.connectedComponents(edges, "a", "b").count() == 0)
+  }
+
   test("pointer jumping: a 200-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // worst case for plain propagation (diameter 199, would need 199
