@@ -63,4 +63,38 @@ object AsofJoin {
     val matchCols = rightCols.map(c => col("_m").getField(c).as(s"asof_$c"))
     carried.select((leftCols ++ matchCols).toIndexedSeq: _*)
   }
+
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): for
+    * each left row, the EARLIEST right row with `right.ts >= left.ts`
+    * — "what happened next" enrichment (first click after a purchase,
+    * first error after a deploy). The mirror image of `asof`: left
+    * rows tag 0 so an equal-ts right row sorts inside the
+    * current-row→following frame (inclusive), and `first(_,
+    * ignoreNulls)` over that frame carries the next right row back.
+    * Same ONE |L|+|R| shuffle; `toleranceSec` discards matches newer
+    * than `left.ts + tolerance`.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], toleranceSec: Option[Long] = None): DataFrame = {
+    require(!rightCols.contains("_rts"), "right column name _rts is reserved")
+    require(toleranceSec.forall(_ > 0), "tolerance must be positive")
+    val lPay = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rPay = struct(col(ts).as("_rts") +: rightCols.map(col).toIndexedSeq: _*)
+    val rSchema = right.select(col(ts).as("_rts") +: rightCols.map(col): _*).schema
+    val l = left.select(col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_tag"),
+      lPay.as("_l"), lit(null).cast(rSchema).as("_r"))
+    val r = right.select(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_tag"),
+      lit(null).cast(left.schema).as("_l"), rPay.as("_r"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withinTol = toleranceSec.fold(lit(true))(t =>
+      col("_m").getField("_rts") <= col("_ts") + expr(s"INTERVAL $t SECONDS"))
+    val carried = l.unionByName(r)
+      .withColumn("_m", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0 && col("_m").isNotNull && withinTol)
+    val leftCols = left.columns.map(c => col("_l").getField(c).as(c))
+    val matchCols = rightCols.map(c => col("_m").getField(c).as(s"asof_$c"))
+    carried.select((leftCols ++ matchCols).toIndexedSeq: _*)
+  }
 }

@@ -371,6 +371,36 @@ object Relational {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** FORWARD as-of: each purchase enriched with the NEXT click at or
+    * after it ("what happened next") — same single-shuffle tagged-union
+    * plan, mirrored frame. Oracle: DuckDB ASOF with the inequality
+    * flipped (`p.ts <= c.ts` picks the smallest qualifying c.ts).
+    */
+  def qAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsofJoin.asofForward(purchases, clicks, "user_id", "ts", Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+        round(col("asof_value") * 100).cast("long").as("click_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofFwdSql: String =
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+      |  CAST(round(c.value * 100) AS BIGINT) AS click_cents
+      |FROM (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT user_id, ts, value FROM ev WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Top-N per group via window: biggest event per user. */
   def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")

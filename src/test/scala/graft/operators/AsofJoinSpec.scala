@@ -20,6 +20,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(!got.contains("Lother"), "no right rows for key → dropped")
   }
 
+  test("forward direction: earliest at-or-after right row; inclusive; inner-drops") {
+    val left = Seq(
+      (1L, 10L, "L10"), (1L, 20L, "L20"), (1L, 16L, "L16"),
+      (2L, 50L, "Lother")).toDF("k", "ts", "lname")
+    val right = Seq(
+      (1L, 10L, "R10"), (1L, 15L, "R15"), (1L, 18L, "R18"),
+      (3L, 99L, "Rnokey")).toDF("k", "ts", "rname")
+    val got = AsofJoin.asofForward(left, right, "k", "ts", Seq("ts", "rname"))
+      .select($"lname", $"asof_rname").as[(String, String)].collect().toMap
+    assert(got("L10") === "R10", "equal ts matches (inclusive <=)")
+    assert(got("L16") === "R18", "earliest following wins")
+    assert(!got.contains("L20"), "no following right row → dropped (inner)")
+    assert(!got.contains("Lother"), "no right rows for key → dropped")
+    // tolerance: a match farther than tol seconds ahead is discarded
+    val lt = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "a"))
+      .toDF("k", "ts", "v")
+    val rt = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00"), 1.0))
+      .toDF("k", "ts", "p")
+    assert(AsofJoin.asofForward(lt, rt, "k", "ts", Seq("p"),
+      toleranceSec = Some(3600L)).count() === 0)
+    assert(AsofJoin.asofForward(lt, rt, "k", "ts", Seq("p"),
+      toleranceSec = Some(7300L)).count() === 1)
+  }
+
   test("single shuffle plan: no range explosion") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "v")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "p")

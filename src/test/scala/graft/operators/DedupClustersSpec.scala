@@ -34,6 +34,34 @@ class DedupClustersSpec extends SparkSpec {
     assert(cc.length == 200 && cc.forall(_._2 == 0L))
   }
 
+  test("property: random graphs agree with an in-memory union-find reference") {
+    import spark.implicits._
+    val seeds = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30 + seeds.nextInt(40)
+      val m = 20 + seeds.nextInt(60)
+      val edges = Seq.fill(m)((seeds.nextInt(n).toLong, seeds.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // union-find roots are not necessarily component minima — reduce
+      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val expected = nodes.map(x => x -> minOfRoot(find(x))).toMap
+      val got = DedupClusters.connectedComponents(
+        edges.toDF("a", "b"), "a", "b").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial (n=$n, m=${edges.size})")
+    }
+  }
+
   test("d9 entry: one representative per cluster, labels are cluster minima") {
     import spark.implicits._
     val df = LlmQueries.d9DedupClusters(spark, sf0).cache()
