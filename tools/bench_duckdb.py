@@ -36,7 +36,11 @@ def main(sf_dir, out_dir, bench_json=None):
             t0 = time.time()
             con.execute(oracle[name]).fetchall()
             times.append(time.time() - t0)
-        med = sorted(times)[1]
+            # one run is verdict enough for a very slow oracle (the
+            # recursive-CTE d9 runs minutes at sf0.1) — don't triple it
+            if times[-1] > 15:
+                break
+        med = sorted(times)[len(times) // 2] if len(times) % 2 else sorted(times)[1]
         rows.append((name, med, graft.get(name)))
     print(f"{'query':24s} {'duckdb_s':>9s} {'graft_s':>9s}")
     # totals cover only queries BOTH engines timed successfully — a
