@@ -37,15 +37,17 @@ object CandidatePairs {
       payloadCols: Seq[String] = Nil,
       lastConjunct: Column = lit(true)): DataFrame = {
     require(gap > 0, s"gap must be positive, got $gap")
-    // PURE integer block math: floor(id / gap) via (id − pmod) `div`.
-    // A double division (`floor(col/gap)`) loses bits past 2^53 —
-    // snowflake-scale ids would land in the wrong block and true
-    // pairs would silently vanish. `id − pmod(id, gap)` is an exact
-    // floor-multiple of gap (pmod ∈ [0, gap) handles negatives), so
-    // the truncating `div` equals true floor division, exactly, for
-    // the full long range.
+    // PURE integer block math: floor(id / gap). A double division
+    // (`floor(col/gap)`) loses bits past 2^53 — snowflake-scale ids
+    // would land in the wrong block and true pairs would silently
+    // vanish. `div` truncates toward zero, so floor = div minus one
+    // when the division is inexact and negative. This form has NO
+    // intermediate outside the long range — the earlier
+    // `(id − pmod(id, gap)) div gap` underflowed (ANSI overflow
+    // error) for ids within one gap of Long.MinValue.
     def blk(name: String): Column =
-      expr(s"cast(($name - pmod($name, ${gap}L)) div ${gap}L as long)")
+      expr(s"cast(($name div ${gap}L) - (case when $name < 0 and " +
+        s"pmod($name, ${gap}L) != 0 then 1 else 0 end) as long)")
     val a = df.select(col(keyCol).as("__gka") +: col(idCol).as("id_a") +:
         payloadCols.map(c => col(c).as(s"${c}_a")): _*)
       .withColumn("__blka", blk("id_a"))

@@ -44,6 +44,35 @@ class AsofJoinSpec extends SparkSpec {
       toleranceSec = Some(7300L)).count() === 1)
   }
 
+  test("property: random data matches an in-memory reference, both directions") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      // right timestamps UNIQUE per key (the operator's documented
+      // contract: equal right ts within a key is caller-resolved);
+      // left ts freely collide with rights (inclusive match exercised)
+      val right = (0L until 5L).flatMap { k =>
+        rnd.shuffle((0L until 60L).toList).take(12).map(ts => (k, ts, s"r${k}_$ts"))
+      }
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(70).toLong))
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val lDf = left.toDF("k", "ts", "lid")
+      val rDf = right.toDF("k", "ts", "rname")
+      val rByKey = right.groupBy(_._1)
+      def refBack(k: Long, ts: Long) = rByKey.get(k)
+        .flatMap(rs => rs.filter(_._2 <= ts).sortBy(_._2).lastOption).map(_._3)
+      def refFwd(k: Long, ts: Long) = rByKey.get(k)
+        .flatMap(rs => rs.filter(_._2 >= ts).sortBy(_._2).headOption).map(_._3)
+      val gotBack = AsofJoin.asof(lDf, rDf, "k", "ts", Seq("rname"))
+        .select($"lid", $"asof_rname").as[(Long, String)].collect().toMap
+      val gotFwd = AsofJoin.asofForward(lDf, rDf, "k", "ts", Seq("rname"))
+        .select($"lid", $"asof_rname").as[(Long, String)].collect().toMap
+      left.foreach { case (k, ts, lid) =>
+        assert(gotBack.get(lid) === refBack(k, ts), s"trial $trial backward ($k,$ts)")
+        assert(gotFwd.get(lid) === refFwd(k, ts), s"trial $trial forward ($k,$ts)")
+      }
+    }
+  }
+
   test("single shuffle plan: no range explosion") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "v")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "p")
