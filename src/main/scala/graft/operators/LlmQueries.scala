@@ -329,7 +329,13 @@ object LlmQueries {
     * float-sum order drift absorbed, SURVEY §5).
     */
   def s4Quantize(spark: SparkSession, dir: String): DataFrame = {
+    // degenerate vectors quantize to 0/0 NaNs (all-zero: scale = 0) or
+    // diverge across engines (empty: posexplode drops the row, SQL
+    // unnest-free aggregates emit it) — exclude both IDENTICALLY here
+    // and in the oracle so the kernel only sees quantizable input
     val e = table(spark, dir, "embeddings")
+      .filter(size(col("embedding")) > 0 &&
+        array_max(transform(col("embedding"), x => abs(x))) > lit(0.0))
     val rows = e.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("pos", "xf")))
       .withColumn("x", col("xf").cast("double"))
@@ -347,7 +353,9 @@ object LlmQueries {
   }
 
   val s4QuantizeSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE len(embedding) > 0
+      |             AND list_max(list_transform(embedding, x -> abs(x))) > 0),
       |s AS (
       |  SELECT vec_id, v,
       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale

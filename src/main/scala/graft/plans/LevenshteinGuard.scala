@@ -42,9 +42,18 @@ object LevenshteinGuard extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // threshold.isEmpty: the 3-arg levenshtein(a, b, t) form returns
+      // -1 (not the distance) when the distance exceeds t, so
+      // `levenshtein(a, b, t) <= k` can be TRUE where the length guard
+      // is false — guarding it would drop rows. Only the unthresholded
+      // form satisfies `result >= |len(a) - len(b)|`.
+      // cmp.deterministic: the bound k is duplicated into the guard and
+      // evaluated twice; a non-deterministic bound would disagree with
+      // itself between the two evaluations.
       case cmp: BinaryComparison if bound(cmp).isDefined &&
           cmp.getTagValue(guarded).isEmpty &&
-          bound(cmp).get._1.children.forall(_.deterministic) =>
+          bound(cmp).get._1.threshold.isEmpty &&
+          cmp.deterministic =>
         val (lev, k) = bound(cmp).get
         cmp.setTagValue(guarded, true)
         val lenDiff = Abs(Subtract(Length(lev.left), Length(lev.right)))

@@ -52,7 +52,10 @@ object Layout {
 
   /** Min-max scale a numeric column onto [0, 2^bits): rank-free linear
     * scaling — one pass over nothing (min/max are inputs), monotone,
-    * so z-curve locality follows value locality.
+    * so z-curve locality follows value locality. The double cast means
+    * values with |v| > 2^53 can collapse adjacent keys into one z-cell
+    * — a layout-quality (clustering granularity) caveat only, never a
+    * correctness one: rows are complete either way.
     */
   def scaleToBits(c: Column, mn: Long, mx: Long, bits: Int): Column =
     least(lit((1L << bits) - 1),
@@ -73,6 +76,10 @@ object Layout {
       bits: Int = 16, partitions: Option[Int] = None): DataFrameWriter[Row] = {
     val mm = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // empty input or an all-null cluster column has no min/max — there
+    // is nothing to cluster BY, so degrade to a plain (unclustered)
+    // write instead of NPEing on the null stats row
+    if ((0 until 4).exists(mm.isNullAt)) return df.write
     val (aMn, aMx, bMn, bMx) = (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
     val z = mortonInterleave(
       scaleToBits(col(colA), aMn, aMx, bits),

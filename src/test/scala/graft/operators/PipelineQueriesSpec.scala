@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
 class PipelineQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quantize census drops degenerate vectors (empty, all-zero) on both engines' terms") {
+    val dir = tmpDir("s4_degenerate")
+    Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f), 0),
+      (2L, Array.empty[Float], 0), // posexplode would drop; SQL would emit
+      (3L, Array(0.0f, 0.0f, 0.0f), 0) // scale 0 -> 0/0 NaN
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val out = LlmQueries.s4Quantize(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L),
+      "only the quantizable vector may survive")
+    val r = out.head
+    assert(r.getAs[Long]("n_dims") == 3L)
+    assert(r.getAs[Double]("scale6") > 0)
+    assert(!r.getAs[Double]("mse6").isNaN)
+  }
+
   test("pii scrub redacts emails, phones and IPs and nothing else") {
     val out = PipelineQueries.t6PiiScrub(spark, sf0)
     assert(out.count() === 500)

@@ -35,6 +35,32 @@ class LevenshteinGuardSpec extends SparkSpec {
     assert(withNull.count() == 1)
   }
 
+  test("thresholded levenshtein(a, b, t) is NOT guarded (it returns -1 past t)") {
+    val dir = tmpDir("levguard_t")
+    Seq(
+      ("ab", "abc"), // lev 1 <= t -> returns 1, kept by <= 2
+      ("a", "abcdefgh") // lev 7 > t=2 -> returns -1, ALSO kept by <= 2
+    ).toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+      .filter(levenshtein($"a", $"b", 2) <= 2)
+    // a length guard here would drop the -1 row: |1-8| = 7 > 2
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("abs("),
+      s"rule must not fire on the 3-arg thresholded form:\n$plan")
+    assert(out.count() == 2,
+      "distance-exceeded (-1) rows satisfy <= k and must survive")
+  }
+
+  test("non-deterministic bound is NOT guarded (k would be evaluated twice)") {
+    val dir = tmpDir("levguard_nd")
+    Seq(("ab", "abc")).toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .filter(levenshtein($"a", $"b") <= (rand() * 10).cast("int"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("abs("),
+      s"rule must not duplicate a non-deterministic bound:\n$plan")
+  }
+
   test("d7's join residual gets the guard (the rule reaches join conditions)") {
     val plan = graft.operators.Extended.d7EditDist(spark, sf0)
       .queryExecution.optimizedPlan.toString

@@ -82,6 +82,23 @@ class LayoutSpec extends SparkSpec {
       s"z-order must prune on dim B, got ${touchFrac(zdir, "l_partkey")}")
   }
 
+  test("z-order on empty or all-null cluster columns degrades to a plain write") {
+    import spark.implicits._
+    val base = tmpDir("layout_degenerate")
+    val empty = GraftSession.table(spark, sf0, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .filter("l_orderkey < 0")
+    Layout.zOrderedWriter(empty, "l_orderkey", "l_partkey")
+      .mode("overwrite").parquet(base + "/empty")
+    assert(spark.read.parquet(base + "/empty").count() === 0)
+    val allNull = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    Layout.zOrderedWriter(allNull, "a", "b")
+      .mode("overwrite").parquet(base + "/allnull")
+    assert(spark.read.parquet(base + "/allnull").count() === 2)
+  }
+
   test("clustered write produces mostly disjoint row-group ranges; shuffled write does not") {
     val li = GraftSession.table(spark, sf0, "lineitem")
       .select(org.apache.spark.sql.functions.col("l_orderkey"),

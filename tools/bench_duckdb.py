@@ -40,7 +40,10 @@ def main(sf_dir, out_dir, bench_json=None):
             # recursive-CTE d9 runs minutes at sf0.1) — don't triple it
             if times[-1] > 15:
                 break
-        med = sorted(times)[len(times) // 2] if len(times) % 2 else sorted(times)[1]
+        # lower median: with an even count (the >15s early break leaving
+        # 2 samples) this picks the FASTER run instead of the slower one,
+        # so slow-oracle timings aren't overstated
+        med = sorted(times)[(len(times) - 1) // 2]
         rows.append((name, med, graft.get(name)))
     print(f"{'query':24s} {'duckdb_s':>9s} {'graft_s':>9s}")
     # totals cover only queries BOTH engines timed successfully — a
