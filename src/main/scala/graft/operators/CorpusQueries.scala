@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.GraftSession.table
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-preparation operators (SURVEY.md §2.5/§2.3):
+  * token-window chunking, corpus-unigram LM quality scoring, and
+  * URL-canonicalization dedup. Same design rules as PipelineQueries:
+  * pure Column algebra or equi-join shapes, DuckDB oracles with
+  * drift-free math (SURVEY.md §5).
+  */
+object CorpusQueries {
+
+  // ---------------------------------------------------------------
+  // t11: token-window chunking
+  // ---------------------------------------------------------------
+
+  /** Chunk size / stride in tokens. 64/48 = 16-token overlap: the
+    * shape every context-bounded training/embedding pipeline uses so
+    * no boundary-spanning passage is lost to a hard cut.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** §2.5 t11: split each document's token sequence into fixed-size
+    * overlapping windows and emit (doc_id, chunk_idx, token count,
+    * content hash) per chunk.
+    *
+    * Shape: tokenize (narrow) → posexplode over the stride start
+    * positions (Generate — the fan-out is the OUTPUT size, there is
+    * no join and no shuffle until the final sort). `slice` on the
+    * carried token array is O(chunk) per output row; at 100 TB the
+    * operator is embarrassingly parallel and shuffle-free — output
+    * rows ≈ input tokens / stride.
+    */
+  def t11Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+    toks
+      .select(col("doc_id"), col("toks"),
+        // last start = greatest multiple of the stride <= n_tok - 1;
+        // n_tok >= 1 here so the subtraction form never goes negative
+        posexplode(sequence(lit(0),
+          (col("n_tok") - 1) - pmod(col("n_tok") - 1, lit(ChunkStride)),
+          lit(ChunkStride))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val t11ChunkSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, toks, len(toks) AS n_tok FROM d WHERE len(toks) > 0
+      |), s AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, ((n_tok - 1) // $ChunkStride) * $ChunkStride, $ChunkStride)) AS start
+      |  FROM n
+      |)
+      |SELECT doc_id, CAST(start // $ChunkStride AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(toks, start + 1, start + $ChunkSize)) AS BIGINT) AS n_chunk_tok,
+      |  md5(array_to_string(list_slice(toks, start + 1, start + $ChunkSize), ' ')) AS chunk_hash
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t12: corpus-unigram LM score
+  // ---------------------------------------------------------------
+
+  /** §2.5 t12: corpus-unigram negative log-likelihood per document —
+    * the CCNet-style "how surprising is this doc under the corpus'
+    * own token distribution" quality signal. Low avg_nll = made of
+    * very common tokens (template/boilerplate); high = rare-token
+    * soup (garbled text, wrong language). t2/t8/t10 score each doc
+    * in isolation; this is the cross-doc statistic.
+    *
+    * avg_nll(d) = Σ_t tf(d,t)·(ln N − ln cnt(t)) / n_d, with N the
+    * corpus token count. Shape: one (doc, term) partial-agg shuffle
+    * for tf, term-key shuffle for corpus counts, term-key equi-join
+    * back, doc-key shuffle for the fold — all partial-aggregated,
+    * nothing quadratic, no broadcast of the vocabulary (it shuffles
+    * like any fact-fact equi-join at 100 TB). The 1-row corpus total
+    * broadcasts. ln on integer inputs is IEEE-identical across
+    * engines; the summation-order drift is absorbed by 6dp rounding
+    * (SURVEY §5, precedent t7/t10).
+    */
+  def t12UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val occ = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val tf = occ.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).cast("long").as("total"))
+    tf.join(cnt, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tok"),
+        round((log(max(col("total")).cast("double")) * sum(col("tf")) -
+          sum(col("tf").cast("double") * log(col("cnt").cast("double")))) /
+          sum(col("tf")), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t12UnigramLogprobSql: String =
+    """WITH occ AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+      |  round((ln(max(total)) * sum(tf) - sum(tf * ln(cnt))) / sum(tf), 6) AS avg_nll
+      |FROM tf JOIN cnt USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // d12: URL-canonicalization dedup
+  // ---------------------------------------------------------------
+
+  /** Canonicalize a URL column: lowercase, strip scheme / www. /
+    * fragment / query / port / trailing slash. Every pattern is
+    * anchored or appears at most once in a URL, so Spark's
+    * replace-all and DuckDB's replace-first agree; no backreferences
+    * (replacement syntax differs between engines). Narrow map.
+    */
+  def canonicalUrl(c: Column): Column = {
+    val steps = Seq(
+      "^https?://" -> "", // scheme
+      "^www\\." -> "", // www prefix
+      "#.*$" -> "", // fragment
+      "\\?.*$" -> "", // query string
+      ":[0-9]+" -> "", // port (colon appears only there in a URL authority)
+      "/$" -> "") // trailing slash
+    steps.foldLeft(lower(c)) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+  }
+
+  /** The same chain as DuckDB SQL over a column expression. */
+  def canonicalUrlSql(inner: String): String =
+    Seq("'^https?://'", "'^www\\.'", "'#.*$'", "'\\?.*$'", "':[0-9]+'", "'/$'")
+      .foldLeft(s"lower($inner)")((acc, pat) => s"regexp_replace($acc, $pat, '')")
+
+  /** §2.3 d12: URL dedup — crawl snapshots hold the same page under
+    * scheme/case/www/port/query/fragment variants; doc-text dedup
+    * (d1) catches them only when the page bytes are identical, URL
+    * canonicalization catches the re-crawls regardless. The corpus
+    * has no URL column, so the entry PLANTS deterministic
+    * doc_id-derived URLs covering all variant classes (same recipe
+    * both sides, like t6's planted PII), then groups by canonical
+    * form: one narrow map + ONE hash shuffle, d1's exact shape.
+    */
+  def d12UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val u = pmod(col("doc_id"), lit(150L)).cast("string") // page id: ~N/150 docs share one page
+    val dom = pmod(pmod(col("doc_id"), lit(150L)), lit(7L)).cast("string") // 7 synthetic domains
+    val v = pmod(expr("doc_id div 150"), lit(4L)) // variant class per re-crawl
+    val base = concat(lit("example"), dom, lit(".com/p/"), u)
+    val raw = when(v === 0, concat(lit("https://"), base))
+      .when(v === 1, concat(lit("http://www."), base, lit("/")))
+      .when(v === 2, upper(concat(lit("https://"), base, lit("?utm_source=feed"))))
+      .otherwise(concat(lit("https://example"), dom, lit(".com:443/p/"), u, lit("#top")))
+    docs.select(col("doc_id"), raw.as("url"))
+      .groupBy(canonicalUrl(col("url")).as("canonical"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("rep_doc"),
+        countDistinct(col("url")).as("n_forms"))
+      .orderBy(col("canonical"))
+  }
+
+  val d12UrlDedupSql: String = {
+    val canon = canonicalUrlSql("url")
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE (doc_id // 150) % 4
+      |      WHEN 0 THEN 'https://example' || (doc_id % 150) % 7 || '.com/p/' || doc_id % 150
+      |      WHEN 1 THEN 'http://www.example' || (doc_id % 150) % 7 || '.com/p/' || doc_id % 150 || '/'
+      |      WHEN 2 THEN upper('https://example' || (doc_id % 150) % 7 || '.com/p/' || doc_id % 150 || '?utm_source=feed')
+      |      ELSE 'https://example' || (doc_id % 150) % 7 || '.com:443/p/' || doc_id % 150 || '#top'
+      |    END AS url
+      |  FROM documents
+      |)
+      |SELECT CANON AS canonical, count(*) AS n_docs,
+      |  min(doc_id) AS rep_doc, CAST(count(DISTINCT url) AS BIGINT) AS n_forms
+      |FROM planted GROUP BY 1 ORDER BY canonical""".stripMargin
+      .replace("CANON", canon)
+  }
+}

@@ -557,4 +557,49 @@ object Extended {
       |  CASE lang WHEN 'en' THEN '$en' WHEN 'zh' THEN '$zh' ELSE '$dflt' END
       |ORDER BY doc_id""".stripMargin
   }
+
+  /** §2.2 q_hierarchy: recursive CTE — iterative graph/tree traversal
+    * in the SQL surface (org charts, category trees, BOM explosions;
+    * the capability d9's connected components hand-rolls, exposed
+    * declaratively). Customer keys form an implicit binary tree
+    * (parent = k div 2, root = 1: contiguous keys make every parent a
+    * real node); the query BFS-walks it from the root, tagging each
+    * node with its depth, and rolls up per level.
+    *
+    * Scale shape: each recursion step is ONE equi-join of the current
+    * frontier against the node table (shuffle on the parent key);
+    * total rows produced across all steps = N, step count = tree
+    * depth (log N balanced). This is exactly d9's propagation loop,
+    * planned by the engine instead of by hand — iteration count
+    * bounded by `spark.sql.cteRecursionLevelLimit`. The DuckDB oracle
+    * runs the identical recursion (`//` is its integer division).
+    *
+    * Keys start at 0, whose parent is itself (0 div 2 = 0) — the
+    * `c_custkey > r.k` guard cuts that self-loop (children always
+    * have larger keys) so the recursion terminates.
+    */
+  def qHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE reach(k, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey, r.depth + 1
+        |  FROM reach r JOIN customer c
+        |    ON c.c_custkey DIV 2 = r.k AND c.c_custkey > r.k
+        |)
+        |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM reach GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val qHierarchySql: String =
+    """WITH RECURSIVE reach(k, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.c_custkey, r.depth + 1
+      |  FROM reach r JOIN customer c
+      |    ON c.c_custkey // 2 = r.k AND c.c_custkey > r.k
+      |)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM reach GROUP BY depth ORDER BY depth""".stripMargin
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Planted-behavior checks for the round-5 corpus operators — the
+  * oracles pin engine parity; these pin semantics on known inputs.
+  */
+class CorpusQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking windows overlap by chunk-stride and cover every token") {
+    val dir = tmpDir("t11_fixture")
+    // 100 tokens -> starts 0, 48, 96 -> sizes 64, 52, 4
+    val words = (0 until 100).map(i => s"w$i").mkString(" ")
+    Seq((1L, words, "en", "s", 100L), (2L, "solo", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = CorpusQueries.t11Chunk(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0, 64L), (1L, 1, 52L), (1L, 2, 4L), (2L, 0, 1L)))
+    // overlap: chunk 1 starts at token 48, inside chunk 0's [0, 64)
+    assert(CorpusQueries.ChunkStride < CorpusQueries.ChunkSize)
+  }
+
+  test("canonicalUrl collapses scheme/case/www/port/query/fragment variants") {
+    val variants = Seq(
+      "https://example3.com/p/17",
+      "http://www.example3.com/p/17/",
+      "HTTPS://EXAMPLE3.COM/P/17?UTM_SOURCE=FEED",
+      "https://example3.com:443/p/17#top")
+    val out = variants.toDF("url")
+      .select(CorpusQueries.canonicalUrl($"url").as("c"))
+      .as[String].collect().toSet
+    assert(out == Set("example3.com/p/17"), s"got $out")
+    // distinct pages stay distinct
+    val two = Seq("https://a.com/x", "https://a.com/y").toDF("url")
+      .select(CorpusQueries.canonicalUrl($"url")).as[String].collect().toSet
+    assert(two.size == 2)
+  }
+
+  test("unigram logprob ranks a rare-token doc above a common-token doc") {
+    val dir = tmpDir("t12_fixture")
+    // "the" appears in every doc; "zyzzyva" once in the whole corpus
+    val docs = (1L to 9L).map(i => (i, "the the the the", "en", "s", 15L)) :+
+      ((10L, "zyzzyva the", "en", "s", 11L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = CorpusQueries.t12UnigramLogprob(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) > out(1L),
+      s"rare-token doc must be more surprising: ${out(10L)} vs ${out(1L)}")
+    // all-common docs share the same score
+    assert((1L to 9L).map(out).toSet.size == 1)
+  }
+
+  test("hierarchy traversal reaches every customer exactly once from the root") {
+    val out = Extended.qHierarchy(spark, sf0).collect()
+    val total = out.map(_.getLong(1)).sum
+    val customers = GraftSession.table(spark, sf0, "customer").count()
+    assert(total === customers, "BFS must visit every node exactly once")
+    // rooted at 0 (0's only child is 1), so level sizes run
+    // 1, 1, 2, 4, 8, ... while the tree is full (contiguous keys 0..N-1)
+    assert(out.head.getInt(0) === 0 && out.head.getLong(1) === 1L)
+    assert(out(1).getLong(1) === 1L, "depth 1 holds only node 1")
+    assert(out(4).getLong(1) === 8L, "depth 4 of the full tree has 8 nodes")
+  }
+}
