@@ -558,6 +558,68 @@ object Extended {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.2 q_sequence_gaps: islands-and-gaps — find the missing runs
+    * in a key sequence (dropped batches in an ingest ledger, holes in
+    * an id space after deletes). lineitem covers only ~98% of the
+    * order-key range, so the gaps are real. lead() over the distinct
+    * keys turns each hole into one row: (last key before, next key
+    * after) → gap bounds.
+    *
+    * Scale caveat (documented like q_lateral): a single ORDER BY
+    * window is a global sort. At 100 TB, range-partition the keys
+    * (repartitionByRange), run the same lead() per partition, and
+    * patch the P−1 partition-boundary pairs on the driver — the
+    * classic distributed fix-up; the per-row algebra is identical.
+    */
+  def qSequenceGaps(spark: SparkSession, dir: String): DataFrame = {
+    val keys = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    keys.withColumn("next_k", lead(col("k"), 1).over(w))
+      .filter(col("next_k") - col("k") > 1)
+      .select((col("k") + 1).as("gap_start"), (col("next_k") - 1).as("gap_end"),
+        (col("next_k") - col("k") - 1).as("gap_len"))
+      .orderBy(col("gap_start"))
+  }
+
+  val qSequenceGapsSql: String =
+    """WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      |n AS (SELECT k, lead(k) OVER (ORDER BY k) AS next_k FROM keys)
+      |SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
+      |  next_k - k - 1 AS gap_len
+      |FROM n WHERE next_k - k > 1 ORDER BY gap_start""".stripMargin
+
+  /** §2.2 q_first_touch: first/last-touch attribution via min_by /
+    * max_by — ONE partial-agg pass instead of the two window sorts
+    * the rank-and-filter form costs (and nothing materializes a
+    * per-user ordering). Ties broken by a lexicographic
+    * (epoch-µs, event_id) composite key, identical in both engines
+    * (DuckDB's arg_min/arg_max take no composite ordering operand, so
+    * the key is encoded as a zero-padded string).
+    */
+  def qFirstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val key = concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lit("-"), lpad(col("event_id").cast("string"), 10, "0"))
+    ev.select(col("user_id"), col("event_type"), key.as("ord"))
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), col("ord")).as("first_type"),
+        max_by(col("event_type"), col("ord")).as("last_type"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFirstTouchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+      |      lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+      |  FROM events)
+      |SELECT user_id, arg_min(event_type, ord) AS first_type,
+      |  arg_max(event_type, ord) AS last_type,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** §2.2 q_hierarchy: recursive CTE — iterative graph/tree traversal
     * in the SQL surface (org charts, category trees, BOM explosions;
     * the capability d9's connected components hand-rolls, exposed

@@ -383,32 +383,43 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val s3KnnIvfSql: String = {
-    // one Lloyd step: assign to nearest centroid (ties by cid), then
-    // per-dimension means rounded to 6 decimals — the same recipe
-    // IvfIndex.learnCentroids runs as literal-embedded aggregations
-    def assign(centSrc: String, out: String, filter: String = ""): String =
-      s"""$out AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.v, s.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_distance(e.v, s.v), s.cid) AS rn
-         |    FROM e $filter CROSS JOIN $centSrc s) t WHERE rn = 1)""".stripMargin
-    def recompute(asgn: String, out: String): String =
-      s"""$out AS (
-         |  SELECT cid, list(av ORDER BY i) AS v FROM (
-         |    SELECT cid, i, round(avg(v[i]), 6) AS av
-         |    FROM $asgn, generate_series(1, 64) AS t(i) GROUP BY cid, i) u
-         |  GROUP BY cid)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  // one Lloyd step: assign to nearest centroid (ties by cid), then
+  // per-dimension means rounded to 6 decimals — the same recipe
+  // IvfIndex.learnCentroids runs as literal-embedded aggregations
+  private def ivfAssignSql(centSrc: String, out: String, filter: String = ""): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, s.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.v, s.v), s.cid) AS rn
+       |    FROM e $filter CROSS JOIN $centSrc s) t WHERE rn = 1)""".stripMargin
+
+  private def ivfRecomputeSql(asgn: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cid, list(av ORDER BY i) AS v FROM (
+       |    SELECT cid, i, round(avg(v[i]), 6) AS av
+       |    FROM $asgn, generate_series(1, 64) AS t(i) GROUP BY cid, i) u
+       |  GROUP BY cid)""".stripMargin
+
+  /** Shared CTE prefix: deterministic seeding, two Lloyd iterations,
+    * and the final full-corpus assignment (`corpus` = vec_id, v, cid;
+    * `c1` = learned centroids) — the SQL replay of
+    * `IvfIndex.learnCentroids(k=16, iters=2)`, used by both the s3
+    * IVF search oracle and the d13 SemDeDup oracle.
+    */
+  private val ivfLearnedCorpusCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |seeds AS (
       |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
       |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-      |${assign("seeds", "a0")},
-      |${recompute("a0", "c0")},
-      |${assign("c0", "a1")},
-      |${recompute("a1", "c1")},
-      |${assign("c1", "corpus")},
+      |${ivfAssignSql("seeds", "a0")},
+      |${ivfRecomputeSql("a0", "c0")},
+      |${ivfAssignSql("c0", "a1")},
+      |${ivfRecomputeSql("a1", "c1")},
+      |${ivfAssignSql("c1", "corpus")}""".stripMargin
+
+  val s3KnnIvfSql: String = {
+    s"""WITH $ivfLearnedCorpusCtes,
       |qp AS (
       |  SELECT qid, qv, cid FROM (
       |    SELECT q.vec_id AS qid, q.v AS qv, s.cid,
@@ -424,6 +435,73 @@ object LlmQueries {
       |  FROM sim)
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
+
+  /** §2.3 d13: SemDeDup — semantic dedup via learned clusters. SRP
+    * buckets (d5/d6) group by RANDOM projections; SemDeDup groups by
+    * the corpus' own k-means cells, so near-dups land together because
+    * they are semantically close, not because a random hyperplane
+    * happened to agree. Per cluster: exact pairwise cosine, a vector
+    * is DROPPED when a lower-id neighbor above the threshold exists
+    * (deterministic, order-free keep rule). Emits the per-cluster
+    * census (sizes, dup pairs, drops, max similarity) — non-vacuous
+    * on every cluster even when a corpus has few near-dups.
+    *
+    * Scale: centroid learning = 2 distributed agg passes (IvfIndex);
+    * assignment is a narrow map against centroid literals; the only
+    * shuffle is the cluster-id self-join. Pairwise work is quadratic
+    * WITHIN a cell by design — at corpus scale k grows with N
+    * (k ≈ N/1000) so cell sizes stay bounded and total work is
+    * N·cellSize, never N². The whole pipeline (seeding, Lloyd,
+    * assignment, census) replays in the DuckDB oracle.
+    */
+  def d13SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, toDouble}
+    val e = table(spark, dir, "embeddings")
+    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 2, dims = 64)
+    val v = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
+    val a = v.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+    val tau = 0.42
+    val stats = pairs.groupBy(col("cid")).agg(
+      sum(when(col("sim") > tau, 1L).otherwise(0L)).as("n_dup_pairs"),
+      countDistinct(when(col("sim") > tau, col("id_b"))).as("n_dropped"),
+      round(max(col("sim")), 6).as("max_cos6"))
+    v.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(stats, Seq("cid"), "left")
+      // cast cid long (the oracle's row_number seeds are BIGINT) and
+      // sentinel -1 for a singleton cluster's max (a cross-engine
+      // NULL would stringify differently in the compare harness)
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("max_cos6"), lit(-1.0)).as("max_cos6"))
+      .orderBy(col("cid"))
+  }
+
+  val d13SemanticDedupSql: String =
+    s"""WITH $ivfLearnedCorpusCtes,
+      |pairs AS (
+      |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_cosine_similarity(a.v, b.v) AS sim
+      |  FROM corpus a JOIN corpus b USING (cid)
+      |  WHERE a.vec_id < b.vec_id),
+      |stats AS (
+      |  SELECT cid,
+      |    CAST(sum(CASE WHEN sim > 0.42 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+      |    CAST(count(DISTINCT CASE WHEN sim > 0.42 THEN id_b END) AS BIGINT) AS n_dropped,
+      |    round(max(sim), 6) AS max_cos6
+      |  FROM pairs GROUP BY cid)
+      |SELECT c.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  coalesce(any_value(s.n_dup_pairs), 0) AS n_dup_pairs,
+      |  coalesce(any_value(s.n_dropped), 0) AS n_dropped,
+      |  coalesce(any_value(s.max_cos6), -1.0) AS max_cos6
+      |FROM corpus c LEFT JOIN stats s USING (cid)
+      |GROUP BY c.cid ORDER BY c.cid""".stripMargin
 
   /** §2.6 m2: the media decode pipeline (byte-budget partitioning +
     * per-partition batch decode, stub codec). Oracled: the stub's fake

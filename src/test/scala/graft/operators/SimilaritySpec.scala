@@ -105,6 +105,24 @@ class SimilaritySpec extends SparkSpec {
     assert(found.subsetOf(exact), "bucketed pairs must verify exactly")
   }
 
+  test("semantic dedup: planted near-identical vectors share a cluster and get dropped") {
+    val dir = tmpDir("d13_fixture")
+    val base = emb.select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    // exact copies of vectors 0..4 under high ids: same cluster as
+    // their source (identical distances), cosine 1.0 > tau
+    val dups = base.filter(_._1 < 5).map { case (id, v, l) => (id + 90000L, v, l) }
+    (base ++ dups).toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val out = LlmQueries.d13SemanticDedup(spark, dir).collect()
+    val dropped = out.map(_.getLong(3)).sum
+    assert(dropped >= 5, s"5 planted exact copies must be dropped, got $dropped")
+    assert(out.map(_.getDouble(4)).max >= 0.9999,
+      "an exact copy pair must surface as max cosine ~1")
+    // every vector is assigned somewhere: cluster sizes sum to the corpus
+    assert(out.map(_.getLong(1)).sum === base.length + dups.length)
+  }
+
   test("bucket assignment is deterministic across evaluations") {
     import graft.functions.VectorFunctions
     val b1 = emb.select(VectorFunctions.srpBucket(

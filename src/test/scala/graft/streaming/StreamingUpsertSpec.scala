@@ -14,8 +14,18 @@ class StreamingUpsertSpec extends SparkSpec {
     StreamingUpsert.latestSnapshot(spark, out).get
       .select("k").as[Long].collect().toSet
 
+  private def freshDir(name: String): String = {
+    val d = new java.io.File(tmpDir(name))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(d); d.mkdirs()
+    d.getAbsolutePath
+  }
+
   test("per-batch merge folds inserts/updates/deletes and crash-replay is idempotent") {
-    val out = tmpDir("stream_upsert") + "/table"
+    val out = freshDir("stream_upsert") + "/table"
     val merge = StreamingUpsert.mergeBatch(out, "k", "version", "is_delete") _
     merge(changes((1L to 5L).map(k => (k, s"p$k", 1L, false))), 0L)
     assert(StreamingUpsert.versions(spark, out) == Seq(0L))
@@ -38,7 +48,7 @@ class StreamingUpsertSpec extends SparkSpec {
   }
 
   test("change stream through foreachBatch lands the same snapshot as a batch merge") {
-    val base = tmpDir("stream_upsert_live")
+    val base = freshDir("stream_upsert_live")
     val feed = base + "/feed"
     val out = base + "/table"
     val b0 = changes((1L to 4L).map(k => (k, s"p$k", 1L, false)))
