@@ -77,36 +77,37 @@ object CorpusQueries {
   // t12: corpus-unigram LM score
   // ---------------------------------------------------------------
 
-  /** §2.5 t12: corpus-unigram negative log-likelihood per document —
-    * the CCNet-style "how surprising is this doc under the corpus'
-    * own token distribution" quality signal. Low avg_nll = made of
-    * very common tokens (template/boilerplate); high = rare-token
-    * soup (garbled text, wrong language). t2/t8/t10 score each doc
-    * in isolation; this is the cross-doc statistic.
+  /** §2.5 t12: corpus-unigram log-likelihood per document — the
+    * CCNet-style "how typical is this doc under the corpus' own token
+    * distribution" quality signal. HIGH avg_logcnt = made of very
+    * common tokens (template/boilerplate); LOW = rare-token soup
+    * (garbled text, wrong language). t2/t8/t10 score each doc in
+    * isolation; this is the cross-doc statistic. The true avg log
+    * p(token) is avg_logcnt − ln N (N = corpus tokens), a constant
+    * shift that changes no per-doc comparison, so the constant is
+    * deliberately dropped: keeping it would cost a second full agg
+    * branch over the corpus just to compute one scalar.
     *
-    * avg_nll(d) = Σ_t tf(d,t)·(ln N − ln cnt(t)) / n_d, with N the
-    * corpus token count. Shape: one (doc, term) partial-agg shuffle
-    * for tf, term-key shuffle for corpus counts, term-key equi-join
-    * back, doc-key shuffle for the fold — all partial-aggregated,
-    * nothing quadratic, no broadcast of the vocabulary (it shuffles
-    * like any fact-fact equi-join at 100 TB). The 1-row corpus total
-    * broadcasts. ln on integer inputs is IEEE-identical across
-    * engines; the summation-order drift is absorbed by 6dp rounding
-    * (SURVEY §5, precedent t7/t10).
+    * Shape — ONE corpus scan: (doc, term) partial-agg shuffle for tf,
+    * then corpus term counts as a WINDOW sum over the term key
+    * (instead of a separate groupBy branch + join, which re-scans the
+    * corpus: column pruning makes the branch subtrees unequal, so
+    * ReuseExchange cannot deduplicate them — measured 3 scans), then
+    * the doc-key fold. Nothing quadratic, no vocabulary broadcast.
+    * ln on integer inputs is IEEE-identical across engines; the
+    * summation-order drift is absorbed by 6dp rounding (SURVEY §5,
+    * precedent t7/t10).
     */
   def t12UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val occ = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
     val tf = occ.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-    val total = cnt.agg(sum(col("cnt")).cast("long").as("total"))
-    tf.join(cnt, "term")
-      .crossJoin(broadcast(total))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    tf.withColumn("cnt", sum(col("tf")).over(wTerm))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tok"),
-        round((log(max(col("total")).cast("double")) * sum(col("tf")) -
-          sum(col("tf").cast("double") * log(col("cnt").cast("double")))) /
-          sum(col("tf")), 6).as("avg_nll"))
+        round(sum(col("tf").cast("double") * log(col("cnt").cast("double"))) /
+          sum(col("tf")), 6).as("avg_logcnt"))
       .orderBy(col("doc_id"))
   }
 
@@ -117,15 +118,12 @@ object CorpusQueries {
       |  FROM documents
       |), tf AS (
       |  SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2
-      |), cnt AS (
-      |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
-      |), tot AS (
-      |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt
+      |), wc AS (
+      |  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY term) AS cnt FROM tf
       |)
       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
-      |  round((ln(max(total)) * sum(tf) - sum(tf * ln(cnt))) / sum(tf), 6) AS avg_nll
-      |FROM tf JOIN cnt USING (term) CROSS JOIN tot
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  round(sum(tf * ln(cnt)) / sum(tf), 6) AS avg_logcnt
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // d12: URL-canonicalization dedup

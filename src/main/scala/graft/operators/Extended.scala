@@ -558,6 +558,57 @@ object Extended {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.2 q_variant: semi-structured data through the VARIANT type —
+    * `parse_json` once into the binary variant encoding, then typed
+    * `variant_get` extraction (the engine-native path for schema-on-
+    * read JSON: parse cost paid once, extraction is a codegen'd
+    * binary probe, not a per-access string re-parse like
+    * `get_json_object` in q_json_props). The oracle extracts the same
+    * typed field with DuckDB's JSON operators.
+    */
+  def qVariant(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.select(col("event_type"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qVariantSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** §2.2 q_collect: ordered list aggregation — collect per-group
+    * values into a deterministic delimited string (the "roll the
+    * group up into one cell" report shape). Spark's collect_list has
+    * no ordering contract, so the canonical form is collect → sort →
+    * join, which equals DuckDB's string_agg(... ORDER BY). Grouped
+    * state is the group's values (bounded by the dimension's fanout —
+    * a rollup over a bounded dim, not a corpus-wide collect).
+    */
+  def qCollect(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "supplier")
+    val n = table(spark, dir, "nation")
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), "|").as("suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  val qCollectSql: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  string_agg(s_name, '|' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** §2.2 q_sequence_gaps: islands-and-gaps — find the missing runs
     * in a key sequence (dropped batches in an ingest ledger, holes in
     * an id space after deletes). lineitem covers only ~98% of the

@@ -39,7 +39,7 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(two.size == 2)
   }
 
-  test("unigram logprob ranks a rare-token doc above a common-token doc") {
+  test("unigram logprob ranks a rare-token doc below a common-token doc") {
     val dir = tmpDir("t12_fixture")
     // "the" appears in every doc; "zyzzyva" once in the whole corpus
     val docs = (1L to 9L).map(i => (i, "the the the the", "en", "s", 15L)) :+
@@ -48,8 +48,8 @@ class CorpusQueriesSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir + "/documents.parquet")
     val out = CorpusQueries.t12UnigramLogprob(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(out(10L) > out(1L),
-      s"rare-token doc must be more surprising: ${out(10L)} vs ${out(1L)}")
+    assert(out(10L) < out(1L),
+      s"rare-token doc must score lower (less typical): ${out(10L)} vs ${out(1L)}")
     // all-common docs share the same score
     assert((1L to 9L).map(out).toSet.size == 1)
   }
