@@ -530,6 +530,34 @@ object LlmQueries {
       |      FROM documents)
       |ORDER BY id""".stripMargin
 
+  /** §2.6 m3: frame sampling — decode (stub codec) gives each video
+    * its frame count; `Multimodal.frameSample` fans every object out
+    * to its stride-sampled frame references (typed flatMap, shuffle-
+    * free like t11's chunking); the rollup checks the fan-out per
+    * object. Oracled because the stub's frame count is md5-derived
+    * (m2's recipe), so DuckDB recomputes sample counts from first
+    * principles.
+    */
+  def m3FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(spark, table(spark, dir, "documents"),
+      "doc_id", "text", "video")
+    val frames = Multimodal.frameSample(
+      Multimodal.decodeAll(media, targetPartitionBytes = 1L << 20), stride = 25)
+    frames.toDF().groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frameIdx")).cast("long").as("last_idx"))
+      .orderBy(col("id"))
+  }
+
+  val m3FrameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS id,
+      |    1 + (('0x' || substr(md5(text), 1, 8))::BIGINT // 256) % 240 AS n_frames
+      |  FROM documents)
+      |SELECT id, CAST((n_frames + 24) // 25 AS BIGINT) AS n_sampled,
+      |  CAST(((n_frames + 24) // 25 - 1) * 25 AS BIGINT) AS last_idx
+      |FROM f ORDER BY id""".stripMargin
+
   /** §2.7 batch form of sessionization (session_window). Oracled: the
     * DuckDB side reconstructs identical sessions from first principles
     * (lag-gap flag → running-sum session id), an independent
