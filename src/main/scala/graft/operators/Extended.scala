@@ -558,6 +558,67 @@ object Extended {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.2 q_resample_ffill: time-series resampling onto a regular
+    * hourly grid with forward-fill — the gap-filling step every
+    * metrics/feature pipeline runs before joining event streams to a
+    * fixed cadence (sensor readings, account balances, model-serving
+    * stats). Each user's grid spans their own [first, last] event
+    * hour; empty hours carry the last observed value forward.
+    *
+    * Shape: hourly partial-agg shuffle on (user, hour); per-user
+    * bounds partial-agg; `sequence` + explode builds the grid with NO
+    * generator table (fan-out ∝ output rows, t11's pattern); LEFT
+    * join back on (user, hour); the forward-fill is
+    * `last(ignoreNulls)` over an incremental ROWS frame on the SAME
+    * user key — every shuffle is keyed, nothing global, grid size is
+    * users × hours (output-bound, not input-bound).
+    */
+  def qResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").filter(col("user_id") < 100)
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(round(col("value") * 100)).cast("long").as("cents"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("filled_cents"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  val qResampleFfillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events WHERE user_id < 100),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+      |  FROM ev GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+      |    date_trunc('hour', max(ts)) AS h1
+      |  FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM bounds)
+      |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS h,
+      |  coalesce(n_obs, 0) AS n_obs,
+      |  last_value(cents IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      |FROM grid g LEFT JOIN hourly USING (user_id, h)
+      |ORDER BY user_id, h""".stripMargin
+
   /** §2.2 q_variant: semi-structured data through the VARIANT type —
     * `parse_json` once into the binary variant encoding, then typed
     * `variant_get` extraction (the engine-native path for schema-on-

@@ -65,6 +65,25 @@ class PlanSpec extends SparkSpec {
       s"packing must shuffle once (window + agg share the source partitioning), got $hashExchanges")
   }
 
+  test("chunking and frame sampling are shuffle-free fan-outs (no hash exchange)") {
+    // t11/m3 claim Generate/flatMap fan-out with zero shuffles before
+    // the presentation sort — a hash exchange here would mean the
+    // fan-out rows are being moved instead of produced in place
+    val chunkPlan = executed(operators.CorpusQueries.t11Chunk(spark, sf0))
+    assert(!chunkPlan.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n${chunkPlan.take(1500)}")
+    val framePlan = executed(LlmQueries.m3FrameSample(spark, sf0))
+    // m3's rollup aggregates per id — partial agg before its exchange
+    assert(framePlan.contains("partial"),
+      "frame rollup must partial-aggregate map-side")
+  }
+
+  test("t12: single corpus scan (window-sum corpus counts, no branch re-scan)") {
+    val plan = executed(operators.CorpusQueries.t12UnigramLogprob(spark, sf0))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"unigram scoring must scan the corpus once, got $scans")
+  }
+
   test("d4/d7 candidates: equi-join key includes the id-gap block, never source alone") {
     // the gap predicate must NOT be a residual over all same-source
     // pairs — the block column has to drive the shuffle (quadratic-

@@ -54,6 +54,34 @@ class CorpusQueriesSpec extends SparkSpec {
     assert((1L to 9L).map(out).toSet.size == 1)
   }
 
+  test("resample: grid is dense per user, gap hours carry the last value forward") {
+    val out = Extended.qResampleFfill(spark, sf0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    val byUser = out.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      // dense hourly grid: consecutive timestamps are exactly 1h apart
+      val hours = rows.map(_._2).sorted
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      val ts = hours.map(h => java.time.LocalDateTime.parse(h, fmt))
+      ts.sliding(2).foreach { case Array(a, b) =>
+        assert(java.time.Duration.between(a, b).toHours == 1,
+          s"user $u grid not hourly: $a -> $b")
+      }
+      // first grid hour is observed (grid starts at the user's first event)
+      assert(rows.minBy(_._2)._3 > 0)
+      // forward fill: a gap hour (n_obs = 0) repeats the previous fill
+      val ordered = rows.sortBy(_._2)
+      ordered.sliding(2).foreach { case Array(prev, cur) =>
+        if (cur._3 == 0) assert(cur._4 == prev._4,
+          s"user $u gap hour ${cur._2} must carry ${prev._4}, got ${cur._4}")
+      }
+    }
+    // non-vacuous: most grid hours are gaps at this density
+    val gaps = out.count(_._3 == 0)
+    assert(gaps > out.length / 2, s"expected a sparse grid, gaps=$gaps/${out.length}")
+  }
+
   test("hierarchy traversal reaches every customer exactly once from the root") {
     val out = Extended.qHierarchy(spark, sf0).collect()
     val total = out.map(_.getLong(1)).sum
