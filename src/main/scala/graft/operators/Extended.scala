@@ -558,6 +558,41 @@ object Extended {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.2 q_interval_join: two-sided interval-overlap self-join
+    * (`operators.IntervalJoin`) — q_range_join pairs a POINT with a
+    * trailing window; here BOTH rows carry an interval (overlapping
+    * fulfillment windows per customer). Intervals derived
+    * deterministically from orders: start = order day, span =
+    * orderkey mod 14 days. The oracle is the plain quadratic
+    * same-key overlap join — bucket-explosion invariance, like
+    * q_skew_join's salt invariance.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val iv = o.select(col("o_orderkey").as("id"), col("o_custkey").as("k"),
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("s"))
+      .withColumn("e", col("s") + pmod(col("id"), lit(14L)))
+    IntervalJoin.overlapPairs(iv, "id", "k", "s", "e", bucketWidth = 14L)
+      .groupBy(col("key").as("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("overlap_len")).cast("long").as("sum_overlap"))
+      .select(col("o_custkey"), col("n_pairs"), col("sum_overlap"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS id, o_custkey AS k,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+      |      + o_orderkey % 14 AS e
+      |  FROM orders)
+      |SELECT a.k AS o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT) AS sum_overlap
+      |FROM iv a JOIN iv b
+      |  ON a.k = b.k AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY a.k ORDER BY o_custkey""".stripMargin
+
   /** §2.2 q_resample_ffill: time-series resampling onto a regular
     * hourly grid with forward-fill — the gap-filling step every
     * metrics/feature pipeline runs before joining event streams to a
