@@ -126,6 +126,56 @@ object CorpusQueries {
       |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_pagerank: crawl-authority scoring
+  // ---------------------------------------------------------------
+
+  /** §2.2 q_pagerank: fixed-iteration PageRank over a deterministic
+    * doc_id-derived link graph (the corpus ships no link column, so
+    * the entry plants one — t6/d12's recipe). The maps must NOT be
+    * bijections mod N (a linear a·x+b with gcd(a,N)=1 gives every
+    * node in-degree exactly 1 → uniform ranks, a vacuous entry):
+    * node² spreads in-degree unevenly and node mod 97 concentrates
+    * authority on 97 hubs, so ranks genuinely differentiate. The
+    * oracle unrolls the same 5 iterations as chained CTEs.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("node"))
+    val edges = nodes.select(col("node").as("src"),
+        pmod(col("node") * col("node") + 13, lit(n)).as("dst"))
+      .unionByName(nodes.select(col("node").as("src"),
+        pmod(col("node"), lit(97L)).as("dst")))
+    PageRank.ranks(nodes, edges, outDeg = 2).orderBy(col("node"))
+  }
+
+  val qPagerankSql: String = {
+    // integer micro-units: sum(u) is exact, the round() input is
+    // bit-identical across engines (see PageRank Scaladoc)
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node,
+         |    CAST(round(150000 + 0.85 * coalesce(sum(r.u), 0) / 2) AS BIGINT) AS u
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN $prev r ON r.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    s"""WITH c AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT doc_id AS node FROM documents),
+      |edges AS (
+      |  SELECT node AS src, (node * node + 13) % cnt AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, node % 97 AS dst FROM nodes CROSS JOIN c),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS u FROM nodes),
+      |${iter("r0", "r1")},
+      |${iter("r1", "r2")},
+      |${iter("r2", "r3")},
+      |${iter("r3", "r4")},
+      |${iter("r4", "r5")}
+      |SELECT node, u / 1000000.0 AS rank6 FROM r5 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // d12: URL-canonicalization dedup
   // ---------------------------------------------------------------
 

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank (SURVEY.md §2.2 q_pagerank) — the
+  * crawl-authority score web-corpus pipelines use for seed/quality
+  * weighting (a page linked by well-linked pages is a better training
+  * source than an orphan). d9's connected components is an iterative
+  * LABEL fixpoint; this is the iterative NUMERIC one — together they
+  * cover the two graph-compute shapes a corpus pipeline needs.
+  *
+  * Determinism/portability: ranks live in integer MICRO-UNITS
+  * (1.0 → 1,000,000), so the per-iteration neighbor sum is EXACT
+  * integer arithmetic — no float summation-order drift at all. The
+  * only float op per iteration is `round(base + damping·S/outDeg)`
+  * on a bit-identical input, so both engines round the same number
+  * (6dp rounding of a drifted sum was measured to flip ±1 micro-unit
+  * on round-half boundaries — hub nodes sum ~100 grid values, which
+  * lands on .5 boundaries constantly). The DuckDB oracle unrolls the
+  * same iterations as chained CTEs (aggregates are not allowed in a
+  * recursive CTE term, so unrolling IS the replay).
+  *
+  * Scale: each iteration is ONE equi-join (edges ⋈ ranks on src) +
+  * one partial-agg shuffle on dst + a LEFT join to keep in-degree-0
+  * nodes; lineage cut per iteration with localCheckpoint (d9's
+  * pattern). Driver holds nothing but the loop counter.
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val Iters = 5
+  val Unit = 1000000L
+
+  /** `edges`: (src, dst) rows; `nodes`: one `node` column. Returns
+    * (node, rank6) with Σrank ≈ n (node-count scaling). `outDeg` must
+    * be the constant out-degree of every src (the entry's synthetic
+    * graph is regular; a general graph joins a precomputed out-degree
+    * table instead — same shape, one more narrow column).
+    */
+  def ranks(nodes: DataFrame, edges: DataFrame, outDeg: Int): DataFrame = {
+    var r = nodes.select(col("node"), lit(Unit).as("u")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val base = (1 - Damping) * Unit
+    for (_ <- 1 to Iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst"), col("u"))
+        .groupBy(col("dst")).agg(sum(col("u")).as("in_sum"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)) / outDeg)
+            .cast("long").as("u"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), (col("u") / (Unit.toDouble)).as("rank6"))
+  }
+}

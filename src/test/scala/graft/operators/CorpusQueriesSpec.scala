@@ -82,6 +82,25 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(gaps > out.length / 2, s"expected a sparse grid, gaps=$gaps/${out.length}")
   }
 
+  test("pagerank: authority concentrates on hub nodes, mass is conserved") {
+    val out = CorpusQueries.qPagerank(spark, sf0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = out.size
+    // damped mass conservation: sum stays ~n (leaks only via rounding)
+    assert(math.abs(out.values.sum - n) < n * 0.01)
+    // every node links to node % 97: the hub block must hold more
+    // authority per node than the rest
+    val (hubs, rest) = out.partition(_._1 < 97)
+    val hubAvg = hubs.values.sum / hubs.size
+    val restAvg = rest.values.sum / rest.size
+    assert(hubAvg > 2 * restAvg,
+      s"hub avg $hubAvg must dominate non-hub avg $restAvg")
+    // deterministic run to run
+    val again = CorpusQueries.qPagerank(spark, sf0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
+
   test("hierarchy traversal reaches every customer exactly once from the root") {
     val out = Extended.qHierarchy(spark, sf0).collect()
     val total = out.map(_.getLong(1)).sum
