@@ -99,6 +99,27 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(base + "/allnull").count() === 2)
   }
 
+  test("schema evolution: mergeSchema unifies old and new file generations") {
+    import spark.implicits._
+    val dir = tmpDir("layout_evolution") + "/table"
+    // generation 1: (doc_id, text) — written before the pipeline
+    // started recording quality
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    // generation 2: adds a quality column (the add-a-column-mid-corpus
+    // reality of any long-lived 100 TB table)
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet === Set("doc_id", "text", "quality"))
+    assert(merged.count() === 3)
+    // old-generation rows surface the new column as null; aggregates skip them
+    assert(merged.filter($"quality".isNull).count() === 2)
+    assert(merged.agg(org.apache.spark.sql.functions.avg($"quality")).head().getDouble(0) === 0.9)
+    // default read (no merge) still works against the footer-sampled schema
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("clustered write produces mostly disjoint row-group ranges; shuffled write does not") {
     val li = GraftSession.table(spark, sf0, "lineitem")
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
