@@ -37,6 +37,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(lens((8L, 9L)) == 1L) // point overlap
   }
 
+  test("property: random intervals agree with brute force across widths") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 5) {
+      val n = 40 + rnd.nextInt(60)
+      val rows = (1L to n).map { id =>
+        val s = rnd.nextInt(200).toLong
+        // mix of points, short spans, and spans far beyond any width
+        val span = rnd.nextInt(3) match {
+          case 0 => 0L
+          case 1 => rnd.nextInt(10).toLong
+          case _ => 30L + rnd.nextInt(120)
+        }
+        (id, s"k${rnd.nextInt(4)}", s, s + span)
+      }
+      val df = rows.toDF("id", "key", "s", "e")
+      val expected = brute(rows)
+      val width = 1L + rnd.nextInt(50)
+      val got = IntervalJoin.overlapPairs(df, "id", "key", "s", "e", width)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      assert(got.length == got.distinct.length,
+        s"round $round width=$width: duplicate pairs")
+      assert(got.toSet == expected, s"round $round width=$width mismatch")
+    }
+  }
+
   test("join runs on (key, bucket) — never the key alone") {
     val dir = tmpDir("interval_plan")
     (1L to 100L).map(i => (i, s"k${i % 3}", i * 3, i * 3 + 10))
