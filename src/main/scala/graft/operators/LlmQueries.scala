@@ -169,8 +169,13 @@ object LlmQueries {
   // component's min id m is smaller than every other member, so (m)
   // still reaches all of them; labels that are not the running min
   // are dropped early instead of exploding the recursion state.
-  val d9DedupClustersSql: String =
-    """WITH RECURSIVE norm AS (
+  /** Shared CTE prefix: shingle sets → jaccard-verified edges →
+    * min-label reachability (`reach`) — the SQL replay of the
+    * idGapJoin + jaccardVerify + connectedComponents pipeline, used
+    * by both the d9 cluster oracle and the d14 retention oracle.
+    */
+  private val jaccardReachCtes: String =
+    """norm AS (
       |  SELECT doc_id, source,
       |    list_distinct([('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
       |                   for i in generate_series(1, length(t) - 4)]) AS sh
@@ -192,10 +197,66 @@ object LlmQueries {
       |  UNION
       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
       |  WHERE r.label < e.dst
-      |)
+      |)""".stripMargin
+
+  val d9DedupClustersSql: String =
+    s"""WITH RECURSIVE $jaccardReachCtes
       |SELECT node AS doc_id, min(label) AS cluster_id,
       |  CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_rep
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** §2.3 d14: retention — the END product of the dedup pipeline.
+    * Pairs (d2/d4) and clusters (d9) are diagnostics; what a corpus
+    * build actually executes is "keep ONE member per near-dup
+    * cluster". Policy: keep the longest member (n_chars), ties by
+    * min doc_id — the standard keep-the-most-complete-copy rule.
+    * Docs with no near-dup form singleton clusters and keep
+    * themselves; the entry reports the multi-member clusters with
+    * their keep decision.
+    *
+    * Scale: clusters come from the d9 pipeline (O(log diameter)
+    * rounds); the retention decision adds ONE left join (docs ⋈
+    * clusters on doc id) + one cluster-key window whose partitions
+    * are cluster-sized — bounded, never corpus-wide.
+    */
+  def d14Retention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
+      .select(col("id_a"), col("id_b"))
+    val edges = Dedup.jaccardVerify(docs, pairs, "doc_id", "text", threshold = 0.2)
+    val clusters = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+    val assigned = docs.select(col("doc_id"), col("n_chars"))
+      .join(clusters, docs("doc_id") === clusters("node"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
+    assigned.withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+        min(when(col("rk") === 1, col("n_chars"))).as("kept_chars"))
+      .filter(col("n_members") > 1)
+      .select(col("cluster").as("cluster_id"), col("n_members"),
+        col("kept_doc"), col("kept_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val d14RetentionSql: String =
+    s"""WITH RECURSIVE $jaccardReachCtes,
+      |clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+      |assigned AS (
+      |  SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM assigned)
+      |SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+      |  min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+      |  min(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars
+      |FROM ranked GROUP BY cluster HAVING count(*) > 1
+      |ORDER BY cluster_id""".stripMargin
 
   /** §2.3 d5: embedding near-dup pairs — exact cosine verification
     * over MULTI-PROBE SRP candidates (buckets within Hamming ≤ 1).

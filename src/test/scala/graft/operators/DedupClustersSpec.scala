@@ -24,6 +24,29 @@ class DedupClustersSpec extends SparkSpec {
     assert(DedupClusters.connectedComponents(edges, "a", "b").count() == 0)
   }
 
+  test("retention keeps the longest member per planted cluster, singletons excluded") {
+    import spark.implicits._
+    val dir = tmpDir("d14_fixture")
+    val shared = (1 to 40).map(i => s"common$i").mkString(" ")
+    Seq(
+      // near-dup cluster, same source, ids within the gap window:
+      // 11 is the longest and must be kept over the smaller id 10
+      (10L, s"$shared tail", "en", "s0", 100L),
+      (11L, s"$shared tail plus extra words here", "en", "s0", 130L),
+      (12L, s"$shared tai", "en", "s0", 99L),
+      // unrelated singleton — must NOT appear in the report
+      (400L, "completely different content entirely", "en", "s0", 37L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = LlmQueries.d14Retention(spark, dir).collect()
+    assert(out.length == 1, s"exactly one multi-member cluster, got ${out.length}")
+    val r = out.head
+    assert(r.getLong(0) == 10L) // cluster labeled by min id
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 11L, "longest member wins, not the smallest id")
+    assert(r.getLong(3) == 130L)
+  }
+
   test("pointer jumping: a 200-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // worst case for plain propagation (diameter 199, would need 199
