@@ -81,19 +81,21 @@ object Bench {
     val errJson = errors.distinct
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
-    // The stdout contract is ONE compact JSON line (the driver tail-captures
-    // output; round-3's inline per-query {median,min,runs} detail pushed the
-    // line past the capture window and truncated its START, so the driver
-    // recorded "parsed": null). Detail goes to stderr + a side file instead.
+    // The stdout contract is ONE SHORT JSON line (the driver tail-captures
+    // output; the r3 per-query {median,min,runs} detail AND the r5 flat
+    // per-query median map both pushed the line past the capture window and
+    // truncated its START, so the driver recorded "parsed": null — twice).
+    // The final line therefore carries ONLY the scalar summary; the full
+    // per-query medians + detail live in target/bench_detail.json + stderr.
     val detailJson =
-      s"""{"runs_per_query":$runsPer,"queries":$detail,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"runs_per_query":$runsPer,"medians":$qs,"queries":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     System.err.println(detailJson)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/target/bench_detail.json"),
         detailJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${summary.size},"errors":$errJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }
