@@ -465,14 +465,18 @@ object LlmQueries {
   /** Shared CTE prefix: deterministic seeding, two Lloyd iterations,
     * and the final full-corpus assignment (`corpus` = vec_id, v, cid;
     * `c1` = learned centroids) — the SQL replay of
-    * `IvfIndex.learnCentroids(k=16, iters=2)`, used by both the s3
-    * IVF search oracle and the d13 SemDeDup oracle.
+    * `IvfIndex.learnCentroids(iters=2)`, used by both the s3 IVF
+    * search oracle (fixed k=16) and the d13 SemDeDup oracle (k
+    * derived from the corpus size, `SemanticDedup.adaptiveK`).
+    * `kSql` is any scalar SQL expression for the cell count.
     */
-  private val ivfLearnedCorpusCtes: String =
+  private def ivfLearnedCorpusCtes(kSql: String): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |kv AS (SELECT $kSql AS k),
       |seeds AS (
-      |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
-      |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      |  SELECT cid, v FROM (
+      |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
+      |    FROM e) s, kv WHERE s.cid <= kv.k),
       |${ivfAssignSql("seeds", "a0")},
       |${ivfRecomputeSql("a0", "c0")},
       |${ivfAssignSql("c0", "a1")},
@@ -480,7 +484,7 @@ object LlmQueries {
       |${ivfAssignSql("c1", "corpus")}""".stripMargin
 
   val s3KnnIvfSql: String = {
-    s"""WITH $ivfLearnedCorpusCtes,
+    s"""WITH ${ivfLearnedCorpusCtes("16")},
       |qp AS (
       |  SELECT qid, qv, cid FROM (
       |    SELECT q.vec_id AS qid, q.v AS qv, s.cid,
@@ -497,55 +501,20 @@ object LlmQueries {
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
-  /** §2.3 d13: SemDeDup — semantic dedup via learned clusters. SRP
-    * buckets (d5/d6) group by RANDOM projections; SemDeDup groups by
-    * the corpus' own k-means cells, so near-dups land together because
-    * they are semantically close, not because a random hyperplane
-    * happened to agree. Per cluster: exact pairwise cosine, a vector
-    * is DROPPED when a lower-id neighbor above the threshold exists
-    * (deterministic, order-free keep rule). Emits the per-cluster
-    * census (sizes, dup pairs, drops, max similarity) — non-vacuous
-    * on every cluster even when a corpus has few near-dups.
-    *
-    * Scale: centroid learning = 2 distributed agg passes (IvfIndex);
-    * assignment is a narrow map against centroid literals; the only
-    * shuffle is the cluster-id self-join. Pairwise work is quadratic
-    * WITHIN a cell by design — at corpus scale k grows with N
-    * (k ≈ N/1000) so cell sizes stay bounded and total work is
-    * N·cellSize, never N². The whole pipeline (seeding, Lloyd,
-    * assignment, census) replays in the DuckDB oracle.
+  /** §2.3 d13: SemDeDup — semantic dedup via learned k-means cells
+    * (SemanticDedup operator; see its Scaladoc for the design). The
+    * cell count k is derived from the corpus size
+    * (max(16, ceil(n/512)), `SemanticDedup.adaptiveK`) so within-cell
+    * pairwise work stays N·cellSize at any scale; the oracle derives
+    * the SAME k from `count(*)` in SQL.
     */
-  def d13SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{cosine, toDouble}
-    val e = table(spark, dir, "embeddings")
-    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
-      k = 16, iters = 2, dims = 64)
-    val v = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
-    val a = v.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = v.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
-    val pairs = a.join(b, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
-    val tau = 0.42
-    val stats = pairs.groupBy(col("cid")).agg(
-      sum(when(col("sim") > tau, 1L).otherwise(0L)).as("n_dup_pairs"),
-      countDistinct(when(col("sim") > tau, col("id_b"))).as("n_dropped"),
-      round(max(col("sim")), 6).as("max_cos6"))
-    v.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
-      .join(stats, Seq("cid"), "left")
-      // cast cid long (the oracle's row_number seeds are BIGINT) and
-      // sentinel -1 for a singleton cluster's max (a cross-engine
-      // NULL would stringify differently in the compare harness)
-      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
-        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        coalesce(col("max_cos6"), lit(-1.0)).as("max_cos6"))
-      .orderBy(col("cid"))
-  }
+  def d13SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    SemanticDedup.census(table(spark, dir, "embeddings"),
+      "vec_id", "embedding", tau = 0.42)
 
   val d13SemanticDedupSql: String =
-    s"""WITH $ivfLearnedCorpusCtes,
+    s"""WITH ${ivfLearnedCorpusCtes(
+        s"greatest(16, CAST(ceil((SELECT count(*) FROM embeddings) / ${SemanticDedup.DefaultTargetCellSize}.0) AS BIGINT))")},
       |pairs AS (
       |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
       |    list_cosine_similarity(a.v, b.v) AS sim

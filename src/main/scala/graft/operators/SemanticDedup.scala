@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.{cosine, toDouble}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup census — semantic dedup via learned k-means cells
+  * (SURVEY.md §2.3 d13). SRP buckets (d5/d6) group by RANDOM
+  * projections; SemDeDup groups by the corpus' own k-means cells, so
+  * near-dups land together because they are semantically close, not
+  * because a random hyperplane happened to agree.
+  *
+  * Per cell: exact pairwise cosine; a vector is DROPPED when a
+  * lower-id neighbor above the threshold exists (deterministic,
+  * order-free keep rule). Emits the per-cell census (sizes, dup
+  * pairs, drops, max similarity) — non-vacuous on every cell even
+  * when a corpus has few near-dups.
+  *
+  * Scale: the cell count k is DERIVED from the corpus size —
+  * k = max(16, ceil(n / targetCellSize)) — so expected cell size
+  * stays bounded as the corpus grows and the within-cell pairwise
+  * work is N·cellSize, never N²/constant (a fixed k makes it
+  * quadratic: N²/k). The derivation costs ONE count; centroid
+  * learning is 2 distributed agg passes (IvfIndex, which can also
+  * learn on a hash-sample at corpus scale); assignment is a narrow
+  * map against centroid literals; the only shuffle is the cell-id
+  * self-join. The whole pipeline (count→k, seeding, Lloyd,
+  * assignment, census) is deterministic and replays in the DuckDB
+  * oracle (LlmQueries.d13SemanticDedupSql derives the same k in SQL).
+  */
+object SemanticDedup {
+
+  /** Target expected cell size. 512 keeps per-cell pairwise work at
+    * ~131k cosine ops per cell — small enough that a cell is one
+    * task, large enough that k (and the centroid literal array each
+    * task holds) stays modest: 100 TB of 1 KB docs → n = 10¹¹ →
+    * k ≈ 2·10⁸ would be too many literals, at which scale callers
+    * raise targetCellSize or shard the corpus; at any realistic
+    * embedding-table size (≤10⁹ vectors) k ≤ 2M doubles·dims, still
+    * broadcastable.
+    */
+  val DefaultTargetCellSize = 512L
+
+  /** k = max(16, ceil(n / targetCellSize)) — the floor keeps tiny
+    * corpora from degenerating to one cell.
+    */
+  def adaptiveK(n: Long, targetCellSize: Long = DefaultTargetCellSize): Int = {
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    math.max(16L, (n + targetCellSize - 1) / targetCellSize).toInt
+  }
+
+  /** Per-cell dedup census over `(idCol, vecCol)` rows: one row per
+    * learned cell — (cid, n_vecs, n_dup_pairs, n_dropped, max_cos6).
+    * `max_cos6` is −1.0 for singleton cells (a cross-engine NULL
+    * would stringify differently in the compare harness).
+    */
+  def census(e: DataFrame, idCol: String, vecCol: String, tau: Double,
+      targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
+    val k = adaptiveK(e.count(), targetCellSize)
+    val cents = IvfIndex.learnCentroids(e, idCol, vecCol, k = k, iters = 2)
+    val v = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
+    val a = v.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+    val stats = pairs.groupBy(col("cid")).agg(
+      sum(when(col("sim") > tau, 1L).otherwise(0L)).as("n_dup_pairs"),
+      countDistinct(when(col("sim") > tau, col("id_b"))).as("n_dropped"),
+      round(max(col("sim")), 6).as("max_cos6"))
+    v.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(stats, Seq("cid"), "left")
+      // cast cid long (the oracle's row_number seeds are BIGINT)
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("max_cos6"), lit(-1.0)).as("max_cos6"))
+      .orderBy(col("cid"))
+  }
+}
