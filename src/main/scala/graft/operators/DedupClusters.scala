@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   *     diameter ≈ cluster-size rounds; jumping needs ~log₂ of that.
   * Each round is a constant number of shuffles on the node id; the
   * driver holds only the changed-row count. Lineage is cut per round
-  * with eager `localCheckpoint` so the plan stays constant-size
+  * with `Checkpoints.cut` (eager; reliable checkpoint when
+  * `spark.graft.checkpointDir` is set) so the plan stays constant-size
   * (iterative DataFrame loops otherwise stack O(rounds) joins into
   * one plan and the optimizer re-walks it all every round).
   *
@@ -51,11 +52,12 @@ object DedupClusters {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // undirected: materialize both directions once, reused every round
-    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = adj.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // (Checkpoints.cut — reliable checkpoint when configured)
+    val adj = Checkpoints.cut(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))), eager = true)
+    var labels = Checkpoints.cut(
+      adj.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")), eager = true)
     // convergence check: labels only ever DECREASE, so Σlabel strictly
     // decreases every round until the fixpoint — one cheap agg over the
     // materialized round result instead of a join+count. decimal(38,0)
@@ -79,10 +81,10 @@ object DedupClusters {
       // (a second jump per round was tried and measured SLOWER at
       // sf0.1 — the extra self-join's recompute outweighs the saved
       // rounds; one jump per round is the sweet spot)
-      val next = labels.select("node", "label")
-        .union(viaEdge).union(viaJump)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = Checkpoints.cut(
+        labels.select("node", "label")
+          .union(viaEdge).union(viaJump)
+          .groupBy("node").agg(min(col("label")).as("label")), eager = true)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

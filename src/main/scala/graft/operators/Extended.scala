@@ -708,77 +708,16 @@ object Extended {
   /** §2.2 q_sequence_gaps: islands-and-gaps — find the missing runs
     * in a key sequence (dropped batches in an ingest ledger, holes in
     * an id space after deletes). lineitem covers only ~98% of the
-    * order-key range, so the gaps are real.
-    *
-    * Scale shape (the classic distributed fix-up, replacing the r5
-    * global-ORDER-BY window that funnelled every key through one
-    * task's sort): ONE range-partition shuffle of the raw keys, then
-    * a per-partition sorted scan that (a) dedups consecutive equal
-    * keys — range partitioning sends every copy of a key to the same
-    * partition, so the separate distinct() shuffle is gone too — and
-    * (b) emits each intra-partition hole as a gap row plus exactly
-    * one (first_key, last_key) summary row per partition. The P−1
-    * partition-boundary pairs are patched on the driver from those
-    * ≤P summary rows — bounded by the partition COUNT, never the
-    * data (at 100 TB with 10k partitions that is 10k rows). The
-    * executed plan has no Window and no global Sort over the keys;
-    * the scan is the one genuinely per-partition-imperative step in
-    * the engine (a running previous-key comparison with end-of-
-    * partition emission has no shuffle-free DataFrame spelling —
-    * a pid-partitioned Window would re-shuffle N rows just to
-    * relabel them).
+    * order-key range, so the gaps are real. Delegates to the
+    * SequenceGaps operator (see its Scaladoc for the scale shape:
+    * one range-partition shuffle, per-partition sorted scan, fully
+    * lazy distributed boundary fix-up — no Window, no global Sort
+    * over the keys, no driver collect; SequenceGapsSpec pins both
+    * the plan shape and adversarial boundary cases).
     */
-  def qSequenceGaps(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val p = spark.sessionState.conf.numShufflePartitions
-    val keys = table(spark, dir, "lineitem")
-      .select(col("l_orderkey").cast("long").as("k"))
-      .repartitionByRange(p, col("k"))
-      .sortWithinPartitions(col("k"))
-    // tag 0 = intra-partition gap (a=gap_start, b=gap_end);
-    // tag 1 = partition summary (a=first key, b=last key)
-    val tagged = keys.as[Long].mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        new Iterator[(Int, Int, Long, Long)] {
-          private val first = it.next()
-          private var prev = first
-          private var pending: Option[(Int, Int, Long, Long)] = None
-          private var summaryDone = false
-          def hasNext: Boolean = {
-            while (pending.isEmpty && it.hasNext) {
-              val k = it.next()
-              if (k > prev + 1) pending = Some((0, pid, prev + 1, k - 1))
-              if (k != prev) prev = k
-            }
-            if (pending.isEmpty && !summaryDone) {
-              pending = Some((1, pid, first, prev)); summaryDone = true
-            }
-            pending.isDefined
-          }
-          def next(): (Int, Int, Long, Long) = {
-            val r = pending.get; pending = None; r
-          }
-        }
-      }
-    }.toDF("tag", "pid", "a", "b")
-      // gaps + ≤P summaries — tiny vs the input; materialized once so
-      // the driver-side boundary read below does not re-run the scan
-      .localCheckpoint()
-    val bounds = tagged.filter(col("tag") === 1)
-      .orderBy(col("pid")).select(col("a"), col("b")).collect()
-    val crossGaps = bounds.toSeq.sliding(2).collect {
-      case Seq(lo, hi) if hi.getLong(0) - lo.getLong(1) > 1 =>
-        (lo.getLong(1) + 1, hi.getLong(0) - 1)
-    }.toSeq
-    tagged.filter(col("tag") === 0)
-      .select(col("a").as("gap_start"), col("b").as("gap_end"))
-      .unionByName(crossGaps.toDF("gap_start", "gap_end"))
-      .select(col("gap_start"), col("gap_end"),
-        (col("gap_end") - col("gap_start") + 1).as("gap_len"))
-      .orderBy(col("gap_start"))
-  }
+  def qSequenceGaps(spark: SparkSession, dir: String): DataFrame =
+    SequenceGaps.gaps(table(spark, dir, "lineitem"), "l_orderkey",
+      spark.sessionState.conf.numShufflePartitions)
 
   val qSequenceGapsSql: String =
     """WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each iteration is ONE equi-join (edges ⋈ ranks on src) +
   * one partial-agg shuffle on dst + a LEFT join to keep in-degree-0
-  * nodes; lineage cut per iteration with localCheckpoint (d9's
-  * pattern). Driver holds nothing but the loop counter.
+  * nodes; lineage cut per iteration with Checkpoints.cut (d9's
+  * pattern; reliable checkpoint when `spark.graft.checkpointDir` is
+  * set). Driver holds nothing but the loop counter.
   */
 object PageRank {
 
@@ -39,18 +40,18 @@ object PageRank {
     * table instead — same shape, one more narrow column).
     */
   def ranks(nodes: DataFrame, edges: DataFrame, outDeg: Int): DataFrame = {
-    var r = nodes.select(col("node"), lit(Unit).as("u")).localCheckpoint()
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var r = Checkpoints.cut(nodes.select(col("node"), lit(Unit).as("u")), eager = true)
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), eager = true)
     val base = (1 - Damping) * Unit
     for (_ <- 1 to Iters) {
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst"), col("u"))
         .groupBy(col("dst")).agg(sum(col("u")).as("in_sum"))
-      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
-          round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)) / outDeg)
-            .cast("long").as("u"))
-        .localCheckpoint()
+      r = Checkpoints.cut(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"),
+            round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)) / outDeg)
+              .cast("long").as("u")), eager = true)
     }
     r.select(col("node"), (col("u") / (Unit.toDouble)).as("rank6"))
   }

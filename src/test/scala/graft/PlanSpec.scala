@@ -133,6 +133,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
   }
 
+  test("q_sequence_gaps heavy stage: no Window, no global Sort over the keys") {
+    // the guard inspects the tagged stage directly — the final
+    // DataFrame sits above a lineage cut (Scan ExistingRDD), so the
+    // heavy stage's shape is not visible from the composed plan
+    val keys = GraftSession.table(spark, sf0, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"))
+    val plan = executed(operators.SequenceGaps.taggedScan(keys, "l_orderkey", 8))
+    assert(!plan.contains("Window"),
+      "scan stage must not window (a global ORDER-BY window funnels all keys into one task)")
+    val globalSorts = plan.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true")).toSeq
+    assert(globalSorts.isEmpty,
+      s"keys must only be sorted WITHIN range partitions, got: $globalSorts")
+    assert(plan.contains("rangepartitioning"),
+      "one range-partition exchange must drive the scan")
+  }
+
+  test("q_sequence_gaps composed plan: window-free, global sort only over output gaps") {
+    val df = operators.Extended.qSequenceGaps(spark, sf0)
+    val plan = executed(df)
+    assert(!plan.contains("Window"))
+    val globalSorts = plan.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true")).toSeq
+    assert(globalSorts.nonEmpty && globalSorts.forall(_.contains("gap_start")),
+      s"only the output-bound presentation sort may be global, got: $globalSorts")
+    // the gap branch and the boundary-summary branch must share ONE
+    // key shuffle — AQE rewrites the second branch's exchange into a
+    // ReusedExchange once stages materialize
+    df.collect()
+    assert(executed(df).contains("ReusedExchange"),
+      "keys must be range-shuffled once, with the summary branch reusing the exchange")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(
