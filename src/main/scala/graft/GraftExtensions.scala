@@ -13,7 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * like the Column API (`graft.functions.ArrayDotProduct`) — while
   * every query in the session gets the `LevenshteinGuard` rewrite
   * (bounded edit-distance predicates gain a free O(1) length
-  * prefilter).
+  * prefilter) and the `WindowOrderLift` rewrite (decorrelated
+  * LATERAL top-k plans lose their global sort and gain
+  * WindowGroupLimit).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -26,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDotProduct(exprs.head, exprs(1))
       }))
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
+    e.injectOptimizerRule(_ => graft.plans.WindowOrderLift)
   }
 }

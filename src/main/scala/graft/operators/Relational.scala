@@ -220,14 +220,15 @@ object Relational {
     * Exact integer-valued max keeps the equality drift-free.
     */
   /** §2.2 q_lateral: correlated LATERAL subquery — per-nation top-2
-    * customers by balance. SQL-surface coverage, with an honest plan
-    * caveat (PlanAudit, round 4): Catalyst decorrelates the lateral
-    * ORDER BY + LIMIT into a GLOBAL sort of the inner table feeding a
-    * per-key row_number — correct, but that global range exchange is
-    * a scale cost q_topn_group's explicit window form does not pay
-    * (it gets two-phase WindowGroupLimit). Use LATERAL for
-    * compatibility; write hot per-group top-k as windows.
-    * Balance rounded to cents-exact long; ties broken by key.
+    * customers by balance. Catalyst decorrelates the lateral
+    * ORDER BY + LIMIT into a GLOBAL sort of the inner table feeding
+    * an order-less per-key row_number; the session's WindowOrderLift
+    * rule (GraftExtensions) lifts that sort into the window's ORDER
+    * BY, so the executed plan is the same two-phase WindowGroupLimit
+    * shape as q_topn_group's explicit window form — users write the
+    * natural LATERAL spelling and pay one hash shuffle, no global
+    * sort (PlanSpec pins it). Balance rounded to cents-exact long;
+    * ties broken by key.
     */
   def qLateral(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.table(spark, dir, "nation").createOrReplaceTempView("nation")

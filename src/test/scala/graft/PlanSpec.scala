@@ -166,6 +166,16 @@ class PlanSpec extends SparkSpec {
       "keys must be range-shuffled once, with the summary branch reusing the exchange")
   }
 
+  test("q_lateral: decorrelated top-k runs as WindowGroupLimit, no global sort of the inner table") {
+    val plan = executed(Relational.qLateral(spark, sf0))
+    assert(plan.contains("WindowGroupLimit"),
+      "lateral ORDER BY+LIMIT must plan as a two-phase per-key top-k")
+    val globalSorts = plan.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true")).toSeq
+    assert(globalSorts.forall(_.contains("n_name")),
+      s"only the presentation sort may be global, got: $globalSorts")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(
