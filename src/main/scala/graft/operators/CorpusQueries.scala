@@ -134,9 +134,12 @@ object CorpusQueries {
     * the entry plants one — t6/d12's recipe). The maps must NOT be
     * bijections mod N (a linear a·x+b with gcd(a,N)=1 gives every
     * node in-degree exactly 1 → uniform ranks, a vacuous entry):
-    * node² spreads in-degree unevenly and node mod 97 concentrates
-    * authority on 97 hubs, so ranks genuinely differentiate. The
-    * oracle unrolls the same 5 iterations as chained CTEs.
+    * node² spreads in-degree unevenly, node mod 97 concentrates
+    * authority on 97 hubs, and every third node gets a THIRD
+    * out-edge so the graph is IRREGULAR (out-degree 2 or 3) and the
+    * entry exercises the general per-node-degree form
+    * (`PageRank.ranksByDegree`). The oracle unrolls the same 5
+    * iterations as chained CTEs with the same degree table.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -146,26 +149,36 @@ object CorpusQueries {
         pmod(col("node") * col("node") + 13, lit(n)).as("dst"))
       .unionByName(nodes.select(col("node").as("src"),
         pmod(col("node"), lit(97L)).as("dst")))
-    PageRank.ranks(nodes, edges, outDeg = 2).orderBy(col("node"))
+      .unionByName(nodes.filter(pmod(col("node"), lit(3L)) === 0)
+        .select(col("node").as("src"),
+          pmod(col("node") * 5 + 41, lit(n)).as("dst")))
+    PageRank.ranksByDegree(nodes, edges).orderBy(col("node"))
   }
 
   val qPagerankSql: String = {
-    // integer micro-units: sum(u) is exact, the round() input is
-    // bit-identical across engines (see PageRank Scaladoc)
+    // integer micro-units: per-src contribution = round(u/deg) — one
+    // IEEE division of exact ints, identical in any engine — and the
+    // per-dst sum is exact (see PageRank Scaladoc)
     def iter(prev: String, out: String): String =
       s"""$out AS (
          |  SELECT n.node,
-         |    CAST(round(150000 + 0.85 * coalesce(sum(r.u), 0) / 2) AS BIGINT) AS u
+         |    CAST(round(150000 + 0.85 * coalesce(sum(t.c), 0)) AS BIGINT) AS u
          |  FROM nodes n
-         |  LEFT JOIN edges e ON e.dst = n.node
-         |  LEFT JOIN $prev r ON r.node = e.src
+         |  LEFT JOIN (SELECT e.dst, CAST(round(r.u / d.d) AS BIGINT) AS c
+         |             FROM edges e
+         |             JOIN deg d ON d.src = e.src
+         |             JOIN $prev r ON r.node = e.src) t ON t.dst = n.node
          |  GROUP BY n.node)""".stripMargin
     s"""WITH c AS (SELECT count(*) AS cnt FROM documents),
       |nodes AS (SELECT doc_id AS node FROM documents),
       |edges AS (
       |  SELECT node AS src, (node * node + 13) % cnt AS dst FROM nodes CROSS JOIN c
       |  UNION ALL
-      |  SELECT node AS src, node % 97 AS dst FROM nodes CROSS JOIN c),
+      |  SELECT node AS src, node % 97 AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, (node * 5 + 41) % cnt AS dst
+      |  FROM nodes CROSS JOIN c WHERE node % 3 = 0),
+      |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS u FROM nodes),
       |${iter("r0", "r1")},
       |${iter("r1", "r2")},

@@ -35,9 +35,8 @@ object PageRank {
 
   /** `edges`: (src, dst) rows; `nodes`: one `node` column. Returns
     * (node, rank6) with Σrank ≈ n (node-count scaling). `outDeg` must
-    * be the constant out-degree of every src (the entry's synthetic
-    * graph is regular; a general graph joins a precomputed out-degree
-    * table instead — same shape, one more narrow column).
+    * be the constant out-degree of every src (regular graphs — one
+    * join fewer per iteration); `ranksByDegree` is the general form.
     */
   def ranks(nodes: DataFrame, edges: DataFrame, outDeg: Int): DataFrame = {
     var r = Checkpoints.cut(nodes.select(col("node"), lit(Unit).as("u")), eager = true)
@@ -51,6 +50,38 @@ object PageRank {
         nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(nodes("node"),
             round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)) / outDeg)
+              .cast("long").as("u")), eager = true)
+    }
+    r.select(col("node"), (col("u") / (Unit.toDouble)).as("rank6"))
+  }
+
+  /** General-graph PageRank: per-node out-degrees from a precomputed
+    * degree table (one extra agg up front + one narrow join per
+    * iteration — same single-shuffle shape as the regular form).
+    *
+    * Exactness: each src's contribution is `round(u / deg)` — ONE
+    * IEEE division of exactly-representable integers, rounded
+    * half-up (u ≥ 0), identical in any engine — computed once per
+    * SRC (not per edge), then summed per dst in exact integer
+    * arithmetic. Dangling nodes (no out-edges) are absent from the
+    * degree table and contribute nothing — the standard
+    * simplification; their own rank still receives the base term.
+    */
+  def ranksByDegree(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), eager = true)
+    val deg = Checkpoints.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("d")), eager = true)
+    var r = Checkpoints.cut(nodes.select(col("node"), lit(Unit).as("u")), eager = true)
+    val base = (1 - Damping) * Unit
+    for (_ <- 1 to Iters) {
+      val perSrc = r.join(deg, r("node") === deg("src"))
+        .select(col("src"), round(col("u") / col("d")).cast("long").as("c"))
+      val contrib = e.join(perSrc, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      r = Checkpoints.cut(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"),
+            round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)))
               .cast("long").as("u")), eager = true)
     }
     r.select(col("node"), (col("u") / (Unit.toDouble)).as("rank6"))
