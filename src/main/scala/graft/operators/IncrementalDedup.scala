@@ -40,7 +40,7 @@ object IncrementalDedup {
 
   private val tail = " fresh tail segment"
 
-  private def plantBatch(docs: DataFrame): DataFrame =
+  private[operators] def plantBatch(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         when(pmod(col("doc_id"), lit(30)) === 0, col("text"))
@@ -68,6 +68,69 @@ object IncrementalDedup {
       .join(bC, Seq("band", "band_hash"))
       .select(col("id_a"), col("id_b")).distinct()
     val universe = docs.unionByName(batch)
+    val nearDup = Dedup.jaccardVerify(universe, cand, "doc_id", "text", threshold = 0.2)
+      .select(col("id_a").as("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exactDup.withColumn("e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e") === 1, "exact_dup")
+          .when(col("nd") === 1, "near_dup")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Persist the corpus' two dedup indexes as BUCKETED tables — the
+    * d10 scale path. The entry above derives both indexes in-plan so
+    * it stays oracle-replayable, but a production corpus maintains
+    * them as tables and must not recompute fingerprints/minhashes of
+    * the whole corpus per batch:
+    *   - `<prefix>_fp`: distinct normalized-text fingerprints,
+    *     bucketed + sorted on fp;
+    *   - `<prefix>_bands`: MinHash LSH band postings keyed by ONE
+    *     combined bucket key (band '|' band_hash — a single column so
+    *     the bucket layout alone satisfies the join's distribution),
+    *     bucketed + sorted on it.
+    * `probeBatch` then answers each incoming batch with equi-joins
+    * where the CORPUS side reads its bucket layout directly — zero
+    * exchange on the big side, only the (small) batch shuffles into
+    * the index's partitioning (IncrementalDedupSpec pins it). The
+    * write-time shuffle is paid once per corpus build, not per batch.
+    */
+  def buildIndexes(corpus: DataFrame, buckets: Int = 32,
+      prefix: String = "graft_dedup"): Unit = {
+    val fp = corpus.select(fingerprintMd5(col("text")).as("fp")).distinct()
+    graft.sources.Bucketing.writeBucketed(fp, s"${prefix}_fp", "fp", buckets)
+    val bands = Dedup.minhashBands(corpus, "doc_id", "text")
+      .select(col("doc_id").as("id_b"),
+        concat_ws("|", col("band"), col("band_hash")).as("bkey"))
+    graft.sources.Bucketing.writeBucketed(bands, s"${prefix}_bands", "bkey", buckets)
+  }
+
+  /** Dedup an incoming batch against the PERSISTED indexes
+    * (`buildIndexes`). Identical verdict semantics to the in-plan
+    * entry: exact fingerprint match, then LSH candidates (hot corpus
+    * buckets > `maxBucket` dropped via broadcast anti-join) verified
+    * by n-gram Jaccard ≥ 0.2. `corpus` supplies candidate TEXTS for
+    * verification only — an O(candidates) id-join, never a corpus
+    * re-index.
+    */
+  def probeBatch(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+      maxBucket: Int = 1000, prefix: String = "graft_dedup"): DataFrame = {
+    val fpC = spark.table(s"${prefix}_fp")
+    val bandsC = spark.table(s"${prefix}_bands")
+    val exactDup = batch.select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .join(fpC, "fp").select(col("doc_id")).distinct()
+    val bB = Dedup.minhashBands(batch, "doc_id", "text")
+      .select(col("doc_id").as("id_a"),
+        concat_ws("|", col("band"), col("band_hash")).as("bkey"))
+    val hot = bandsC.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bkey"))
+    val cand = bB.join(broadcast(hot), Seq("bkey"), "left_anti")
+      .join(bandsC, Seq("bkey"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val universe = corpus.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
     val nearDup = Dedup.jaccardVerify(universe, cand, "doc_id", "text", threshold = 0.2)
       .select(col("id_a").as("doc_id")).distinct()
     batch.select(col("doc_id"))

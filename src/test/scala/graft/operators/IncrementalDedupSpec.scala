@@ -34,4 +34,56 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "batch-vs-corpus candidates must come from the band-bucket equi-join")
   }
+
+  test("persisted bucketed indexes: probe verdicts match the in-plan entry") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+    IncrementalDedup.buildIndexes(docs, buckets = 8, prefix = "d10_idx")
+    val batch = IncrementalDedup.plantBatch(docs)
+    val probed = IncrementalDedup.probeBatch(spark, docs, batch, prefix = "d10_idx")
+      .as[(Long, String)].collect().toSeq
+    val entry = IncrementalDedup.d10IncrementalDedup(spark, sf0)
+      .as[(Long, String)].collect().toSeq
+    assert(probed === entry)
+  }
+
+  test("persisted indexes: corpus side of each probe join reads buckets, zero exchange") {
+    val docs = graft.GraftSession.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+    IncrementalDedup.buildIndexes(docs, buckets = 8, prefix = "d10_idx2")
+    val batch = IncrementalDedup.plantBatch(docs)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // fingerprint probe: ONE hash exchange total (the batch side
+      // shuffling into the index's 8-bucket layout) — the corpus side
+      // is its bucketed scan, unshuffled
+      val fpProbe = batch
+        .select(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .join(spark.table("d10_idx2_fp"), "fp")
+      val fpPlan = fpProbe.queryExecution.executedPlan.toString
+      assert(fpPlan.contains("Bucketed: true"), fpPlan)
+      assert(fpPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+        s"only the batch side may shuffle:\n$fpPlan")
+      // band probe: same contract on the single combined bucket key
+      val bB = Dedup.minhashBands(batch, "doc_id", "text")
+        .select(col("doc_id").as("id_a"),
+          concat_ws("|", col("band"), col("band_hash")).as("bkey"))
+      val bandProbe = bB.join(spark.table("d10_idx2_bands"), Seq("bkey"))
+      val bandPlan = bandProbe.queryExecution.executedPlan.toString
+      assert(bandPlan.contains("Bucketed: true"), bandPlan)
+      // the batch side shuffles on the bucket key once (its minhash
+      // signature agg shuffles on doc_id — also batch-side, also fine);
+      // the corpus side must contribute NO bkey exchange
+      assert(bandPlan.linesIterator.count(_.contains("Exchange hashpartitioning(bkey")) === 1,
+        s"only the batch side may shuffle on the bucket key:\n$bandPlan")
+      // the hot-bucket census aggregates ON the bucket key: bucketed
+      // scan satisfies the grouping, zero exchange
+      val hotPlan = spark.table("d10_idx2_bands").groupBy(col("bkey"))
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!hotPlan.contains("Exchange hashpartitioning"),
+        s"bucket-key aggregation must reuse the bucket layout:\n$hotPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
