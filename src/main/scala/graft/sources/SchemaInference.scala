@@ -126,7 +126,15 @@ object SchemaInference {
       st.flatMap { s =>
         if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile)
         else Array(s)
-      }.map(_.getPath.toString).sorted.toIndexedSeq
+      }
+        // Hadoop's input formats treat _- and .-prefixed files as
+        // hidden (committer markers like _SUCCESS, .crc checksums);
+        // sampling must skip them like the full-scan read does —
+        // textFile on such a path throws, and a marker sorts FIRST
+        .filterNot { s =>
+          val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+        }
+        .map(_.getPath.toString).sorted.toIndexedSeq
     }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = files.iterator
