@@ -69,20 +69,25 @@ object PageRank {
     */
   def ranksByDegree(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val e = Checkpoints.cut(edges.select(col("src"), col("dst")), eager = true)
-    val deg = Checkpoints.cut(
-      e.groupBy(col("src")).agg(count(lit(1)).as("d")), eager = true)
-    var r = Checkpoints.cut(nodes.select(col("node"), lit(Unit).as("u")), eager = true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // the rank frame CARRIES its node's out-degree: one left join at
+    // init instead of a node×node degree join every iteration
+    var r = Checkpoints.cut(
+      nodes.join(deg, nodes("node") === deg("src"), "left")
+        .select(nodes("node"), lit(Unit).as("u"), col("d")), eager = true)
     val base = (1 - Damping) * Unit
     for (_ <- 1 to Iters) {
-      val perSrc = r.join(deg, r("node") === deg("src"))
-        .select(col("src"), round(col("u") / col("d")).cast("long").as("c"))
+      val perSrc = r.filter(col("d").isNotNull)
+        .select(col("node").as("src"),
+          round(col("u") / col("d")).cast("long").as("c"))
       val contrib = e.join(perSrc, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      val prev = r
       r = Checkpoints.cut(
-        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .select(nodes("node"),
+        prev.join(contrib, prev("node") === contrib("dst"), "left")
+          .select(prev("node"),
             round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)))
-              .cast("long").as("u")), eager = true)
+              .cast("long").as("u"), prev("d")), eager = true)
     }
     r.select(col("node"), (col("u") / (Unit.toDouble)).as("rank6"))
   }

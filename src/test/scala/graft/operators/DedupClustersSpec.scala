@@ -101,4 +101,27 @@ class DedupClustersSpec extends SparkSpec {
     assert(labels.subsetOf(ids))
     df.unpersist()
   }
+
+  test("cluster artifact: computed once per corpus, d14 reads it instead of re-running d9") {
+    // first lookup materializes the artifact
+    assert(LlmQueries.documentClusters(spark, sf0).count() > 0)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val again = LlmQueries.documentClusters(spark, sf0)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    // the reader may run ONE footer-listing job for the multi-file
+    // artifact; the dozens-of-jobs dedup pipeline must not re-run
+    assert(after - before <= 1,
+      s"second lookup must be a cache hit, ran ${after - before} jobs")
+    // the reused frame is a plain scan of the clustered parquet artifact
+    val scanPlan = again.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("scratch/clusters"), scanPlan)
+    // d14's composed plan reads the artifact too: no jaccard kernel
+    // (array_intersect) and no shingle aggregation anywhere in it
+    val d14Plan = LlmQueries.d14Retention(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(d14Plan.contains("scratch/clusters"), "retention must join the artifact")
+    assert(!d14Plan.contains("array_intersect") && !d14Plan.contains("collect_set"),
+      "retention must not re-verify candidate pairs")
+  }
 }

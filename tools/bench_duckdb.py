@@ -29,6 +29,9 @@ def main(sf_dir, out_dir, bench_json=None):
     graft = {}
     if bench_json:
         graft = json.loads(Path(bench_json).read_text())["queries"]
+        # r6+ detail format: {"median": s, "min": s, "runs": [...]}
+        graft = {k: (v["median"] if isinstance(v, dict) else v)
+                 for k, v in graft.items()}
     rows = []
     for name in sorted(oracle):
         times = []
