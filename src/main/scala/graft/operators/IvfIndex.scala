@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Above this cell count, assignment switches from the compiled
+    * centroid-literal expression to the broadcast-join form
+    * (`assignCells`) — same math, join-shaped instead of a huge
+    * expression tree.
+    */
+  val LiteralKMax = 256
+
   /** Squared L2 distance to a centroid literal, accumulated strictly
     * left-to-right — the exact arithmetic the DuckDB oracle's
     * `list_distance` runs, which is what makes nearest-centroid
@@ -53,6 +60,40 @@ object IvfIndex {
   /** The nearest centroid id (ties by cid — struct ordering). */
   def nearestCid(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     array_min(distStructs(v, cents)).getField("cid")
+
+  /** Cell assignment via a broadcast centroid TABLE — the large-k
+    * path. The literal form (`nearestCid`) compiles k (dist, cid)
+    * terms into ONE expression: ideal for k up to a few hundred
+    * (codegen'd, zero join, zero shuffle), but a derived
+    * k = N/targetCellSize grows with the corpus and a 10⁴+-term
+    * expression tree breaks codegen. This form computes the SAME
+    * argmin as data: vectors × broadcast(centroids) → per-vector
+    * `min(struct(d, cid))` with map-side partial aggregation, so the
+    * shuffle carries one row per vector, never N×k. The per-pair
+    * math (sequential Σ(v−c)² in doubles, ties by cid) is identical
+    * to the literal form — both paths assign every vector to the
+    * same cell (spec-pinned), so a pipeline can switch on k without
+    * changing results. Driver/broadcast cost is the k×dims centroid
+    * table itself — the ceiling of THIS design is a centroid set too
+    * big to broadcast (~10⁶ cells), where a hierarchical index takes
+    * over.
+    *
+    * Input: (`idCol`, `vCol`: array<double>). Output: (idCol, vCol,
+    * cid).
+    */
+  def assignCells(vecs: DataFrame, idCol: String, vCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cdf = cents.toDF("cid", "cv")
+    val diff = zip_with(col(vCol), col("cv"), (x, y) => x - y)
+    vecs.crossJoin(broadcast(cdf))
+      .withColumn("dc", struct(ArrayDotProduct(diff, diff).as("d"), col("cid")))
+      .groupBy(col(idCol))
+      // every row of a group carries the same vector, so first() is
+      // value-deterministic here
+      .agg(first(col(vCol)).as(vCol), min(col("dc")).getField("cid").as("cid"))
+  }
 
   /** The `nprobe` nearest centroid ids, nearest first. */
   def probeCids(v: Column, cents: Seq[(Int, Seq[Double])], nprobe: Int): Column =
@@ -83,7 +124,10 @@ object IvfIndex {
       case (r, i) => (i + 1) -> r.getSeq[Double](0)
     }
     for (_ <- 0 until iters) {
-      val assigned = e.withColumn("cid", nearestCid(col("v"), cents))
+      val assigned =
+        if (cents.size <= LiteralKMax)
+          e.withColumn("cid", nearestCid(col("v"), cents))
+        else assignCells(e, "id", "v", cents)
       // per-dimension means via posexplode + (cid, pos) groupBy: a
       // 3-column agg instead of `dims` generated aggregate columns —
       // far smaller codegen, same partial-agg shuffle shape (k·dims

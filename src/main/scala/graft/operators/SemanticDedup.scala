@@ -32,12 +32,12 @@ object SemanticDedup {
 
   /** Target expected cell size. 512 keeps per-cell pairwise work at
     * ~131k cosine ops per cell — small enough that a cell is one
-    * task, large enough that k (and the centroid literal array each
-    * task holds) stays modest: 100 TB of 1 KB docs → n = 10¹¹ →
-    * k ≈ 2·10⁸ would be too many literals, at which scale callers
-    * raise targetCellSize or shard the corpus; at any realistic
-    * embedding-table size (≤10⁹ vectors) k ≤ 2M doubles·dims, still
-    * broadcastable.
+    * task. Assignment switches representation with k (IvfIndex
+    * .LiteralKMax): compiled centroid literals for small k, a
+    * broadcast centroid table for large k — same argmin either way.
+    * The design ceiling is a centroid set too big to broadcast
+    * (~10⁶ cells ≈ 5·10⁸ vectors at this cell size); beyond that a
+    * corpus shards or a hierarchical (two-level) index takes over.
     */
   val DefaultTargetCellSize = 512L
 
@@ -58,8 +58,15 @@ object SemanticDedup {
       targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
     val k = adaptiveK(e.count(), targetCellSize)
     val cents = IvfIndex.learnCentroids(e, idCol, vecCol, k = k, iters = 2)
-    val v = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
+    val vecs = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+    // small k: compiled centroid-literal argmin (zero shuffle);
+    // large k: the broadcast-join form — identical assignment
+    // (IvfIndex.assignCells Scaladoc), so the oracle replay holds on
+    // either path
+    val v =
+      if (cents.size <= IvfIndex.LiteralKMax)
+        vecs.withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
+      else IvfIndex.assignCells(vecs, "vec_id", "v", cents)
     val a = v.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = v.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
     val pairs = a.join(b, Seq("cid"))

@@ -43,6 +43,29 @@ class SemanticDedupSpec extends SparkSpec {
       s"per-cell pairwise work must be bounded: $totalPairs vs $unsplit unsplit")
   }
 
+  test("large-k broadcast-join assignment equals the literal argmin, cell by cell") {
+    import org.apache.spark.sql.functions._
+    val dims = 8
+    val df = (0 until 1200).map { id =>
+      (id.toLong, (0 until dims).map(j => (2.0 * math.sin(id * 0.91 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    // k = 300 > LiteralKMax: learning + census take the join path
+    val cents = IvfIndex.learnCentroids(df, "vec_id", "embedding", k = 300, iters = 1)
+    assert(cents.size > IvfIndex.LiteralKMax)
+    val vecs = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val viaLiteral = vecs
+      .withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toMap
+    val viaJoin = IvfIndex.assignCells(vecs, "vec_id", "v", cents)
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toMap
+    assert(viaJoin === viaLiteral)
+    // and the whole census still runs on the join path (k = 1200/4 = 300)
+    val out = SemanticDedup.census(df, "vec_id", "embedding",
+      tau = 0.9, targetCellSize = 4)
+    assert(out.agg(sum($"n_vecs")).head().getLong(0) === 1200L)
+  }
+
   test("census is deterministic and k-derivation matches the entry's oracle formula") {
     val e = graft.GraftSession.table(spark, sf0, "embeddings")
     val n = e.count()
