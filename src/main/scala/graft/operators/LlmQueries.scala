@@ -173,6 +173,9 @@ object LlmQueries {
     * Keyed by (application, dir, input mtime): a new session — or a
     * rewritten corpus — recomputes, so results can never go stale
     * against the driver's correctness gate or planted spec fixtures.
+    * Artifacts land under `spark.graft.artifactDir` (any
+    * Hadoop-writable path on a cluster; a local scratch default
+    * here).
     */
   def documentClusters(spark: SparkSession, dir: String): DataFrame = {
     val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
@@ -183,7 +186,9 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"))
       val edges = Dedup.jaccardVerify(docs, pairs, "doc_id", "text", threshold = 0.2)
       val clusters = DedupClusters.connectedComponents(edges, "id_a", "id_b")
-      val out = "/root/repo/target/scratch/clusters/" +
+      val base = spark.conf.get("spark.graft.artifactDir",
+        "/root/repo/target/scratch/clusters")
+      val out = base.stripSuffix("/") + "/" +
         java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
       graft.sources.Layout.writeClustered(clusters, out, Seq("cluster_id"))
