@@ -72,6 +72,21 @@ class SequenceGapsSpec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("property: random key multisets agree with the brute-force oracle at any partition count") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(3000)
+      val span = 1 + rnd.nextInt(20000)
+      // multiset with duplicates and clustered runs
+      val keys = Seq.fill(n)(rnd.nextInt(span).toLong)
+        .flatMap(k => Seq.fill(1 + rnd.nextInt(3))(k))
+      val p = 1 + rnd.nextInt(16)
+      val got = run(keys.map(Long.box), p)
+      assert(got === expected(keys),
+        s"trial $trial (n=$n span=$span p=$p) diverged from brute force")
+    }
+  }
+
   test("reliable-checkpoint mode: same answers, blocks written to the configured dir") {
     val dir = tmpDir("seq_gaps_ckpt")
     spark.conf.set(Checkpoints.DirKey, dir)
