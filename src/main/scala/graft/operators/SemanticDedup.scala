@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * self-join. The whole pipeline (count→k, seeding, Lloyd,
   * assignment, census) is deterministic and replays in the DuckDB
   * oracle (LlmQueries.d13SemanticDedupSql derives the same k in SQL).
+  *
+  * Pipeline order: EXACT duplicates always share a cell whatever k
+  * (identical vectors tie to the same centroid), so SemDeDup assumes
+  * exact dedup (d1) ran first — the standard curation order; its own
+  * job is the NEAR-duplicates exact hashing cannot see. A corpus of
+  * a million identical vectors is d1's problem, not a cell-split
+  * problem.
   */
 object SemanticDedup {
 
@@ -42,11 +49,13 @@ object SemanticDedup {
   val DefaultTargetCellSize = 512L
 
   /** k = max(16, ceil(n / targetCellSize)) — the floor keeps tiny
-    * corpora from degenerating to one cell.
+    * corpora from degenerating to one cell; clamped to Int range so
+    * an extreme n cannot wrap the conversion.
     */
   def adaptiveK(n: Long, targetCellSize: Long = DefaultTargetCellSize): Int = {
     require(targetCellSize > 0, "targetCellSize must be positive")
-    math.max(16L, (n + targetCellSize - 1) / targetCellSize).toInt
+    math.min(Int.MaxValue.toLong,
+      math.max(16L, (n + targetCellSize - 1) / targetCellSize)).toInt
   }
 
   /** Per-cell dedup census over `(idCol, vecCol)` rows: one row per
