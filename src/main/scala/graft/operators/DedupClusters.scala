@@ -94,4 +94,35 @@ object DedupClusters {
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
+
+  /** Fold a BATCH of newly verified pairs into an EXISTING cluster
+    * assignment without re-running the corpus pipeline — the
+    * incremental companion to the materialized cluster artifact
+    * (d10 keeps the corpus indexes incremental; this keeps the
+    * cluster table incremental).
+    *
+    * Existing clusters re-enter as STAR edges (node → its cluster
+    * id, depth 1 by construction), unioned with the batch edges, and
+    * the min-label fixpoint re-runs. Because every old component is
+    * already a star, propagation work is O(log) of the NEW bridge
+    * structure — a batch that merges two million-doc clusters costs
+    * rounds proportional to the batch's chain depth, never the
+    * corpus diameter, and the corpus text/candidate pipeline is
+    * never touched. The fixpoint is the same unique min-reachable-id
+    * labeling, so merging incrementally or recomputing from all
+    * edges yields IDENTICAL clusters (spec-pinned).
+    *
+    * `labels`: (node, cluster_id) — the current artifact;
+    * `newEdges`: (srcCol, dstCol) verified pairs, which may
+    * reference brand-new nodes. Returns the updated (node,
+    * cluster_id) table.
+    */
+  def mergeBatch(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val star = labels.select(col("node").cast("long").as("s"),
+      col("cluster_id").cast("long").as("d"))
+    val e = newEdges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    connectedComponents(star.unionByName(e), "s", "d")
+  }
 }

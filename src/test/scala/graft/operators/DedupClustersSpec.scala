@@ -102,6 +102,25 @@ class DedupClustersSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("mergeBatch: incremental fold equals full recompute; bridges merge, fresh nodes join") {
+    import spark.implicits._
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+    val labels = DedupClusters.connectedComponents(
+      oldEdges.toDF("a", "b"), "a", "b")
+    // batch: bridges {1,2,3}-{10,11}, a fresh pair {20,21}, and a
+    // link from a fresh node into an old cluster {31,32}
+    val batch = Seq((3L, 10L), (20L, 21L), (31L, 32L)).toDF("a", "b")
+    val merged = DedupClusters.mergeBatch(labels, batch, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val full = DedupClusters.connectedComponents(
+      (oldEdges ++ Seq((3L, 10L), (20L, 21L), (31L, 32L))).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(merged === full, "incremental fold must equal full recompute")
+    assert(merged(11L) === 1L && merged(32L) === 30L && merged(21L) === 20L)
+    // untouched singleton-star clusters keep their labels
+    assert(merged.filter(_._2 == 1L).keySet === Set(1L, 2L, 3L, 10L, 11L))
+  }
+
   test("cluster artifact: computed once per corpus, d14 reads it instead of re-running d9") {
     // first lookup materializes the artifact
     assert(LlmQueries.documentClusters(spark, sf0).count() > 0)
