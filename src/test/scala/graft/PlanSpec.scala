@@ -176,6 +176,21 @@ class PlanSpec extends SparkSpec {
       s"only the presentation sort may be global, got: $globalSorts")
   }
 
+  test("d2 minhash: signatures collapse map-side (partial min before the doc shuffle)") {
+    val plan = executed(LlmQueries.d2MinhashLsh(spark, sf0))
+    assert(plan.contains("partial_min"),
+      "per-doc minhash mins must partial-aggregate before the shuffle " +
+        "(the shuffle must carry ~docs rows, not shingles)")
+  }
+
+  test("d11 passage dedup: window-hash equi-join, no cartesian anywhere") {
+    val plan = executed(operators.PipelineQueries.d11PassageDedup(spark, sf0))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      "doc pairs must come from the shared-window equi-join")
+    assert(plan.contains("partial_count"),
+      "shared-window counts must partial-aggregate map-side")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(
