@@ -180,7 +180,11 @@ object LlmQueries {
   def documentClusters(spark: SparkSession, dir: String): DataFrame = {
     val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
     val key = s"${spark.sparkContext.applicationId}|$dir|$mtime"
-    val path = clusterArtifacts.getOrElseUpdate(key, {
+    // single-flight: TrieMap.getOrElseUpdate may evaluate the update
+    // concurrently, and two threads would overwrite the SAME
+    // deterministic output path mid-write (parallel test suites
+    // share the session; Spark jobs inside the lock still run fine)
+    val path = clusterArtifacts.synchronized(clusterArtifacts.getOrElseUpdate(key, {
       val docs = table(spark, dir, "documents")
       val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
         .select(col("id_a"), col("id_b"))
@@ -193,7 +197,7 @@ object LlmQueries {
           scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
       graft.sources.Layout.writeClustered(clusters, out, Seq("cluster_id"))
       out
-    })
+    }))
     spark.read.parquet(path)
   }
 
