@@ -15,6 +15,18 @@ import org.apache.spark.sql.DataFrame
   *     blocks written to the (distributed) checkpoint directory, so
   *     a 1000-executor run survives executor loss mid-iteration.
   *     This is the 100 TB-safe choice for multi-hour jobs.
+  *
+  * Cleanup: reliable checkpoint files are NOT deleted by default
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false), so
+  * a 64-round loop would otherwise leave 64 full frames on disk for
+  * the session's lifetime. The engine's session builders
+  * (GraftSession / Bench / Verify) set that conf to true: every
+  * iterative loop here reassigns its frame variable each round, so
+  * a superseded round's DataFrame becomes unreachable, is GC'd, and
+  * the ContextCleaner deletes its checkpoint files — disk usage
+  * stays O(live frames), not O(rounds). Sessions built outside the
+  * engine should set the conf themselves (it is a SparkConf-time
+  * setting) or clean the directory between jobs.
   */
 object Checkpoints {
 
@@ -34,9 +46,16 @@ object Checkpoints {
         val sc = spark.sparkContext
         // setCheckpointDir mints a fresh UUID subdir per call — set
         // only when unset or pointed elsewhere, so one session's cuts
-        // share a directory
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        // share a directory. "Pointed elsewhere" compares the minted
+        // subdir's PARENT against the fully-qualified configured dir
+        // (substring containment would wrongly keep a stale dir when
+        // the config changes to a path that is a substring of it).
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified = p.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(p).toString
+        val current = sc.getCheckpointDir.map(cd =>
+          new org.apache.hadoop.fs.Path(cd).getParent.toString)
+        if (!current.contains(qualified)) sc.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -78,6 +78,14 @@ object IvfIndex {
     * big to broadcast (~10⁶ cells), where a hierarchical index takes
     * over.
     *
+    * PRECONDITION: `idCol` is unique. The group-by here collapses
+    * duplicate ids to ONE output row (an arbitrary vector among
+    * them), while the literal `nearestCid` path emits one row per
+    * input row — non-unique ids silently break the "both paths
+    * agree" contract and undercount any census built on the output.
+    * Every in-repo caller feeds primary-key ids (embeddings.doc_id,
+    * learnCentroids' sampled ids); dedupe first if yours are not.
+    *
     * Input: (`idCol`, `vCol`: array<double>). Output: (idCol, vCol,
     * cid).
     */

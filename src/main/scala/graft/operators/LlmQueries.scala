@@ -178,8 +178,20 @@ object LlmQueries {
     * here).
     */
   def documentClusters(spark: SparkSession, dir: String): DataFrame = {
-    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
-    val key = s"${spark.sparkContext.applicationId}|$dir|$mtime"
+    // staleness key via Hadoop's FileSystem, not java.io.File — the
+    // artifact dir contract advertises any Hadoop path (hdfs://,
+    // s3a://, ...), where a local-File mtime is always 0; the content
+    // summary (length + file count) additionally catches a same-name
+    // in-place rewrite that leaves the directory mtime untouched
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp =
+      if (!fs.exists(p)) "absent"
+      else {
+        val cs = fs.getContentSummary(p)
+        s"${fs.getFileStatus(p).getModificationTime}-${cs.getLength}-${cs.getFileCount}"
+      }
+    val key = s"${spark.sparkContext.applicationId}|$dir|$stamp"
     // single-flight: TrieMap.getOrElseUpdate may evaluate the update
     // concurrently, and two threads would overwrite the SAME
     // deterministic output path mid-write (parallel test suites

@@ -43,8 +43,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * row_number windows with empty orderSpec, whose child is a global
   * Sort under a (possibly empty) chain of Projects, with
   * attribute-only sort keys. Intermediate Projects are widened to
-  * keep the sort-key attributes in scope for the window; the extra
-  * columns are pruned again by the parent projection.
+  * keep the sort-key attributes in scope for the window; when any
+  * widening happened, the rewritten Window is wrapped in a
+  * `Project(w.output, ...)` so the subtree's output schema is
+  * byte-for-byte the original — the rule runs session-wide after
+  * column pruning, and an arity/position-sensitive parent (Union)
+  * or a missing pruning Project above must not observe extra
+  * columns.
   */
 object WindowOrderLift extends Rule[LogicalPlan] {
 
@@ -73,8 +78,10 @@ object WindowOrderLift extends Rule[LogicalPlan] {
           val sortAttrs = sort.order.map(_.child.asInstanceOf[AttributeReference])
           // rebuild the Project chain innermost-first over the Sort's
           // child, each widened with any missing sort-key attributes
+          var widened = false
           val newChild = projs.foldRight(sort.child) { (pr, acc) =>
             val missing = sortAttrs.filterNot(pr.outputSet.contains)
+            if (missing.nonEmpty) widened = true
             Project(pr.projectList ++ missing, acc)
           }
           val newWinExprs = winExprs.map {
@@ -85,8 +92,11 @@ object WindowOrderLift extends Rule[LogicalPlan] {
                 a.nonInheritableMetadataKeys)
             case other => other
           }
-          w.copy(windowExpressions = newWinExprs, orderSpec = sort.order,
-            child = newChild)
+          val newWindow = w.copy(windowExpressions = newWinExprs,
+            orderSpec = sort.order, child = newChild)
+          // restore the original output schema if widening leaked
+          // sort-key columns into the Window's child output
+          if (widened) Project(w.output, newWindow) else newWindow
         case _ => w
       }
   }

@@ -134,9 +134,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_sequence_gaps heavy stage: no Window, no global Sort over the keys") {
-    // the guard inspects the tagged stage directly — the final
-    // DataFrame sits above a lineage cut (Scan ExistingRDD), so the
-    // heavy stage's shape is not visible from the composed plan
+    // the guard inspects the tagged stage directly — isolating the
+    // heavy range-partitioned scan from the tiny output-presentation
+    // sort and boundary-fixup union the composed plan adds on top
+    // (the next test covers the composed shape)
     val keys = GraftSession.table(spark, sf0, "lineitem")
       .select(org.apache.spark.sql.functions.col("l_orderkey"))
     val plan = executed(operators.SequenceGaps.taggedScan(keys, "l_orderkey", 8))

@@ -45,6 +45,31 @@ class WindowOrderLiftSpec extends SparkSpec {
       Set(("a", 1L), ("b", 6L), ("c", 7L)))
   }
 
+  test("widened Project: rewrite restores the Window subtree's exact output schema") {
+    // the risk case: the pruning Project between Window and Sort does
+    // NOT carry the sort key, so the rewrite must widen it — and the
+    // rule runs session-wide after column pruning, where an
+    // arity/position-sensitive parent (Union) or a missing pruning
+    // Project above would observe the extra column. The rewritten
+    // subtree's output must be attribute-for-attribute the original.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val analyzed = groups.queryExecution.analyzed
+    val Seq(g, id, v) = analyzed.output
+    val sorted = Sort(Seq(SortOrder(v, Descending)), global = true, analyzed)
+    val pruned = Project(Seq(g, id), sorted) // v dropped above the Sort
+    val rn = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(Seq(g), Nil,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), "rn")()
+    val win = Window(Seq(rn), Seq(g), Nil, pruned, None)
+    val rewritten = WindowOrderLift(win)
+    assert(rewritten !== win, "rule must fire on the order-less row_number form")
+    assert(rewritten.output === win.output,
+      s"widening leaked into the subtree output: ${rewritten.output} vs ${win.output}")
+    // and the global Sort is gone from the rewritten subtree
+    assert(!rewritten.collect { case s: Sort if s.global => s }.exists(_ => true))
+  }
+
   test("lateral LIMIT without ORDER BY: no sort to lift, rule is a no-op, query still runs") {
     // the analyzer rejects a USER-written row_number() with no ORDER
     // BY — only decorrelation produces the order-less form, and
