@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.GraftSession.table
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-driven curation operators (SURVEY.md §2.5 t13/t14): linear
+  * classifier scoring over hashed text features, and a corpus bigram
+  * language model — the two model-shaped filters every large-scale
+  * training-data pipeline runs (a fastText-style quality classifier
+  * and a KenLM-style perplexity filter; see e.g. the CCNet /
+  * GPT-3-era curation recipes). The models here are deterministic
+  * stand-ins (hash-derived weights, corpus-MLE bigram counts) so the
+  * DuckDB oracle can replay them bit-for-bit — the SHAPE (hashing
+  * trick, broadcast-free narrow scoring, count-join LM) is the
+  * production design; swapping real learned weights in changes one
+  * literal array, not the plan.
+  *
+  * Same design rules as CorpusQueries: pure Column algebra or
+  * equi-join/window shapes, drift-free math (SURVEY.md §5 — integer
+  * logits in t13; integer-input `ln` + 6dp rounding in t14,
+  * precedent t12).
+  */
+object ModelQueries {
+
+  // ---------------------------------------------------------------
+  // t13: hashed linear classifier scoring (fastText-style filter)
+  // ---------------------------------------------------------------
+
+  /** Hashing-trick feature dimension. Real quality classifiers use
+    * 2^20+; the SHAPE is dimension-independent (the weight table
+    * never materializes — each weight derives from its bucket id).
+    */
+  val FeatureDim = 1024L
+
+  /** Deterministic per-bucket weight in [-1000, 1000] micro-units:
+    * w(b) = ((b·2654435761 + 97) mod 2001) − 1000 (Knuth
+    * multiplicative constant). All-nonnegative intermediates, so `%`
+    * agrees between Spark and DuckDB; max intermediate ≈ 2.7e12 —
+    * no 64-bit overflow.
+    */
+  private def tokenWeight(t: Column): Column = {
+    val bucket = conv(substring(md5(t), 1, 15), 16, 10).cast("long") % FeatureDim
+    (bucket * lit(2654435761L) + lit(97L)) % lit(2001L) - lit(1000L)
+  }
+
+  /** The scoring kernel: per-row integer logit over whitespace
+    * tokens — `aggregate` folds the token array in place, so scoring
+    * is a pure narrow map: NO explode, NO shuffle, NO broadcast
+    * (weights derive from bucket ids; a real learned weight array of
+    * 2^20 ints is a ~4 MB broadcast, still join-free). At 100 TB this
+    * is the ideal operator shape — embarrassingly parallel model
+    * inference fused into the scan, spec-pinned exchange-free.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tok"),
+      aggregate(toks, lit(0L), (acc, t) => acc + tokenWeight(t)).as("logit"))
+  }
+
+  /** §2.5 t13: score every document with the hashed linear
+    * classifier and emit the keep/drop decision (logit > 0). Output:
+    * (doc_id, n_tok, logit, keep), integer-exact across engines.
+    */
+  def t13ModelScore(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(table(spark, dir, "documents"), "doc_id", "text")
+      .withColumn("keep", when(col("logit") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+
+  val t13ModelScoreSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    CAST(coalesce(list_sum(list_transform(toks, t ->
+      |      ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024) * 2654435761 + 97)
+      |        % 2001 - 1000)), 0) AS BIGINT) AS logit
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |        FROM documents)
+      |)
+      |SELECT doc_id, n_tok, logit,
+      |  CASE WHEN logit > 0 THEN 1 ELSE 0 END AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t14: corpus bigram LM (KenLM-style perplexity filter)
+  // ---------------------------------------------------------------
+
+  /** §2.5 t14: per-document average bigram conditional log-likelihood
+    * under the corpus MLE bigram model —
+    * avg over positions of ln P(w_i | w_{i−1}) = ln c(w_{i−1} w_i) −
+    * ln c(w_{i−1} ·) — i.e. the perplexity filter that drops
+    * gibberish the unigram model (t12) cannot see (every token
+    * common, the SEQUENCE improbable). Docs with < 2 tokens have no
+    * bigrams and drop out (identically in both engines).
+    *
+    * Shape: bigram fan-out is a zip of two array slices (narrow; the
+    * Generate's output is the data size, not a join), then ONE
+    * (doc, prefix, bigram) partial-agg shuffle; the corpus counts
+    * c(bigram) and c(prefix·) are window sums over that aggregate —
+    * the count table is never broadcast and never collected, so the
+    * vocabulary can be arbitrarily large (t12's scale argument).
+    * Drift: ln on integer-valued counts is IEEE-identical across
+    * engines; summation-order drift absorbed by 6dp rounding
+    * (SURVEY §5, precedent t7/t10/t12).
+    */
+  def t14BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toksDf = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toksDf.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("pre"), concat_ws(" ", a, b).as("bg")))).as("p"))
+      .select(col("doc_id"), col("p.pre").as("pre"), col("p.bg").as("bg"))
+    val tf = pairs.groupBy(col("doc_id"), col("pre"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val wBg = org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))
+    val wPre = org.apache.spark.sql.expressions.Window.partitionBy(col("pre"))
+    tf.withColumn("cbi", sum(col("tf")).over(wBg))
+      .withColumn("cpre", sum(col("tf")).over(wPre))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bi"),
+        round(sum(col("tf").cast("double") *
+            (log(col("cbi").cast("double")) - log(col("cpre").cast("double")))) /
+          sum(col("tf")), 6).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t14BigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS t
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id,
+      |    unnest([t[i] for i in generate_series(1, len(t) - 1)]) AS pre,
+      |    unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS bg
+      |  FROM toks WHERE len(t) >= 2
+      |), tf AS (
+      |  SELECT doc_id, pre, bg, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+      |), wc AS (
+      |  SELECT doc_id, tf,
+      |    sum(tf) OVER (PARTITION BY bg) AS cbi,
+      |    sum(tf) OVER (PARTITION BY pre) AS cpre
+      |  FROM tf
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bi,
+      |  round(sum(tf * (ln(cbi) - ln(cpre))) / sum(tf), 6) AS avg_lp
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -512,6 +512,64 @@ object PipelineQueries {
       |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // p6: epoch-aware source-mixture planning
+  // ---------------------------------------------------------------
+
+  /** Upsampling ceiling, micro-units (4.0 epochs): repeating a
+    * source beyond ~4 epochs measurably degrades models, so scarce
+    * high-value sources cap there — the standard mixture rule.
+    */
+  val MixtureEpochCapMicro = 4000000L
+
+  /** The mixture plan for a documents frame: per-source token
+    * census → equal per-source token targets against a budget of
+    * HALF the corpus (budget-as-fraction keeps the entry
+    * scale-independent; a real run substitutes its token budget) →
+    * per-source epoch factor epochs = min(cap, target/available),
+    * exact in micro-units (integer `div`; `//` in the oracle — both
+    * floor on nonnegative operands, and every operand here is a
+    * count). The output IS the sampling directive p3's
+    * temperature/rate sampler consumes — mixture planning and
+    * sampling compose as two operators, not one monolith.
+    *
+    * Shape: one partial-agg shuffle on source (the census), then a
+    * broadcast of the ONE-ROW corpus total onto the per-source
+    * frame. Nothing driver-side, nothing quadratic; source
+    * cardinality is the only state and it is the GROUP BY key.
+    */
+  def mixturePlan(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(wsTokens(col("text"))).cast("long")).as("n_tok"))
+    val tot = per.agg(count(lit(1)).as("k"), sum(col("n_tok")).as("tot_tok"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("tgt_tok", expr("(tot_tok div 2) div k"))
+      .withColumn("epochs_micro",
+        least(lit(MixtureEpochCapMicro), expr("tgt_tok * 1000000 div n_tok")))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        col("tgt_tok"), col("epochs_micro"))
+  }
+
+  /** §2.8 p6: epoch-aware mixture plan over the documents corpus. */
+  def p6MixturePlan(spark: SparkSession, dir: String): DataFrame =
+    mixturePlan(table(spark, dir, "documents")).orderBy(col("source"))
+
+  val p6MixturePlanSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), ' +'),
+      |                             x -> x != ''))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(n_tok) AS BIGINT) AS tot_tok FROM per
+      |)
+      |SELECT source, n_docs, n_tok,
+      |  (tot_tok // 2) // k AS tgt_tok,
+      |  least(4000000, ((tot_tok // 2) // k) * 1000000 // n_tok) AS epochs_micro
+      |FROM per, tot ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // e2e: full curation pipeline
   // ---------------------------------------------------------------
 

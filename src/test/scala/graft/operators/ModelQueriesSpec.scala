@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** t13 model scoring / t14 bigram LM / p6 mixture plan: planted
+  * inputs with hand-computed expectations, plus the plan-shape
+  * guards that make the 100 TB claims checkable (t13 scoring must
+  * stay a shuffle-free narrow map).
+  */
+class ModelQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The classifier's weight formula, replayed independently on the
+    * JVM (MessageDigest md5, not Spark's): w(token) =
+    * ((bucket·2654435761 + 97) mod 2001) − 1000 with bucket =
+    * first-15-hex-chars-of-md5 mod 1024.
+    */
+  private def refWeight(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    val bucket = java.lang.Long.parseLong(hex, 16) % 1024L
+    (bucket * 2654435761L + 97L) % 2001L - 1000L
+  }
+
+  test("t13: logits equal an independent JVM replay of the weight formula") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the the the"),        // repeated token: tf-weighted sum
+      (3L, "  "),                 // whitespace-only: 0 tokens, logit 0
+      (4L, "Mixed CASE Tokens")   // lowercased before hashing
+    ).toDF("doc_id", "text")
+    val got = ModelQueries.scoreDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def expected(s: String): (Long, Long) = {
+      val toks = s.toLowerCase.trim.split(" +").filter(_.nonEmpty)
+      (toks.length.toLong, toks.map(refWeight).sum)
+    }
+    assert(got(1L) === expected("the quick brown fox"))
+    assert(got(2L) === expected("the the the"))
+    assert(got(2L)._2 === 3 * refWeight("the"))
+    assert(got(3L) === ((0L, 0L)))
+    assert(got(4L) === expected("Mixed CASE Tokens"))
+  }
+
+  test("t13: scoring is a pure narrow map — no exchange, no generate") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = ModelQueries.scoreDocs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"model inference must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the token fold must not explode (aggregate() folds in place):\n$plan")
+  }
+
+  test("t14: planted corpus matches hand-computed bigram conditionals") {
+    // corpus: c("a b")=2, c("a c")=1, prefix c(a ·)=3
+    val docs = Seq(
+      (1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s"),
+      (4L, "solo", "s") // single token: no bigrams, dropped
+    ).toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").parquet(tmpDir("t14") + "/documents.parquet")
+    val out = ModelQueries.t14BigramLm(spark, tmpDir("t14"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def lp(cbi: Long, cpre: Long): Double =
+      BigDecimal(math.log(cbi.toDouble) - math.log(cpre.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, lp(2, 3))))
+    assert(out(2L) === ((1L, lp(2, 3))))
+    assert(out(3L) === ((1L, lp(1, 3))))
+  }
+
+  test("p6: scarce source upsamples exactly, cap binds on a tiny one") {
+    def doc(src: String, n: Int): (String, String) = (src, Seq.fill(n)("w").mkString(" "))
+    // big: 9000 tokens, small: 1000, tiny: 100 → tot 10100, k=3,
+    // tgt = (10100/2)/3 = 1683; epochs_micro = min(4e6, tgt*1e6/n_tok)
+    val docs = (Seq.fill(9)(doc("big", 1000)) ++ Seq.fill(2)(doc("small", 500)) :+
+      doc("tiny", 100)).toDF("source", "text")
+    val rows = PipelineQueries.mixturePlan(docs).orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("big", 9L, 9000L, 1683L, 1683L * 1000000L / 9000L),
+      ("small", 2L, 1000L, 1683L, 1683L * 1000000L / 1000L),
+      ("tiny", 1L, 100L, 1683L, 4000000L)))
+  }
+}
