@@ -132,6 +132,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** n-gram CONTAINMENT for candidate pairs — the asymmetric overlap
+    * measure |A∩B| / min(|A|,|B|): a short document pasted inside a
+    * long one scores ~1.0 here while its Jaccard (÷ union) shrinks
+    * with the length ratio and slips under any workable threshold —
+    * the quote/excerpt/boilerplate-wrapper case a Jaccard-only dedup
+    * pass structurally misses. Same shingle-set equi-join shape and
+    * md5-int parity argument as `jaccardVerify`; only the
+    * denominator differs.
+    */
+  def containmentVerify(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5, threshold: Double = 0.0): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+      .groupBy(col(idCol).as("id"))
+      .agg(collect_set(
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** 64-bit SimHash per doc (hex string) — one narrow map (repartition
     * for the same compute-bound fan-out reason as shingleRows).
     */

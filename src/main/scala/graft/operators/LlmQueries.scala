@@ -144,6 +144,38 @@ object LlmQueries {
       |  ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.3 d15: containment dedup — d4's candidate generator with the
+    * asymmetric |A∩B|/min measure (Dedup.containmentVerify): flags
+    * the short-doc-inside-long-doc pairs whose Jaccard is diluted by
+    * the union denominator. Threshold 0.5 keeps the entry selective
+    * on the test corpus (105 of 1380 candidates at sf0.01).
+    */
+  def d15Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
+      .select(col("id_a"), col("id_b"))
+    Dedup.containmentVerify(docs, pairs, "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d15ContainmentSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, source,
+      |    list_distinct([('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
+      |                   for i in generate_series(1, length(t) - 4)]) AS sh
+      |  FROM (SELECT doc_id, source,
+      |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |        FROM documents)
+      |), c AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+      |  FROM norm a JOIN norm b
+      |    ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
+      |)
+      |SELECT id_a, id_b, containment FROM c
+      |WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   /** §2.3 d9: near-dup CLUSTER assignment — the step after pairwise
     * verification. Verified pairs (d4's kernel, jaccard ≥ 0.2) become
     * edges; connected components assign every involved doc a

@@ -71,6 +71,24 @@ class DedupSpec extends SparkSpec {
     assert(byPair((5L, 101L)) > 0.8 && byPair((5L, 101L)) < 1.0)
   }
 
+  test("containment flags a short doc embedded in a long one that jaccard misses") {
+    val short = "the quick brown fox jumps over the lazy dog again and again"
+    val long = short + " " + Seq.tabulate(40)(i => s"filler$i word$i").mkString(" ")
+    val embedded = Seq((1L, short), (2L, long), (3L, "entirely different content here"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val cont = Dedup.containmentVerify(embedded, cand, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(v => (v._1, v._2) -> v._3).toMap
+    // short is a PREFIX of long: every shingle of A is in B → exactly 1.0
+    assert(cont((1L, 2L)) === 1.0)
+    assert(cont((1L, 3L)) < 0.2)
+    // the same pair under jaccard is diluted below any workable
+    // threshold by the union denominator — the case d15 exists for
+    val jac = Dedup.jaccardVerify(embedded, cand, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(v => (v._1, v._2) -> v._3).toMap
+    assert(jac((1L, 2L)) < 0.5)
+  }
+
   test("simhash pairs: near-identical docs within hamming radius (both weightings)") {
     for (weighted <- Seq(false, true)) {
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,

@@ -72,6 +72,27 @@ class ModelQueriesSpec extends SparkSpec {
     assert(out(3L) === ((1L, lp(1, 3))))
   }
 
+  test("t13: the scorer runs unchanged on a stream (narrow map, no state)") {
+    // model scoring at the ingestion front door: because scoreDocs is
+    // a stateless narrow map, the SAME code path serves batch and
+    // streaming — no watermark, no state store, nothing to rewrite
+    val dir = tmpDir("t13_stream")
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"))
+      .toDF("doc_id", "text")
+    docs.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = ModelQueries.scoreDocs(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t13_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t13_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = ModelQueries.scoreDocs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("p6: scarce source upsamples exactly, cap binds on a tiny one") {
     def doc(src: String, n: Int): (String, String) = (src, Seq.fill(n)("w").mkString(" "))
     // big: 9000 tokens, small: 1000, tiny: 100 → tot 10100, k=3,
