@@ -145,15 +145,21 @@ object CorpusQueries {
     val docs = table(spark, dir, "documents")
     val n = docs.count()
     val nodes = docs.select(col("doc_id").as("node"))
-    val edges = nodes.select(col("node").as("src"),
+    PageRank.ranksByDegree(nodes, plantedEdges(nodes, n)).orderBy(col("node"))
+  }
+
+  /** The deterministic doc_id-derived link graph shared by
+    * q_pagerank and q_triangles (see qPagerank's Scaladoc for why
+    * the maps are deliberately non-bijective and irregular).
+    */
+  private def plantedEdges(nodes: DataFrame, n: Long): DataFrame =
+    nodes.select(col("node").as("src"),
         pmod(col("node") * col("node") + 13, lit(n)).as("dst"))
       .unionByName(nodes.select(col("node").as("src"),
         pmod(col("node"), lit(97L)).as("dst")))
       .unionByName(nodes.filter(pmod(col("node"), lit(3L)) === 0)
         .select(col("node").as("src"),
           pmod(col("node") * 5 + 41, lit(n)).as("dst")))
-    PageRank.ranksByDegree(nodes, edges).orderBy(col("node"))
-  }
 
   val qPagerankSql: String = {
     // integer micro-units: per-src contribution = round(u/deg) — one
@@ -187,6 +193,90 @@ object CorpusQueries {
       |${iter("r4", "r5")}
       |SELECT node, u / 1000000.0 AS rank6 FROM r5 ORDER BY node""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q_triangles: degree-oriented triangle counting
+  // ---------------------------------------------------------------
+
+  /** §2.2 q_triangles: per-node triangle counts over the planted
+    * link graph (crawl-graph motif analysis — triangle density is
+    * the classic community/spam signal next to PageRank's
+    * authority). Algorithm: canonicalize to undirected distinct
+    * edges (self-loops dropped) → compute degrees → ORIENT each edge
+    * from its lower-(degree, id) endpoint to the higher one → join
+    * oriented out-edges on their source to enumerate wedges → close
+    * each wedge against the oriented edge between its endpoints.
+    *
+    * The orientation is the point at scale: out-degree in the
+    * oriented graph is O(√m), so the wedge self-join materializes
+    * Σ outdeg² = O(m^1.5) rows instead of Σ deg² — a hub with a
+    * million followers contributes NOTHING to the wedge fan-out
+    * (all its edges point INTO it), which is what makes triangle
+    * counting survive power-law graphs. Every step is an equi-join
+    * or partial agg; each triangle is produced exactly once (its
+    * lowest-ordered vertex is the unique wedge center whose closing
+    * edge is oriented forward). The oracle replays the identical
+    * orientation in SQL.
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("node"))
+    val und = plantedEdges(nodes, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val orient = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"))
+    val e1 = orient.select(col("u"), col("v").as("y"))
+    val e2 = orient.select(col("u"), col("v").as("z"))
+    val wedges = e1.join(e2, "u").filter(col("y") =!= col("z"))
+    val tri = wedges.join(
+      orient.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    tri.select(col("u").as("node"))
+      .unionByName(tri.select(col("y").as("node")))
+      .unionByName(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
+  val qTrianglesSql: String =
+    """WITH c AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT doc_id AS node FROM documents),
+      |edges AS (
+      |  SELECT node AS src, (node * node + 13) % cnt AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, node % 97 AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, (node * 5 + 41) % cnt AS dst
+      |  FROM nodes CROSS JOIN c WHERE node % 3 = 0),
+      |und AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges WHERE src != dst),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM
+      |    (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      |  GROUP BY node),
+      |orient AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v
+      |  FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM orient e1
+      |  JOIN orient e2 ON e2.u = e1.u AND e1.v != e2.v
+      |  JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+      |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |GROUP BY node ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------
   // d12: URL-canonicalization dedup

@@ -757,6 +757,76 @@ object Extended {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** §2.2 q_funnel: ordered conversion funnel over the events table —
+    * view → click (within 24 h of the first view) → purchase (within
+    * 24 h of that click), the product-analytics staple. Matching
+    * rule, fully deterministic: anchor at the user's FIRST view;
+    * each later step is the first qualifying event after the
+    * previous step's match (min-anchored sequential matching — a
+    * defined funnel semantics both engines replay exactly).
+    *
+    * Shape: three layered running-min window columns over the SAME
+    * (user_id; ts, event_id) window — ONE hash shuffle and ONE sort,
+    * the two later Window operators reuse the partition ordering —
+    * then a per-user partial agg and a 3-row rollup. Nothing
+    * corpus-wide: state per user is three timestamps. The tie-safe
+    * (ts, event_id) ordering makes running-min frames identical
+    * across engines; events carry no sub-microsecond components
+    * (verified), so micro-truncated Spark timestamps compare like
+    * DuckDB's nanos.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val day = expr("INTERVAL 24 HOURS")
+    val staged = ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t1") && col("ts") <= col("t1") + day, col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2") && col("ts") <= col("t2") + day, col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+        count(col("t3")).as("u3"))
+      .select(expr(
+        "stack(3, '1_view', u1, '2_click', u2, '3_purchase', u3) AS (step, users)"))
+      .orderBy(col("step"))
+  }
+
+  val qFunnelSql: String =
+    """WITH w1 AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+      |  FROM events
+      |), w2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+      |                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+      |  FROM w1
+      |), w3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+      |                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t3
+      |  FROM w2
+      |), per AS (
+      |  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      |  FROM w3 GROUP BY user_id
+      |)
+      |SELECT '1_view' AS step, count(t1) AS users FROM per
+      |UNION ALL SELECT '2_click', count(t2) FROM per
+      |UNION ALL SELECT '3_purchase', count(t3) FROM per
+      |ORDER BY step""".stripMargin
+
   /** §2.2 q_hierarchy: recursive CTE — iterative graph/tree traversal
     * in the SQL surface (org charts, category trees, BOM explosions;
     * the capability d9's connected components hand-rolls, exposed

@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("triangles: degree-oriented count equals unordered brute-force enumeration") {
+    // independent brute force over the same planted graph: enumerate
+    // undirected edges a<b and count closures (a<b<c) directly —
+    // no orientation, no dedup subtleties shared with the operator
+    val sf = sf0
+    val docs = graft.GraftSession.table(spark, sf, "documents")
+    val n = docs.count()
+    val ids = docs.select($"doc_id").as[Long].collect()
+    def pm(x: Long): Long = ((x % n) + n) % n
+    val und = ids.flatMap { id =>
+      val ds = Seq(pm(id * id + 13), id % 97) ++
+        (if (id % 3 == 0) Seq(pm(id * 5 + 41)) else Nil)
+      ds.filter(_ != id).map(d => (math.min(id, d), math.max(id, d)))
+    }.toSet
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- und; c <- adj.getOrElse(b, Set.empty[Long]) if und.contains((a, c))) {
+      expected(a) += 1; expected(b) += 1; expected(c) += 1
+    }
+    val got = CorpusQueries.qTriangles(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap)
+    assert(got.nonEmpty, "planted graph must contain triangles")
+  }
+
   test("chunking windows overlap by chunk-stride and cover every token") {
     val dir = tmpDir("t11_fixture")
     // 100 tokens -> starts 0, 48, 96 -> sizes 64, 52, 4
