@@ -532,17 +532,24 @@ object PipelineQueries {
     * temperature/rate sampler consumes — mixture planning and
     * sampling compose as two operators, not one monolith.
     *
-    * Shape: one partial-agg shuffle on source (the census), then a
-    * broadcast of the ONE-ROW corpus total onto the per-source
-    * frame. Nothing driver-side, nothing quadratic; source
-    * cardinality is the only state and it is the GROUP BY key.
+    * Shape: one partial-agg shuffle on source (the census), then an
+    * UNPARTITIONED window over the per-source frame for the corpus
+    * totals — the frame is source-cardinality-sized (a handful of
+    * rows), so the single-partition window is free and the corpus
+    * is scanned exactly ONCE (a separate total aggregate re-plans
+    * the census subtree and costs a second full scan — measured in
+    * the plan audit). Nothing driver-side, nothing quadratic.
     */
   def mixturePlan(docs: DataFrame): DataFrame = {
     val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(wsTokens(col("text"))).cast("long")).as("n_tok"))
-    val tot = per.agg(count(lit(1)).as("k"), sum(col("n_tok")).as("tot_tok"))
-    per.crossJoin(broadcast(tot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per.withColumn("k", count(lit(1)).over(w))
+      .withColumn("tot_tok", sum(col("n_tok")).over(w))
       .withColumn("tgt_tok", expr("(tot_tok div 2) div k"))
       .withColumn("epochs_micro",
         least(lit(MixtureEpochCapMicro), expr("tgt_tok * 1000000 div n_tok")))
