@@ -185,14 +185,22 @@ object CsvToParquet {
     * scratch directory with one output partition and move the part
     * file to the exact target path. The CLI uses this; the library
     * API keeps the directory form, which is what scales.
+    *
+    * All file operations go through Hadoop's FileSystem resolved
+    * from the OUTPUT path, and the scratch directory is staged
+    * beside the target — so `out.parquet` may live on hdfs:// or
+    * s3a:// and the final move is a same-filesystem rename, never a
+    * local-disk round-trip.
     */
   def convertToSingleFile(spark: SparkSession, csvPath: String, outFile: String,
       opts: ConvertOptions = ConvertOptions()): Conversion = {
     require(opts.partitionBy.isEmpty,
       "partitioned output needs the directory form (a single file has no partition dirs)")
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Files.createTempDirectory(
-      Paths.get(sys.props("java.io.tmpdir")), "graft_c2p").toString
+    import org.apache.hadoop.fs.Path
+    val outP = new Path(outFile)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = Option(outP.getParent).getOrElse(new Path("."))
+    val tmpP = new Path(parent, s".graft_c2p_${java.util.UUID.randomUUID()}")
     try {
       val schema = resolveSchema(spark, csvPath, opts)
       if (opts.dry) return Conversion(schema, ArrowSchemaJson.render(schema), None)
@@ -200,16 +208,13 @@ object CsvToParquet {
       val df = readTyped(spark, csvPath, schema.toSpark, header, opts.delimiter,
         opts.multiLine, opts.permissive)
         .coalesce(1)
-      convertFrame(df, schema, tmp, opts)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, Paths.get(outFile), StandardCopyOption.REPLACE_EXISTING)
+      convertFrame(df, schema, tmpP.toString, opts)
+      val part = fs.globStatus(new Path(tmpP, "part-*.parquet")).head.getPath
+      fs.delete(outP, false)
+      require(fs.rename(part, outP), s"rename $part -> $outP failed")
       Conversion(schema, ArrowSchemaJson.render(schema), Some(spark.read.parquet(outFile)))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
+      fs.delete(tmpP, true); ()
     }
   }
 
