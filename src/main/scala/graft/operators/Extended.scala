@@ -827,6 +827,40 @@ object Extended {
       |UNION ALL SELECT '3_purchase', count(t3) FROM per
       |ORDER BY step""".stripMargin
 
+  /** §2.2 q_cohorts: weekly cohort retention — users grouped by
+    * first-activity day, activity counted per whole-week offset (the
+    * retention matrix next to q_funnel's conversion and
+    * q_sessionize's engagement). One user-partition window for the
+    * cohort anchor (single shuffle), then a partial-agg rollup on
+    * (cohort, offset); count(DISTINCT user) is exact in both
+    * engines, day arithmetic is integer; the cohort key is emitted as
+    * a yyyy-MM-dd STRING (date columns stringify differently across
+    * engine→pandas paths).
+    */
+  def qCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    ev.withColumn("cohort", min(col("d")).over(w))
+      .withColumn("week_offset", expr("datediff(d, cohort) div 7"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val qCohortsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      |), c AS (
+      |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort FROM e
+      |)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+      |  CAST((d - cohort) // 7 AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM c GROUP BY 1, 2
+      |ORDER BY cohort, week_offset""".stripMargin
+
   /** §2.2 q_hierarchy: recursive CTE — iterative graph/tree traversal
     * in the SQL surface (org charts, category trees, BOM explosions;
     * the capability d9's connected components hand-rolls, exposed
