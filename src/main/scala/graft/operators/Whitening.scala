@@ -36,6 +36,11 @@ object Whitening {
 
   /** (mean, covariance) of an array<float/double> column, one
     * aggregation pass. Collects d + d(d+1)/2 + 1 small rows.
+    *
+    * PRECONDITION: every vector has exactly `dims` elements —
+    * `getItem` past a short array is null and `sum` would silently
+    * skip it, deflating that dimension's moments (the whitening map
+    * itself fails loudly on mismatched lengths via ArrayDotProduct).
     */
   def moments(vecs: DataFrame, vecCol: String, dims: Int): (Array[Double], Array[Array[Double]]) = {
     val v = toDouble(col(vecCol))
