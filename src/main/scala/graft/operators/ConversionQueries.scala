@@ -186,4 +186,41 @@ object ConversionQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Parquet → ORC → parquet-equivalent aggregate: closes the columnar
+    * leg of the conversion matrix (csv ⇄ parquet, jsonl ⇄ parquet,
+    * parquet → ORC) with Spark's NATIVE orc datasource — same
+    * predicate-pushdown/column-pruning scan machinery, zstd
+    * compression, no extra dependency. The oracle aggregates the
+    * ORIGINAL parquet table (DuckDB reads no ORC and doesn't need to:
+    * equality holds iff the typed roundtrip through ORC is lossless —
+    * the same trick the CSV roundtrips use). Timestamps excluded:
+    * lineitem carries none natively and ORC's µs semantics are already
+    * covered by the parquet writers; types exercised are int64,
+    * float64, string, date.
+    */
+  def refOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orcDir = scratch(dir, "rt_orc")
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate"))
+      .write.mode("overwrite").option("compression", "zstd").orc(orcDir)
+    spark.read.orc(orcDir)
+      .filter(col("l_quantity") > 10.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice"))).cast("long").as("sum_price"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val refOrcRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(round(l_extendedprice)) AS BIGINT) AS sum_price,
+      |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+      |FROM lineitem
+      |WHERE l_quantity > 10.0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

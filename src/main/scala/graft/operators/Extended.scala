@@ -861,6 +861,53 @@ object Extended {
       |FROM c GROUP BY 1, 2
       |ORDER BY cohort, week_offset""".stripMargin
 
+  /** §2.2 q_markov: session-path transition counts — the Markov-chain
+    * view of user navigation (which step follows which), the
+    * path-analysis staple next to q_funnel's fixed sequence and
+    * q_sessionize's boundaries. Each user's events are ordered by the
+    * tie-safe (ts, event_id) key; a transition (src → dst) is emitted
+    * for every event whose predecessor lies within the same 30-minute
+    * session gap, and session-opening events transition from the
+    * `_start` pseudo-state — so Σn = |events| exactly (a built-in
+    * conservation check).
+    *
+    * Shape: ONE (user_id) window shuffle (lag of type and ts over the
+    * same window — one sort, both lags share it), then a partial-agg
+    * rollup on (src, dst) whose output is bounded by |event types|²,
+    * never by rows. Gap arithmetic in integer microseconds (events
+    * carry no sub-microsecond parts — q_funnel's verified premise), so
+    * both engines compare identical integers.
+    */
+  def qMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("src",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, lit("_start"))
+          .otherwise(col("prev_type")))
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val qMarkovSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+      |            THEN '_start' ELSE prev_type END AS src,
+      |  event_type AS dst, CAST(count(*) AS BIGINT) AS n
+      |FROM o GROUP BY 1, 2
+      |ORDER BY src, dst""".stripMargin
+
   /** §2.2 q_hierarchy: recursive CTE — iterative graph/tree traversal
     * in the SQL surface (org charts, category trees, BOM explosions;
     * the capability d9's connected components hand-rolls, exposed
