@@ -126,6 +126,74 @@ object CorpusQueries {
       |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // t15: per-source vocabulary drift (KL from the corpus mixture)
+  // ---------------------------------------------------------------
+
+  /** §2.5 t15: distributional drift per source — KL(source ‖ corpus)
+    * over unigram distributions, the corpus-monitoring statistic that
+    * flags a domain whose language shifted relative to the mixture
+    * (scraper regressions, a source turning into boilerplate, a
+    * license change swapping content). t12 scores each DOC under the
+    * corpus; this scores each SOURCE's whole distribution, so it
+    * catches drift no per-doc filter sees.
+    *
+    * Shape: one (source, term) partial-agg shuffle for the tf table;
+    * corpus term totals via a term-partition window over that frame
+    * (vocabulary SHUFFLES, never broadcast — t12's rule); per-source
+    * token totals reduce to a source-cardinality census that joins
+    * back broadcast, and the corpus total is a 1-row broadcast (t7's
+    * rule). Final rollup is a source-key partial agg.
+    *
+    * Oracle parity: every ln argument is one IEEE division of
+    * exactly-representable integer products (c_st·N_c ≤ ~1e12 ≪ 2^53),
+    * weights are int-ratio doubles, and the per-source sum is rounded
+    * to 6dp to absorb summation-order drift (SURVEY §5, t10/t12
+    * precedent).
+    */
+  def t15VocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val occ = docs.select(col("source"), explode(wsTokens(col("text"))).as("term"))
+    val tf = occ.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val corpusTot = srcTot.agg(sum(col("n_s")).as("n_c"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    tf.withColumn("c_ct", sum(col("c_st")).over(wTerm))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).cast("long").as("n_tok"),
+        count(lit(1)).cast("long").as("vocab"),
+        round(sum(col("c_st").cast("double") / col("n_s") *
+          log((col("c_st") * col("n_c")).cast("double") /
+            (col("n_s") * col("c_ct")).cast("double"))), 6).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  val t15VocabDriftSql: String =
+    """WITH occ AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT source, term, count(*) AS c_st FROM occ GROUP BY 1, 2
+      |), st AS (
+      |  SELECT source, sum(c_st) AS n_s FROM tf GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(n_s) AS n_c FROM st
+      |), tt AS (
+      |  SELECT source, term, c_st,
+      |    sum(c_st) OVER (PARTITION BY term) AS c_ct
+      |  FROM tf
+      |)
+      |SELECT t.source, CAST(max(s.n_s) AS BIGINT) AS n_tok,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  round(sum(CAST(t.c_st AS DOUBLE) / s.n_s *
+      |    ln(CAST(t.c_st * c.n_c AS DOUBLE) /
+      |       CAST(s.n_s * t.c_ct AS DOUBLE))), 6) AS kl_nats
+      |FROM tt t JOIN st s USING (source) CROSS JOIN tot c
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_pagerank: crawl-authority scoring
   // ---------------------------------------------------------------
 

@@ -126,6 +126,41 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("vocab drift: planted two-source corpus matches hand-computed KL") {
+    val dir = tmpDir("t15_fixture")
+    // source A: tokens {a:2, b:1}; source B: {a:1, b:3}
+    Seq((1L, "a a b", "en", "A", 5L), (2L, "a b b b", "en", "B", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    // JVM replay of the same formula: KL_s = Σ (c_st/n_s)·ln(c_st·N_c/(n_s·c_ct))
+    def kl(tf: Map[String, Long], corpus: Map[String, Long]): Double = {
+      val nS = tf.values.sum.toDouble
+      val nC = corpus.values.sum.toDouble
+      val raw = tf.map { case (t, c) =>
+        c / nS * math.log(c * nC / (nS * corpus(t))) }.sum
+      math.rint(raw * 1e6) / 1e6
+    }
+    val corpus = Map("a" -> 3L, "b" -> 4L)
+    val out = CorpusQueries.t15VocabDrift(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A") === ((3L, 2L, kl(Map("a" -> 2L, "b" -> 1L), corpus))))
+    assert(out("B") === ((4L, 2L, kl(Map("a" -> 1L, "b" -> 3L), corpus))))
+    // the source that deviates more from the mixture scores higher
+    assert(out("A")._3 > 0 && out("B")._3 > 0)
+  }
+
+  test("vocab drift: a source identical to the corpus mixture scores zero") {
+    val dir = tmpDir("t15_fixture")
+    // both sources carry the identical distribution → corpus mixture
+    // equals each source → every ln term is ln(1) = 0 exactly
+    Seq((1L, "x x y", "en", "A", 5L), (2L, "x x y", "en", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = CorpusQueries.t15VocabDrift(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out === Map("A" -> 0.0, "B" -> 0.0))
+  }
+
   test("hierarchy traversal reaches every customer exactly once from the root") {
     val out = Extended.qHierarchy(spark, sf0).collect()
     val total = out.map(_.getLong(1)).sum
