@@ -137,12 +137,18 @@ object CorpusQueries {
     * corpus; this scores each SOURCE's whole distribution, so it
     * catches drift no per-doc filter sees.
     *
-    * Shape: one (source, term) partial-agg shuffle for the tf table;
-    * corpus term totals via a term-partition window over that frame
-    * (vocabulary SHUFFLES, never broadcast — t12's rule); per-source
-    * token totals reduce to a source-cardinality census that joins
-    * back broadcast, and the corpus total is a 1-row broadcast (t7's
-    * rule). Final rollup is a source-key partial agg.
+    * Shape: one (source, term) partial-agg shuffle builds the tf
+    * table, which is lineage-CUT (Checkpoints.cut — the d9 artifact
+    * rule applied in-plan): three consumers branch off it (term
+    * totals, source census, corpus total) and column pruning makes
+    * their subtrees non-identical, so without the cut ReuseExchange
+    * recomputes the corpus tokenize 3× (t12's documented limitation —
+    * acceptable for its two branches, not for the heaviest scan ×3).
+    * Corpus term totals via a term-partition window over the cut
+    * frame (vocabulary SHUFFLES, never broadcast — t12's rule);
+    * per-source token totals reduce to a source-cardinality census
+    * that joins back broadcast, and the corpus total is a 1-row
+    * broadcast (t7's rule). Final rollup is a source-key partial agg.
     *
     * Oracle parity: every ln argument is one IEEE division of
     * exactly-representable integer products (c_st·N_c ≤ ~1e12 ≪ 2^53),
@@ -153,7 +159,8 @@ object CorpusQueries {
   def t15VocabDrift(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val occ = docs.select(col("source"), explode(wsTokens(col("text"))).as("term"))
-    val tf = occ.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val tf = Checkpoints.cut(
+      occ.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st")))
     val srcTot = tf.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val corpusTot = srcTot.agg(sum(col("n_s")).as("n_c"))
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
