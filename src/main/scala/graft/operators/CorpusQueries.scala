@@ -270,6 +270,68 @@ object CorpusQueries {
   }
 
   // ---------------------------------------------------------------
+  // q_kcore: k-core peeling
+  // ---------------------------------------------------------------
+
+  /** Core threshold / peel rounds for the q_kcore entry. k = 3 keeps
+    * the planted graph non-vacuous at every SF (hub-adjacent nodes
+    * survive, tendrils peel); 6 fixed rounds reach the fixpoint on
+    * the test corpora (KCoreSpec asserts a 7th round is a no-op).
+    */
+  val KCoreK = 3
+  val KCoreRounds = 6
+
+  /** §2.2 q_kcore: k-core decomposition of the planted link graph
+    * (`operators.KCore`) — the density filter that peels link farms
+    * and tendrils while keeping genuinely interlinked cores; the
+    * iterative-FILTER fixpoint completing the graph family (PageRank:
+    * numeric, d9 components: label, triangles: motif). Fixed-round
+    * peel (PageRank's rule), so the oracle unrolls the same rounds as
+    * chained CTEs over the same undirected edge table.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("node"))
+    KCore.peel(nodes, plantedEdges(nodes, n), k = KCoreK, rounds = KCoreRounds)
+      .orderBy(col("node"))
+  }
+
+  val qKcoreSql: String = {
+    def round(prev: String, d: String, out: String): String =
+      s"""$d AS (
+         |  SELECT e.src AS node, count(*) AS d
+         |  FROM und e
+         |  JOIN $prev x ON x.node = e.src
+         |  JOIN $prev y ON y.node = e.dst
+         |  GROUP BY 1),
+         |$out AS (SELECT node FROM $d WHERE d >= $KCoreK)""".stripMargin
+    s"""WITH c AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT doc_id AS node FROM documents),
+      |edges AS (
+      |  SELECT node AS src, (node * node + 13) % cnt AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, node % 97 AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, (node * 5 + 41) % cnt AS dst
+      |  FROM nodes CROSS JOIN c WHERE node % 3 = 0),
+      |und AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM edges WHERE src != dst
+      |    UNION ALL
+      |    SELECT dst AS src, src AS dst FROM edges WHERE src != dst)),
+      |a0 AS (SELECT node FROM nodes),
+      |${round("a0", "d1", "a1")},
+      |${round("a1", "d2", "a2")},
+      |${round("a2", "d3", "a3")},
+      |${round("a3", "d4", "a4")},
+      |${round("a4", "d5", "a5")},
+      |${round("a5", "d6", "a6")}
+      |SELECT node, CAST(d AS BIGINT) AS core_deg
+      |FROM d6 WHERE d >= $KCoreK ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q_triangles: degree-oriented triangle counting
   // ---------------------------------------------------------------
 

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** KCore.peel: planted graphs with hand-computed cores (clique
+  * survives, chain cascades away round by round), and the fixed-round
+  * entry's fixpoint claim (one more round is a no-op).
+  */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def g(edges: Seq[(Long, Long)]) =
+    (edges.toDF("src", "dst"),
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("node"))
+
+  test("kcore: 4-clique survives k=3, pendant chain peels away in cascade") {
+    // 4-clique {1,2,3,4} + chain 4-5-6-7: every chain node has degree
+    // <= 2 inside any alive set, so the chain cascades off end-first;
+    // clique nodes keep degree 3 among themselves forever
+    val (edges, nodes) = g(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)))
+    val out = KCore.peel(nodes, edges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "exactly the clique survives, each seeing 3 in-core neighbors")
+    // one round peels only the frontier: after round 1 node 7 (deg 1)
+    // is gone but 5 and 6 (deg 2 at round 1) linger until later rounds
+    val r1 = KCore.peel(nodes, edges, k = 2, rounds = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 === Set(1L, 2L, 3L, 4L), "k=2 also strips the open chain")
+  }
+
+  test("kcore: duplicate and reversed edges count once; self-loops ignored") {
+    val (edges, nodes) = g(Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), // one real edge
+      (1L, 3L), (2L, 3L)))                    // triangle closes
+    val out = KCore.peel(nodes, edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore entry: the fixed round count reaches the fixpoint (one more is a no-op)") {
+    val sf = sf0
+    val docs = GraftSession.table(spark, sf, "documents")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("node"))
+    def run(rounds: Int) = {
+      val edges = nodes.select(col("node").as("src"),
+          pmod(col("node") * col("node") + 13, lit(n)).as("dst"))
+        .unionByName(nodes.select(col("node").as("src"),
+          pmod(col("node"), lit(97L)).as("dst")))
+        .unionByName(nodes.filter(pmod(col("node"), lit(3L)) === 0)
+          .select(col("node").as("src"),
+            pmod(col("node") * 5 + 41, lit(n)).as("dst")))
+      KCore.peel(nodes, edges, CorpusQueries.KCoreK, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val atEntry = run(CorpusQueries.KCoreRounds)
+    val onePast = run(CorpusQueries.KCoreRounds + 1)
+    assert(atEntry === onePast,
+      s"round ${CorpusQueries.KCoreRounds} must be the fixpoint on the test corpus")
+    assert(atEntry.nonEmpty && atEntry.size < n,
+      "entry must be non-vacuous: some nodes survive, some peel")
+  }
+}
