@@ -648,4 +648,55 @@ object PipelineQueries {
       |SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
       |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
   }
+
+  /** §2.5 t16: robust per-source outlier detection — median + MAD over
+    * doc lengths, flagging |len − median| > 3·MAD (truncated scrapes,
+    * concatenation blowups, per source). Mean/stddev break exactly
+    * when needed (the outliers they're meant to find drag both); the
+    * median/MAD pair doesn't, which is why robust stats are the
+    * quality-control staple next to t9's quantile filter.
+    *
+    * Two source-keyed agg passes by DEFINITION (MAD needs the median
+    * first); the deviation frame is lineage-cut so its two consumers
+    * (MAD census, final rollup) don't rescan the corpus (t15's rule).
+    * Source censuses broadcast back. Oracle parity: medians of
+    * integers interpolate to halves, MADs of half-integers to
+    * quarters — binary fractions, exact doubles in both engines
+    * (q_percentiles' argument); the 3·MAD threshold compare is exact.
+    */
+  def t16OutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    val dev = Checkpoints.cut(
+      docs.join(broadcast(med), Seq("source"))
+        .withColumn("adev", abs(col("n_chars") - col("med"))))
+    val mad = dev.groupBy(col("source"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  val t16OutlierMadSql: String =
+    """WITH med AS (
+      |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY 1
+      |), dev AS (
+      |  SELECT d.source, m.med, abs(d.n_chars - m.med) AS adev
+      |  FROM documents d JOIN med m USING (source)
+      |), mad AS (
+      |  SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+      |)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(d.med) AS med, max(m.mad) AS mad,
+      |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (source)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

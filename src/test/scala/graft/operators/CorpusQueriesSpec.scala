@@ -161,6 +161,26 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out === Map("A" -> 0.0, "B" -> 0.0))
   }
 
+  test("outlier MAD: planted lengths give hand-computed median/MAD/flags") {
+    val dir = tmpDir("t16_fixture")
+    val docs =
+      // A: med 3, adev {2,1,0,1,97} → mad 1 → only 97 > 3·1
+      Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L), ("A", 100L)) ++
+      // B: constant lengths + one spike → mad 0, spike flagged (adev > 0)
+      Seq(("B", 10L), ("B", 10L), ("B", 10L), ("B", 10L), ("B", 1000L)) ++
+      // C: even count interpolates med to 2.0; no outliers
+      Seq(("C", 1L), ("C", 3L))
+    docs.zipWithIndex.map { case ((s, n), i) => (i.toLong, "x", "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = PipelineQueries.t16OutlierMad(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("A") === ((5L, 3.0, 1.0, 1L)))
+    assert(out("B") === ((5L, 10.0, 0.0, 1L)), "MAD 0: any deviation flags")
+    assert(out("C") === ((2L, 2.0, 1.0, 0L)), "even count interpolates the median")
+  }
+
   test("hierarchy traversal reaches every customer exactly once from the root") {
     val out = Extended.qHierarchy(spark, sf0).collect()
     val total = out.map(_.getLong(1)).sum
