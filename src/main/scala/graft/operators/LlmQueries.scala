@@ -582,6 +582,55 @@ object LlmQueries {
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** §2.4 s6: incremental IVF index maintenance — assign a BATCH of
+    * genuinely new vectors (a deterministic hash-sample, NEGATED: the
+    * cosine-opposite region, exact float math) into the EXISTING
+    * learned cells and emit the updated per-cell census. The append
+    * path a serving index runs between relearns: one argmin pass over
+    * the batch against the broadcast/literal centroid table — no
+    * relearning, no corpus reprocessing (the ANN counterpart of d10's
+    * incremental dedup indexes). Batch-side work is O(batch·k);
+    * corpus-side the census is one partial agg (in production it is
+    * the materialized artifact the index already maintains).
+    */
+  def s6IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 2, dims = 64)
+    def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(c, _.cast("double"))
+    val corpusCells = e.select(col("vec_id"),
+      IvfIndex.nearestCid(toD(col("embedding")), cents).as("cid"))
+    val batch = Sampling.hashSample(e, "vec_id", 0.2)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val batchCells = batch.select(col("vec_id"),
+      IvfIndex.nearestCid(toD(col("embedding")), cents).as("cid"))
+    corpusCells.groupBy(col("cid")).agg(count(lit(1)).as("n_corpus"))
+      .join(batchCells.groupBy(col("cid")).agg(count(lit(1)).as("n_batch")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_corpus"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      .orderBy(col("cid"))
+  }
+
+  val s6IvfAppendSql: String =
+    s"""WITH ${ivfLearnedCorpusCtes("16")},
+      |batch AS (
+      |  SELECT vec_id + 10000000 AS vec_id, list_transform(v, x -> -x) AS v
+      |  FROM e WHERE substr(md5(vec_id::VARCHAR), 1, 8) < '${Sampling.hexThreshold(0.2)}'),
+      |bassign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT b.vec_id, s.cid,
+      |      row_number() OVER (PARTITION BY b.vec_id
+      |        ORDER BY list_distance(b.v, s.v), s.cid) AS rn
+      |    FROM batch b CROSS JOIN c1 s) t WHERE rn = 1),
+      |cc AS (SELECT cid, count(*) AS n_corpus FROM corpus GROUP BY 1),
+      |bc AS (SELECT cid, count(*) AS n_batch FROM bassign GROUP BY 1)
+      |SELECT cc.cid, CAST(cc.n_corpus AS BIGINT) AS n_corpus,
+      |  CAST(coalesce(bc.n_batch, 0) AS BIGINT) AS n_batch
+      |FROM cc LEFT JOIN bc USING (cid) ORDER BY cid""".stripMargin
+
   /** §2.3 d13: SemDeDup — semantic dedup via learned k-means cells
     * (SemanticDedup operator; see its Scaladoc for the design). The
     * cell count k is derived from the corpus size

@@ -132,4 +132,25 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.toSeq === b2.toSeq)
     assert(b1.forall(_.matches("[01]{8}")))
   }
+
+  test("ivf append: batch conserved across cells; duplicate vectors land in their corpus cell") {
+    val cents = IvfIndex.learnCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 2, dims = 64)
+    def toD(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val corpusCells = emb.select($"vec_id",
+      IvfIndex.nearestCid(toD($"embedding"), cents).as("cid"))
+    // append the corpus's own vectors UNCHANGED as a batch: every one
+    // must be assigned to exactly the cell its corpus copy sits in
+    // (append of a duplicate never moves data between cells)
+    val appended = emb.select($"vec_id",
+      IvfIndex.nearestCid(toD($"embedding"), cents).as("cid2"))
+    val moved = corpusCells.join(appended, "vec_id")
+      .filter($"cid" =!= $"cid2").count()
+    assert(moved === 0L)
+    // the shipped entry conserves its batch: Σ n_batch = |hash sample|
+    val out = LlmQueries.s6IvfAppend(spark, sf0)
+      .agg(sum($"n_batch"), sum($"n_corpus")).collect().head
+    val batchN = Sampling.hashSample(emb, "vec_id", 0.2).count()
+    assert(out.getLong(0) === batchN && out.getLong(1) === emb.count())
+  }
 }
