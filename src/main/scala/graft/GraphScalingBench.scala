@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{KCore, PageRank}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-scaling measurement for the graph family (SURVEY.md §8h —
+  * companion to DedupScalingBench/AnnScalingBench): triangle
+  * counting, per-degree PageRank (5 iterations), and k-core peeling
+  * (6 rounds) on 1×–16× the sf0.1 planted link graph.
+  *
+  * Replication that keeps the claim honest: copy c offsets its node
+  * ids by c·10⁷ and builds the SAME planted edge maps mod n within
+  * its own id range — copies are disjoint connected components, so
+  * the composite graph has exactly N× the nodes/edges/triangles/
+  * core structure of the original (no cross-copy edges, no
+  * quadratic pathology), and iteration counts (PageRank's 5, the
+  * peel's 6) are scale-independent by construction.
+  */
+object GraphScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scratch = "/root/repo/target/scratch/graphscale"
+    val base = GraftSession.table(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id").as("node"))
+    val n = base.count() // also warms IO/codegen
+
+    def plantedEdges(nodes: DataFrame, offset: Long): DataFrame = {
+      val local = col("node") - lit(offset) // maps run in per-copy id space
+      def out(e: org.apache.spark.sql.Column) = (e + lit(offset)).as("dst")
+      nodes.select(col("node").as("src"), out(pmod(local * local + 13, lit(n))))
+        .unionByName(nodes.select(col("node").as("src"), out(pmod(local, lit(97L)))))
+        .unionByName(nodes.filter(pmod(local, lit(3L)) === 0)
+          .select(col("node").as("src"), out(pmod(local * 5 + 41, lit(n)))))
+    }
+
+    def triangles(und: DataFrame): Long = {
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val orient = und
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+        .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("v"))
+      val wedges = orient.select(col("u"), col("v").as("y"))
+        .join(orient.select(col("u"), col("v").as("z")), "u")
+        .filter(col("y") =!= col("z"))
+      wedges.join(orient.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+        .count()
+    }
+
+    val results = Seq(1, 2, 4, 8, 16).map { copies =>
+      val nodesPath = s"$scratch/nodes_$copies"
+      (0 until copies).map(c =>
+          base.select((col("node") + lit(c.toLong * 10000000L)).as("node")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(nodesPath)
+      val nodes = spark.read.parquet(nodesPath)
+      val edges = (0 until copies).map(c =>
+          plantedEdges(spark.read.parquet(nodesPath)
+            .filter(col("node") >= c.toLong * 10000000L &&
+              col("node") < (c + 1).toLong * 10000000L), c.toLong * 10000000L))
+        .reduce(_ unionByName _)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+
+      def time(f: => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val out = f
+          ((System.nanoTime() - t0) / 1e9, out)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      val (triS, nTri) = time(triangles(und))
+      val (prS, nPr) = time(
+        PageRank.ranksByDegree(nodes, edges).count())
+      val (kcS, nKc) = time(
+        KCore.peel(nodes, edges, k = 3, rounds = 6).count())
+      println(f"[graphscale] copies=$copies%2d nodes=${n * copies}%7d " +
+        f"tri=$triS%6.2fs($nTri) pr=$prS%6.2fs($nPr) kcore=$kcS%6.2fs($nKc)")
+      (copies, n * copies, triS, nTri, prS, kcS, nKc)
+    }
+    println("[graphscale] copies | nodes | tri s | triangles | pagerank s | kcore s | core nodes")
+    results.foreach { case (c, nn, t, nt, p, kc, nk) =>
+      println(f"[graphscale] $c%6d | $nn%6d | $t%5.2f | $nt%9d | $p%10.2f | $kc%7.2f | $nk%7d")
+    }
+    spark.stop()
+  }
+}
