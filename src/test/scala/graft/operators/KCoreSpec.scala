@@ -41,6 +41,16 @@ class KCoreSpec extends SparkSpec {
     assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("kcore: peel round plans as equi-joins — no cartesian, no nested-loop") {
+    val (edges, nodes) = g(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val plan = KCore.peel(nodes, edges, k = 2, rounds = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"alive-set probes must stay equi-joins:\n$plan")
+    assert(plan.contains("HashAggregate"), "degree count must partial-agg")
+  }
+
   test("kcore entry: the fixed round count reaches the fixpoint (one more is a no-op)") {
     val sf = sf0
     val docs = GraftSession.table(spark, sf, "documents")
