@@ -416,6 +416,67 @@ object CorpusQueries {
       |GROUP BY node ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_reach: multi-source BFS distance
+  // ---------------------------------------------------------------
+
+  /** Fixed relaxation rounds for q_reach: hop distances are exact for
+    * every node within 4 hops of a seed (the frontier the entry
+    * reports). Fixed rounds = engine-portable plan (PageRank/KCore's
+    * rule); ReachSpec asserts a 5th round leaves every already-known
+    * distance unchanged (min-relaxation is monotone).
+    */
+  val ReachRounds = 4
+
+  /** §2.2 q_reach: multi-source BFS hop distance over the planted
+    * link graph (`operators.Reach`) — seeds (every 250th node: a
+    * count that scales with the corpus) relax their distance along
+    * DIRECTED edges for a fixed number of rounds (PageRank/KCore's
+    * engine-portable-plan rule). Reachability/distance is the fourth
+    * leg of the graph family: PageRank (numeric fixpoint), k-core
+    * (filter fixpoint), triangles (motif), BFS (frontier traversal —
+    * crawl-depth and link-distance labeling). The oracle unrolls the
+    * identical rounds as chained CTEs.
+    */
+  def qReach(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("node"))
+    val edges = Checkpoints.cut(
+      plantedEdges(nodes, n).filter(col("src") =!= col("dst")).distinct(),
+      eager = true)
+    val seeds = nodes.filter(pmod(col("node"), lit(250L)) === 0)
+      .select(col("node"), lit(0L).as("dist"))
+    Reach.distances(seeds, edges, ReachRounds).orderBy(col("node"))
+  }
+
+  val qReachSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.dist + 1 AS dist
+         |    FROM $prev r JOIN edges e ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH c AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT doc_id AS node FROM documents),
+      |raw AS (
+      |  SELECT node AS src, (node * node + 13) % cnt AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, node % 97 AS dst FROM nodes CROSS JOIN c
+      |  UNION ALL
+      |  SELECT node AS src, (node * 5 + 41) % cnt AS dst
+      |  FROM nodes CROSS JOIN c WHERE node % 3 = 0),
+      |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+      |r0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 250 = 0),
+      |${round("r0", "r1")},
+      |${round("r1", "r2")},
+      |${round("r2", "r3")},
+      |${round("r3", "r4")}
+      |SELECT node, CAST(dist AS BIGINT) AS dist FROM r4 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // d12: URL-canonicalization dedup
   // ---------------------------------------------------------------
 

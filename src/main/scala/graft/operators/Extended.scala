@@ -952,4 +952,48 @@ object Extended {
       |)
       |SELECT depth, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       |FROM reach GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** §2.2 q_interval_merge: coalesce overlapping/touching per-key
+    * intervals into maximal islands (`operators.IntervalMerge`) —
+    * q_interval_join's complement (that PAIRS overlapping windows;
+    * this COLLAPSES them): merging user activity windows, maintenance
+    * blackouts, retry storms into continuous spans is the other half
+    * of interval analytics. Uses the same orders-derived intervals as
+    * q_interval_join so the two entries describe one dataset from
+    * both sides. See IntervalMerge's Scaladoc for the islands
+    * construction and the one-exchange plan argument.
+    */
+  def qIntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val iv = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_custkey").as("k"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("s"))
+      .withColumn("e", col("s") + pmod(col("id"), lit(14L)))
+    IntervalMerge.islands(iv, "k", "id", "s", "e")
+      .select(col("k").as("o_custkey"), col("m_start"), col("m_end"),
+        col("n_merged"))
+      .orderBy(col("o_custkey"), col("m_start"))
+  }
+
+  val qIntervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS id, o_custkey AS k,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+      |      + o_orderkey % 14 AS e
+      |  FROM orders),
+      |w AS (
+      |  SELECT *, max(e) OVER (PARTITION BY k ORDER BY s, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |  FROM iv),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+      |                 THEN 1 ELSE 0 END AS opens
+      |  FROM w),
+      |g AS (
+      |  SELECT *, sum(opens) OVER (PARTITION BY k ORDER BY s, id) AS island
+      |  FROM f)
+      |SELECT k AS o_custkey, CAST(min(s) AS BIGINT) AS m_start,
+      |  CAST(max(e) AS BIGINT) AS m_end, CAST(count(*) AS BIGINT) AS n_merged
+      |FROM g GROUP BY k, island
+      |ORDER BY o_custkey, m_start""".stripMargin
 }

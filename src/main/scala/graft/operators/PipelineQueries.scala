@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GraftSession.table
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-3 training-data-pipeline operators (SURVEY.md §2.5/§2.3):
@@ -699,4 +699,104 @@ object PipelineQueries {
       |    AS n_outliers
       |FROM dev d JOIN mad m USING (source)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t17: C4-style heuristic cleaning rules
+  // ---------------------------------------------------------------
+
+  /** §2.5 t17: the C4 cleaning bundle — per-doc boolean rule flags
+    * (filler text, code-fragment braces, "enable javascript"
+    * boilerplate, too-short documents) and the resulting keep
+    * decision. These blunt regex/length rules are the first pass of
+    * every web-corpus recipe (C4, Gopher, RefinedWeb); the
+    * model-driven filters (t13) and statistical ones (t2/t8/t10)
+    * run AFTER them on what survives. Pure Column algebra — a
+    * narrow map over the corpus, no shuffle until the output sort,
+    * embarrassingly parallel at 100 TB.
+    *
+    * The synthetic corpus contains none of the planted markers, so
+    * the entry plants deterministic doc_id-derived junk first (t6's
+    * recipe): every rule fires on a known doc subset and the oracle
+    * replays plant + rules — non-vacuous on both sides. The
+    * short-doc rule also fires naturally (corpus word counts span
+    * 10–99), so that rule is exercised on un-planted rows too.
+    */
+  def t17C4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = when(pmod(id, lit(23L)) === 0, substring(col("text"), 1, 40))
+      .otherwise(col("text"))
+    val planted = concat(base,
+      when(pmod(id, lit(13L)) === 0, lit(" lorem ipsum dolor sit amet"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(17L)) === 0, lit(" function() { var x = 1; }"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(19L)) === 0, lit(" please enable javascript to continue"))
+        .otherwise(lit("")))
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    table(spark, dir, "documents")
+      .select(id, planted.as("planted"))
+      .select(id,
+        size(wsTokens(col("planted"))).cast("long").as("n_words"),
+        flag(instr(lower(col("planted")), "lorem ipsum") > 0).as("f_lorem"),
+        flag(instr(col("planted"), "{") > 0).as("f_brace"),
+        flag(instr(lower(col("planted")), "javascript") > 0).as("f_js"))
+      .withColumn("f_short", flag(col("n_words") < 25))
+      .withColumn("kept",
+        flag(col("f_lorem") + col("f_brace") + col("f_js") + col("f_short") === 0))
+      .orderBy(id)
+  }
+
+  val t17C4FiltersSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 23 = 0 THEN substr(text, 1, 40) ELSE text END)
+      |    || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum dolor sit amet' ELSE '' END)
+      |    || (CASE WHEN doc_id % 17 = 0 THEN ' function() { var x = 1; }' ELSE '' END)
+      |    || (CASE WHEN doc_id % 19 = 0 THEN ' please enable javascript to continue' ELSE '' END)
+      |      AS planted
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(planted)), ' +'),
+      |      x -> x != '')) AS BIGINT) AS n_words,
+      |    CAST(CASE WHEN contains(lower(planted), 'lorem ipsum') THEN 1 ELSE 0 END
+      |      AS BIGINT) AS f_lorem,
+      |    CAST(CASE WHEN contains(planted, '{') THEN 1 ELSE 0 END AS BIGINT) AS f_brace,
+      |    CAST(CASE WHEN contains(lower(planted), 'javascript') THEN 1 ELSE 0 END
+      |      AS BIGINT) AS f_js
+      |  FROM w
+      |)
+      |SELECT doc_id, n_words, f_lorem, f_brace, f_js,
+      |  CAST(CASE WHEN n_words < 25 THEN 1 ELSE 0 END AS BIGINT) AS f_short,
+      |  CAST(CASE WHEN f_lorem + f_brace + f_js = 0 AND n_words >= 25
+      |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // p7: deterministic training-order materialization
+  // ---------------------------------------------------------------
+
+  /** §2.8 p7: the pipeline's LAST step — assign every selected doc a
+    * reproducible (shard, position) in the global training order.
+    * Training runs need a SHUFFLED order (adjacent same-source docs
+    * bias gradients) that is also deterministic across engines,
+    * partitionings, and restarts — `Sampling.trainOrder`'s md5 keys
+    * give both. One shard-key window shuffle; shard count (16^chars)
+    * is the parallelism knob, so at 100 TB the per-shard sort stays
+    * executor-sized.
+    */
+  def p7TrainOrder(spark: SparkSession, dir: String): DataFrame =
+    Sampling.trainOrder(
+        table(spark, dir, "documents").select(col("doc_id")),
+        "doc_id", shardChars = 2)
+      .orderBy(col("doc_id"))
+
+  val p7TrainOrderSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5('ord:' || doc_id) AS hh FROM documents
+      |)
+      |SELECT doc_id, substr(hh, 1, 2) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY substr(hh, 1, 2)
+      |       ORDER BY hh, doc_id) AS BIGINT) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin
 }

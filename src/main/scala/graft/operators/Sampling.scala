@@ -62,6 +62,28 @@ object Sampling {
     }
   }
 
+  /** Deterministic training-order materialization: every row gets a
+    * (shard, position) in a reproducible pseudo-random global order.
+    * Shard = leading `shardChars` hex chars of md5 (16^chars shards —
+    * the parallelism knob: pick it so a shard's rows fit one
+    * executor's sort), position = rank of the full digest within the
+    * shard (ties broken by id; md5 collisions aside, tie-free). A
+    * training run reads shards in any order and rows by position —
+    * the same order on every engine, partitioning, and restart,
+    * which `rand()`-shuffling cannot give. ONE shard-key window
+    * shuffle; no global sort.
+    */
+  def trainOrder(df: DataFrame, idCol: String, shardChars: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardChars >= 1 && shardChars <= 8, "shardChars must be in [1, 8]")
+    df.withColumn("ord_h", md5(concat(lit("ord:"), col(idCol).cast("string"))))
+      .withColumn("shard", substring(col("ord_h"), 1, shardChars))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("ord_h"), col(idCol)))
+        .cast("long"))
+      .drop("ord_h")
+  }
+
   /** Stratified hash sampling: keep a different deterministic fraction
     * per stratum (e.g. per language — the standard mixture-reweighting
     * move in corpus curation). Still a narrow map: the per-row decision

@@ -81,4 +81,51 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(res(1L) > 0.9, s"all-same trigrams: ${res(1L)}")
     assert(res(2L) === 0.0, s"all-distinct trigrams: ${res(2L)}")
   }
+
+  test("c4 filters: every planted rule fires on exactly its doc subset; kept = no flag") {
+    val out = PipelineQueries.t17C4Filters(spark, sf0)
+      .select($"doc_id", $"f_lorem", $"f_brace", $"f_js", $"f_short", $"kept")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // the corpus text itself contains none of the planted markers, so
+    // the marker flags fire EXACTLY on the planted id classes
+    out.foreach { case (id, (lorem, brace, js, short0, kept)) =>
+      assert(lorem === (if (id % 13 == 0) 1L else 0L), s"doc $id lorem")
+      assert(brace === (if (id % 17 == 0) 1L else 0L), s"doc $id brace")
+      assert(js === (if (id % 19 == 0) 1L else 0L), s"doc $id js")
+      // truncated docs are short UNLESS planted junk re-inflates the
+      // word count (doc 0 hits all four classes at once)
+      if (id % 23 == 0 && id % 13 != 0 && id % 17 != 0 && id % 19 != 0)
+        assert(short0 === 1L, s"doc $id truncated to 40 chars must be short")
+      assert(kept === (if (lorem + brace + js + short0 == 0) 1L else 0L),
+        s"doc $id kept")
+    }
+    // the short rule must also fire naturally (untruncated short docs)
+    assert(out.exists { case (id, (_, _, _, s, _)) => id % 23 != 0 && s == 1L },
+      "corpus word counts span the threshold — natural shorts expected")
+    assert(out.values.exists(_._5 == 1L), "some docs must survive")
+  }
+
+  test("c4 filters: a clean long doc passes, each junk marker alone rejects") {
+    // ids chosen so no planted id-class fires (13, 17, 19, 23 do not
+    // divide them) — the flags then reflect the TEXT alone
+    val longText = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, longText),
+      (2L, longText + " some lorem ipsum filler"),
+      (3L, longText + " if (x) { return; }"),
+      (4L, longText + " enable JavaScript to view"),
+      (5L, "too short")).toDF("doc_id", "text")
+    val stage = tmpDir(s"c4_stage_${System.nanoTime()}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage + "/raw")
+    val part = new java.io.File(stage + "/raw").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(stage, "documents.parquet"))
+    val out = PipelineQueries.t17C4Filters(spark, stage)
+      .select($"doc_id", $"kept").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
 }

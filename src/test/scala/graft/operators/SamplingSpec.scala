@@ -49,4 +49,30 @@ class SamplingSpec extends SparkSpec {
     val kept = Sampling.stratifiedSample(df, "doc_id", "lang", t3, defaultRate = 0.0).count()
     assert(kept > 60 && kept < 140, s"kept $kept of target 100")
   }
+
+  test("train order: every row placed once, positions contiguous per shard, order reproducible") {
+    val out = Sampling.trainOrder(docs.select($"doc_id"), "doc_id", shardChars = 1)
+    assert(out.count() === docs.count(), "a permutation loses nothing")
+    // per-shard positions are exactly 1..n
+    val bad = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx"), min($"pos").as("mn"),
+        countDistinct($"pos").as("d"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1 || $"d" =!= $"n")
+    assert(bad.count() === 0, "positions must be a contiguous 1..n per shard")
+    // reproducible across runs AND input partitionings (the property
+    // rand()-based shuffling cannot give)
+    val a = out.select($"doc_id", $"shard", $"pos")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val b = Sampling.trainOrder(
+        docs.select($"doc_id").repartition(13), "doc_id", shardChars = 1)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // the order is actually shuffled: within a shard, consecutive
+    // positions are not consecutive doc_ids (md5 decorrelates)
+    val byShard = a.groupBy(_._2).mapValues(_.sortBy(_._3).map(_._1))
+    val monotoneShards = byShard.values.count(ids => ids == ids.sorted)
+    assert(monotoneShards < byShard.size,
+      "at least one shard must not be in doc_id order")
+  }
 }
