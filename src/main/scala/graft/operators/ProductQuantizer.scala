@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.ArrayDotProduct
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ): compress each vector into m small
+  * codes by splitting it into m contiguous subvectors and learning
+  * an independent k-means codebook per subspace (SURVEY.md §2.4 s7).
+  * PQ is THE storage layout for serving-scale vector search: m bytes
+  * per vector (k ≤ 256) instead of 4·dims — a 100 TB float32
+  * embedding table becomes ~1.5 TB of codes that fit the serving
+  * tier, with distance computed against reconstructed (or
+  * ADC-tabled) centroids. It sits between s4's scalar int8 census
+  * (4× compression, no learning) and s3's IVF (cell routing, no
+  * compression): IVF prunes WHERE to look, PQ shrinks WHAT is
+  * stored.
+  *
+  * Learning reuses `IvfIndex.learnCentroids` per subspace — the
+  * deterministic md5 seeding, sequential-Σ(v−c)² assignment, and
+  * 6-decimal centroid rounding that make the learned index
+  * engine-portable (the DuckDB oracle replays all m learnings from
+  * first principles over sliced lists). m learnings = m × (one
+  * small seed collect + `iters` distributed agg passes), each over
+  * dims/m-sized slices, so total learning work ≈ one IVF learning;
+  * at corpus scale learning runs on a deterministic hash-sample
+  * (`sampleRate`) while encoding is the one full pass.
+  *
+  * Encoding is a pure narrow map: m literal-codebook argmins
+  * (codegen'd — k ≤ LiteralKMax per subspace by construction) plus
+  * a sequential reconstruction-error fold; no shuffle, no join,
+  * embarrassingly parallel.
+  */
+object ProductQuantizer {
+
+  /** One codebook per subspace: index j quantizes 1-based slice
+    * [j·(dims/m)+1, (j+1)·(dims/m)] of the vector.
+    */
+  def learnCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dims: Int, k: Int = 16, iters: Int = 2,
+      sampleRate: Double = 1.0): Seq[Seq[(Int, Seq[Double])]] = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k <= IvfIndex.LiteralKMax,
+      s"PQ codebooks are literal-compiled; k=$k exceeds ${IvfIndex.LiteralKMax}")
+    val sub = dims / m
+    (0 until m).map { j =>
+      val sliced = df.select(col(idCol),
+        slice(toDouble(col(vecCol)), j * sub + 1, sub).as("subv"))
+      IvfIndex.learnCentroids(sliced, idCol, "subv",
+        k = k, iters = iters, dims = sub, sampleRate = sampleRate)
+    }
+  }
+
+  /** Squared reconstruction error of one subspace against its chosen
+    * centroid, accumulated strictly left-to-right (oracle parity).
+    */
+  private def subErr2(subv: Column, cents: Seq[(Int, Seq[Double])], code: Column): Column = {
+    val centArr = cents.foldRight(lit(null).cast("array<double>")) {
+      case ((cid, c), acc) =>
+        when(code === cid, array(c.map(lit): _*)).otherwise(acc)
+    }
+    val diff = zip_with(subv, centArr, (x, y) => x - y)
+    ArrayDotProduct(diff, diff)
+  }
+
+  /** Encode every vector: (id, code_1..code_m, mse6) where code_j is
+    * the nearest centroid id in subspace j and mse6 the 6-decimal
+    * whole-vector reconstruction MSE. Narrow map — zero shuffles.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[(Int, Seq[Double])]], dims: Int): DataFrame = {
+    val m = books.size
+    val sub = dims / m
+    val withSubs = (0 until m).foldLeft(
+        df.select(col(idCol), toDouble(col(vecCol)).as("v"))) {
+      case (acc, j) =>
+        val subv = slice(col("v"), j * sub + 1, sub)
+        acc.withColumn(s"code_${j + 1}",
+            IvfIndex.nearestCid(subv, books(j)).cast("long"))
+          .withColumn(s"err2_${j + 1}",
+            subErr2(subv, books(j), col(s"code_${j + 1}")))
+    }
+    val totErr = (1 to m).map(j => col(s"err2_$j")).reduce(_ + _)
+    withSubs
+      .withColumn("mse6", round(totErr / lit(dims.toDouble), 6))
+      .select(col(idCol) +: (1 to m).map(j => col(s"code_$j")) :+ col("mse6"): _*)
+  }
+}
