@@ -601,8 +601,13 @@ object LlmQueries {
       transform(c, _.cast("double"))
     val corpusCells = e.select(col("vec_id"),
       IvfIndex.nearestCid(toD(col("embedding")), cents).as("cid"))
+    // batch ids are offset past max(vec_id) — a derived reserved
+    // range, never a hardcoded constant a grown corpus could collide
+    // with (1-row aggregate crossJoin, the bounded-broadcast pattern)
+    val off = e.agg((max(col("vec_id")) + lit(1L)).as("__off"))
     val batch = Sampling.hashSample(e, "vec_id", 0.2)
-      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      .crossJoin(broadcast(off))
+      .select((col("vec_id") + col("__off")).as("vec_id"),
         transform(col("embedding"), x => -x).as("embedding"))
     val batchCells = batch.select(col("vec_id"),
       IvfIndex.nearestCid(toD(col("embedding")), cents).as("cid"))
@@ -617,7 +622,8 @@ object LlmQueries {
   val s6IvfAppendSql: String =
     s"""WITH ${ivfLearnedCorpusCtes("16")},
       |batch AS (
-      |  SELECT vec_id + 10000000 AS vec_id, list_transform(v, x -> -x) AS v
+      |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM e) AS vec_id,
+      |    list_transform(v, x -> -x) AS v
       |  FROM e WHERE substr(md5(vec_id::VARCHAR), 1, 8) < '${Sampling.hexThreshold(0.2)}'),
       |bassign AS (
       |  SELECT vec_id, cid FROM (

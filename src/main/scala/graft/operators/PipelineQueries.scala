@@ -532,6 +532,22 @@ object PipelineQueries {
     * temperature/rate sampler consumes — mixture planning and
     * sampling compose as two operators, not one monolith.
     *
+    * Overflow discipline: the naive `tgt_tok * 1000000 div n_tok`
+    * silently wraps in non-ANSI Spark once tgt_tok exceeds ~9.2e12
+    * (reachable inside a 100 TB corpus with few sources) while the
+    * DuckDB oracle raises — silent wrong answers vs oracle error.
+    * Instead (a) sources at/over the cap are detected BEFORE any
+    * multiply (`tgt_tok >= 4·n_tok` — 4·n_tok cannot wrap until a
+    * single source holds ~2.3e18 tokens, past what the BIGINT census
+    * itself can count), and (b) the under-cap quotient is computed by
+    * two-step floor division ((t·10³ div n)·10³ + ((t·10³ mod n)·10³
+    * div n) — algebraically exact, and with t < 4n every intermediate
+    * stays under 2⁶³ for per-source counts up to ~2.3e15 tokens,
+    * ≈9 PB of text in ONE source, far past the envelope). A source
+    * with n_tok = 0 has nothing to upsample and pins to the cap
+    * (min(cap, ∞)) rather than Spark-NULL/DuckDB-error divergence.
+    * The oracle mirrors the identical guarded form.
+    *
     * Shape: one partial-agg shuffle on source (the census), then an
     * UNPARTITIONED window over the per-source frame for the corpus
     * totals — the frame is source-cardinality-sized (a handful of
@@ -540,6 +556,20 @@ object PipelineQueries {
     * the census subtree and costs a second full scan — measured in
     * the plan audit). Nothing driver-side, nothing quadratic.
     */
+  /** min(cap, floor(tgt_tok·10⁶ / n_tok)) in overflow-safe BIGINT
+    * algebra over columns named `tgt_tok`/`n_tok` — the guarded form
+    * the Scaladoc above derives, shared by `mixturePlan` and its
+    * overflow spec (which drives it with operands the naive multiply
+    * wraps on). Integral `div`, never `/` (double division drops
+    * precision past 2⁵³).
+    */
+  def epochsMicroExpr: Column =
+    when(col("n_tok") === 0 ||
+        col("tgt_tok") >= lit(MixtureEpochCapMicro / 1000000L) * col("n_tok"),
+      lit(MixtureEpochCapMicro))
+    .otherwise(expr(
+      "(tgt_tok * 1000 div n_tok) * 1000 + ((tgt_tok * 1000 % n_tok) * 1000) div n_tok"))
+
   def mixturePlan(docs: DataFrame): DataFrame = {
     val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -551,8 +581,7 @@ object PipelineQueries {
     per.withColumn("k", count(lit(1)).over(w))
       .withColumn("tot_tok", sum(col("n_tok")).over(w))
       .withColumn("tgt_tok", expr("(tot_tok div 2) div k"))
-      .withColumn("epochs_micro",
-        least(lit(MixtureEpochCapMicro), expr("tgt_tok * 1000000 div n_tok")))
+      .withColumn("epochs_micro", epochsMicroExpr)
       .select(col("source"), col("n_docs"), col("n_tok"),
         col("tgt_tok"), col("epochs_micro"))
   }
@@ -570,11 +599,16 @@ object PipelineQueries {
       |), tot AS (
       |  SELECT CAST(count(*) AS BIGINT) AS k,
       |    CAST(sum(n_tok) AS BIGINT) AS tot_tok FROM per
+      |), tgt AS (
+      |  SELECT source, n_docs, n_tok, (tot_tok // 2) // k AS tgt_tok
+      |  FROM per, tot
       |)
-      |SELECT source, n_docs, n_tok,
-      |  (tot_tok // 2) // k AS tgt_tok,
-      |  least(4000000, ((tot_tok // 2) // k) * 1000000 // n_tok) AS epochs_micro
-      |FROM per, tot ORDER BY source""".stripMargin
+      |SELECT source, n_docs, n_tok, tgt_tok,
+      |  CASE WHEN n_tok = 0 OR tgt_tok >= 4 * n_tok THEN 4000000
+      |       ELSE (tgt_tok * 1000 // n_tok) * 1000 +
+      |            ((tgt_tok * 1000 % n_tok) * 1000) // n_tok
+      |  END AS epochs_micro
+      |FROM tgt ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
   // e2e: full curation pipeline

@@ -210,8 +210,15 @@ object CsvToParquet {
         .coalesce(1)
       convertFrame(df, schema, tmpP.toString, opts)
       val part = fs.globStatus(new Path(tmpP, "part-*.parquet")).head.getPath
-      fs.delete(outP, false)
-      require(fs.rename(part, outP), s"rename $part -> $outP failed")
+      // atomic overwrite: FileContext.rename(OVERWRITE) replaces the
+      // target in ONE metadata op (HDFS and local both implement it),
+      // so a pre-existing output file survives any failure up to and
+      // including the rename itself — delete-then-rename has a window
+      // where a crash loses the old output with no new one in place
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(part), fs.makeQualified(outP),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       Conversion(schema, ArrowSchemaJson.render(schema), Some(spark.read.parquet(outFile)))
     } finally {
       fs.delete(tmpP, true); ()

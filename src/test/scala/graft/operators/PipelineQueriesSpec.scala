@@ -26,6 +26,39 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!r.getAs[Double]("mse6").isNaN)
   }
 
+  test("mixture epochs_micro: guarded BIGINT form is exact where the naive multiply wraps") {
+    val cap = PipelineQueries.MixtureEpochCapMicro
+    val cases = Seq[(Long, Long)](
+      (0L, 7L),                                  // nothing to place
+      (1L, 3L),                                  // 0.333333 epochs
+      (7L, 2L),                                  // 3.5 epochs, under cap
+      (8L, 2L),                                  // exactly at cap
+      (5L, 0L),                                  // n_tok = 0: pins to cap
+      (9300000000000L, 2400000000000L),          // naive tgt·10⁶ wraps 2⁶³
+      (9299999999999L, 2400000000001L),          // wraps, nonzero remainder
+      (9223372036854L, 9223372036854L / 3)       // ratio ≈ 3, at the wrap edge
+    )
+    val expected = cases.map { case (t, n) =>
+      if (n == 0L) cap
+      else math.min(cap, (BigInt(t) * 1000000 / n).toLong)
+    }
+    val got = cases.toDF("tgt_tok", "n_tok")
+      .select(PipelineQueries.epochsMicroExpr.as("em"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // and the naive form really does break on the planted operands —
+    // ANSI Spark (the 4.x default) raises ARITHMETIC_OVERFLOW where
+    // legacy mode silently wraps; either way it diverges from the
+    // exact value the guard computes
+    val boom = intercept[Exception] {
+      cases.drop(5).toDF("tgt_tok", "n_tok")
+        .select(expr("tgt_tok * 1000000 div n_tok").as("em"))
+        .collect()
+    }
+    assert(boom.getMessage.toUpperCase.contains("OVERFLOW"),
+      s"planted operands must exercise the wrap, got: ${boom.getMessage}")
+  }
+
   test("pii scrub redacts emails, phones and IPs and nothing else") {
     val out = PipelineQueries.t6PiiScrub(spark, sf0)
     assert(out.count() === 500)

@@ -212,6 +212,17 @@ class CsvToParquetSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 200)
   }
 
+  test("single-file conversion atomically overwrites an existing output") {
+    val out = tmpDir("conv") + "/re.parquet"
+    CsvToParquet.convertToSingleFile(spark, writeCsv("re1.csv", 10), out)
+    assert(spark.read.parquet(out).count() === 10)
+    // second conversion replaces the file in place (FileContext
+    // OVERWRITE rename — one metadata op, no delete-then-rename gap)
+    CsvToParquet.convertToSingleFile(spark, writeCsv("re2.csv", 25), out)
+    assert(new java.io.File(out).isFile, "still a single file")
+    assert(spark.read.parquet(out).count() === 25)
+  }
+
   test("export: parquet back out as CSV, lossless roundtrip, nested schemas fail fast") {
     import spark.implicits._
     val li = graft.GraftSession.table(spark, sf0, "lineitem")
