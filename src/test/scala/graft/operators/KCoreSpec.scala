@@ -51,6 +51,29 @@ class KCoreSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "degree count must partial-agg")
   }
 
+  test("kcore: deep cascade past the round cap flags converged=false; enough rounds converge early") {
+    // path 1-2-...-20 with k=2: both ends peel each round, so the
+    // whole chain needs ~10 rounds to clear — exactly the link-farm
+    // tendril shape that silently defeats a fixed-round peel
+    val (edges, nodes) = g((1L until 20L).map(i => (i, i + 1)))
+    val capped = KCore.peelDetailed(nodes, edges, k = 2, maxRounds = 3)
+    assert(!capped.converged, "3 rounds cannot drain a 10-deep cascade")
+    assert(capped.roundsRun === 3)
+    assert(capped.core.count() > 0,
+      "the truncated result LOOKS like a core — which is why the flag must be loud")
+    val full = KCore.peelDetailed(nodes, edges, k = 2, maxRounds = 30)
+    assert(full.converged, "a generous cap must reach the fixpoint")
+    assert(full.roundsRun < 30, "and exit early once |alive| stabilizes")
+    assert(full.core.count() === 0, "an open chain has no 2-core")
+    // convergence exits as soon as alive stabilizes: a clique needs
+    // round 1 (no peel) + round 2 (count unchanged) only
+    val (ce, cn) = g(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val clique = KCore.peelDetailed(cn, ce, k = 2, maxRounds = 10)
+    assert(clique.converged && clique.roundsRun === 1,
+      "alive_1 == alive_0 is detectable in the first round")
+    assert(clique.core.count() === 3)
+  }
+
   test("kcore entry: the fixed round count reaches the fixpoint (one more is a no-op)") {
     val sf = sf0
     val docs = GraftSession.table(spark, sf, "documents")
