@@ -23,8 +23,24 @@ final case class FunnelProgress(user_id: Long, t1: Option[java.sql.Timestamp],
   * stage's validity is evaluated against the state as of the event's
   * position, the whole window computation folds into THREE TIMESTAMPS
   * of per-user state — `mapGroupsWithState` carries exactly that, so
-  * streaming state is O(active users), not O(events) (and not
-  * O(open sessions) like session_window).
+  * streaming state is O(users seen inside the horizon), not
+  * O(events) (and not O(open sessions) like session_window).
+  *
+  * State is BOUNDED by an event-time timeout: each update arms a
+  * timer at (max event ts seen) + `horizonHours`; when the watermark
+  * passes it, the user's state is evicted (the final row is emitted
+  * once more — an idempotent upsert under the update-mode sink). A
+  * funnel whose deadlines have all lapsed can never change again
+  * (stages only take the EARLIEST valid timestamp, and an in-order
+  * feed delivers only later ones), so eviction is semantics-free for
+  * any user whose events span less than the horizon; a user
+  * reappearing after eviction starts a fresh funnel measurement —
+  * the documented horizon contract, in exchange for state that is
+  * O(users active inside one horizon) instead of O(users ever seen).
+  * Streaming callers must set `withWatermark` on `ts` (Spark rejects
+  * an event-time timeout without one — loud, not silent); the batch
+  * form runs the identical fold with timers disabled (a batch group
+  * sees its whole history at once — nothing to evict).
   *
   * Events inside one trigger are sorted by (ts, event_id) before
   * folding (the StatefulStats rule); cross-trigger order is the
@@ -38,31 +54,59 @@ object StreamingFunnel {
 
   private val dayUs = 86400000000L
 
+  /** Eviction horizon: 48 h = the 2×24 h deadline span after a user's
+    * last event, past which no in-order event can alter their funnel.
+    */
+  val DefaultHorizonHours = 48
+
   private def micros(t: java.sql.Timestamp): Long =
     (t.getTime / 1000) * 1000000L + t.getNanos / 1000
 
-  def progress(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
+  def progress(events: Dataset[FunnelEvent],
+      horizonHours: Int = DefaultHorizonHours): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
+    // captured OUTSIDE the closure: the fold must not touch the
+    // Dataset inside an executor, and batch mode must never arm
+    // timers (no watermark exists to fire them)
+    val streaming = events.isStreaming
+    val horizonMs = horizonHours * 3600000L
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](
+          GroupStateTimeout.EventTimeTimeout) {
         (uid, it, state) =>
-          val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
-          var (t1, t2, t3) = state.getOption
-            .map(p => (p.t1, p.t2, p.t3)).getOrElse((None, None, None))
-          evs.foreach { e =>
-            val u = micros(e.ts)
-            e.event_type match {
-              case "view" if t1.forall(micros(_) > u) => t1 = Some(e.ts)
-              case "click" if t1.exists(v => u > micros(v) && u <= micros(v) + dayUs) &&
-                  t2.forall(micros(_) > u) => t2 = Some(e.ts)
-              case "purchase" if t2.exists(c => u > micros(c) && u <= micros(c) + dayUs) &&
-                  t3.forall(micros(_) > u) => t3 = Some(e.ts)
-              case _ => ()
+          if (state.hasTimedOut) {
+            // horizon passed: emit the final row once more (update-
+            // mode upsert, idempotent) and free the state
+            val out = state.get
+            state.remove()
+            out
+          } else {
+            val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            var (t1, t2, t3) = state.getOption
+              .map(p => (p.t1, p.t2, p.t3)).getOrElse((None, None, None))
+            evs.foreach { e =>
+              val u = micros(e.ts)
+              e.event_type match {
+                case "view" if t1.forall(micros(_) > u) => t1 = Some(e.ts)
+                case "click" if t1.exists(v => u > micros(v) && u <= micros(v) + dayUs) &&
+                    t2.forall(micros(_) > u) => t2 = Some(e.ts)
+                case "purchase" if t2.exists(c => u > micros(c) && u <= micros(c) + dayUs) &&
+                    t3.forall(micros(_) > u) => t3 = Some(e.ts)
+                case _ => ()
+              }
             }
+            val out = FunnelProgress(uid, t1, t2, t3)
+            state.update(out)
+            if (streaming) {
+              // arm (or push back) the eviction timer; clamp above the
+              // current watermark — a group fed only late data would
+              // otherwise compute a timer the store must reject
+              val maxTs = evs.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
+            }
+            out
           }
-          val out = FunnelProgress(uid, t1, t2, t3)
-          state.update(out)
-          out
       }
   }
 

@@ -110,7 +110,10 @@ class EventStreamsSpec extends SparkSpec {
   test("stateful running user stats: streaming updates converge to batch fold") {
     import org.apache.spark.sql.functions.{col, max, round, sum, count, lit}
     val dir = stageStream("stateful")
+    // huge watermark delay: the eviction timer (required watermark)
+    // never fires here, so this test stays pure fold-convergence
     val ev = streamEvents(dir).select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "3650 days")
       .as[UserEvent]
     val q = StatefulStats.runningUserStats(ev)
       .writeStream.outputMode("update").format("memory").queryName("ustats").start()
@@ -134,6 +137,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalStats.join(sessionCounts,
       finalStats("user_id") === sessionCounts("user_id") &&
         finalStats("n_sessions") === sessionCounts("count")).count() === expected.count())
+  }
+
+  test("stateful stats evict past the horizon: a reappearing user restarts, a carried one doesn't") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // day 1, not 0: an epoch-0 event is not later than the INITIAL
+    // watermark (0) and the late-data filter would drop it
+    def t(d: Long) = new java.sql.Timestamp((d + 1) * 86400000L)
+    val mem = MemoryStream[UserEvent]
+    val stream = mem.toDS().withWatermark("ts", "0 seconds")
+    val q = StatefulStats.runningUserStats(stream, horizonDays = 30)
+      .writeStream.outputMode(StatefulStats.outputMode)
+      .format("memory").queryName("ustats_evict").start()
+    try {
+      // day 0: user 1's only event (100 cents)
+      mem.addData(UserEvent(1L, t(0), 1.0)); q.processAllAvailable()
+      // day 100 advances the watermark past user 1's day-30 timer;
+      // the next batch fires it and evicts user 1's state
+      mem.addData(UserEvent(2L, t(100), 1.0)); q.processAllAvailable()
+      mem.addData(UserEvent(2L, t(101), 1.0)); q.processAllAvailable()
+      // day 200: user 1 reappears (200 cents) on a fresh slate
+      mem.addData(UserEvent(1L, t(200), 2.0)); q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("ustats_evict").filter($"user_id" === 1L)
+      .select("n_events", "value_cents").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u1.contains((1L, 100L)), "pre-eviction running stats emitted")
+    assert(u1.contains((1L, 200L)),
+      "post-eviction stats restart from zero — state really was removed")
+    assert(!u1.exists(_._1 == 2L),
+      "an evicted user must NOT accumulate across the horizon")
+    // user 2 stays in-horizon across triggers: state carries to n=2
+    val u2 = spark.table("ustats_evict").filter($"user_id" === 2L)
+      .agg(max($"n_events")).head().getLong(0)
+    assert(u2 === 2L, "in-horizon cross-trigger state must still carry")
   }
 
   test("exactly-once sink: crash-replay of a batch leaves the output unchanged") {

@@ -50,10 +50,14 @@ class StreamingFunnelSpec extends SparkSpec {
       dest.toFile.setLastModified(System.currentTimeMillis() - 60000L * (2 - i))
     }
     val schema = spark.read.parquet(s"$dir/part0.parquet").schema
+    // watermark: required by the event-time eviction timer; the huge
+    // delay keeps it below every armed timer so THIS test exercises
+    // pure fold equivalence (eviction has its own planted spec)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withWatermark("ts", "3650 days")
       .as[FunnelEvent]
     val q = StreamingFunnel.progress(stream)
       .writeStream.outputMode(StreamingFunnel.outputMode)
@@ -72,6 +76,47 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(got.count() === want.count(), "one final row per user")
     assert(got.except(want).count() === 0 && want.except(got).count() === 0,
       "streaming per-user stage timestamps must equal the batch window form")
+  }
+
+  test("state evicts past the horizon: a reappearing user starts a fresh funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // hour 1, not 0: an epoch-0 event is not later than the INITIAL
+    // watermark (0) and the late-data filter would drop it
+    def t(h: Long) = new java.sql.Timestamp((h + 1) * 3600000L)
+    val mem = MemoryStream[FunnelEvent]
+    val stream = mem.toDS().withWatermark("ts", "0 seconds")
+    val q = StreamingFunnel.progress(stream, horizonHours = 48)
+      .writeStream.outputMode(StreamingFunnel.outputMode)
+      .format("memory").queryName("funnel_evict").start()
+    try {
+      // trigger 1: user 1 anchors t1 at hour 0
+      mem.addData(FunnelEvent(1L, "view", t(0), 1L))
+      q.processAllAvailable()
+      // trigger 2 advances the watermark to hour 1000, far past user
+      // 1's hour-48 timer; trigger 3 lets the timeout fire (timers
+      // fire in the batch AFTER the watermark moves past them)
+      mem.addData(FunnelEvent(2L, "view", t(1000), 2L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(2L, "click", t(1001), 3L))
+      q.processAllAvailable()
+      // user 1 reappears: state was evicted, so this view RE-ANCHORS
+      // t1 (earliest-wins state would have kept hour 0)
+      mem.addData(FunnelEvent(1L, "view", t(2000), 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_evict").filter(col("user_id") === 1L)
+      .select(col("t1")).collect().map(_.getTimestamp(0)).toSeq
+    assert(rows.contains(t(0)), "pre-eviction row carries the original anchor")
+    assert(rows.contains(t(2000)),
+      "post-eviction row must re-anchor — state really was removed")
+    // in-horizon user 2 is untouched by user 1's eviction: the click
+    // within the deadline still converts on carried state
+    val u2 = spark.table("funnel_evict").filter(col("user_id") === 2L)
+      .filter(col("t2").isNotNull).select(col("t1"), col("t2")).distinct().collect()
+    assert(u2.length === 1 && u2.head.getTimestamp(0) === t(1000) &&
+      u2.head.getTimestamp(1) === t(1001),
+      "in-horizon cross-trigger state must still carry")
   }
 
   test("planted sequence: deadlines and min-anchoring behave") {
