@@ -34,6 +34,19 @@ import org.apache.spark.sql.functions._
   */
 object Whitening {
 
+  /** Hard bound on `dims`. TWO quadratic costs meet here: the moment
+    * pass fans each row out to d(d+1)/2+d+1 structs in-partition
+    * (2,145 at d=64 — cheap; ~525k at d=1024 — a 500× per-row blowup
+    * the map-side combine only absorbs AFTER materializing), and the
+    * driver-side cyclic Jacobi sweep is exact-enough only in the
+    * well-conditioned d ≤ ~100 regime its Scaladoc documents. Both
+    * ceilings land at the same order, so one loud guard covers them;
+    * past it the moment pass needs restructuring (per-partition
+    * outer-product fold) AND a different eigensolver — a different
+    * operator, not a bigger knob.
+    */
+  val MaxDims = 128
+
   /** (mean, covariance) of an array<float/double> column, one
     * aggregation pass. Collects d + d(d+1)/2 + 1 small rows.
     *
@@ -43,6 +56,10 @@ object Whitening {
     * itself fails loudly on mismatched lengths via ArrayDotProduct).
     */
   def moments(vecs: DataFrame, vecCol: String, dims: Int): (Array[Double], Array[Array[Double]]) = {
+    require(dims <= MaxDims,
+      s"dims=$dims exceeds Whitening.MaxDims=$MaxDims: the per-row " +
+        "moment fan-out is d(d+1)/2 structs and the Jacobi sweep is " +
+        "specified for d <= ~100 — restructure before raising this")
     val v = toDouble(col(vecCol))
     // fan-out per row: (-1,-1,1) count, (i,-1,x_i) sums, (i,j,x_i·x_j) products
     val terms = array(

@@ -11,6 +11,14 @@ class WhiteningSpec extends SparkSpec {
 
   private def embeddings = graft.GraftSession.table(spark, sf0, "embeddings")
 
+  test("dims past MaxDims are rejected loudly, not fanned out quadratically") {
+    val boom = intercept[IllegalArgumentException] {
+      Whitening.moments(embeddings, "embedding", Whitening.MaxDims + 1)
+    }
+    assert(boom.getMessage.contains("MaxDims"),
+      s"guard must name the bound, got: ${boom.getMessage}")
+  }
+
   test("jacobi eigendecomposition recovers a known 2x2 spectrum") {
     val m = Array(Array(2.0, 1.0), Array(1.0, 2.0)) // eigenvalues 3, 1
     val (evals, evecs) = Whitening.jacobiEigen(m)
