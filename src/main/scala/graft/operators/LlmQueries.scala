@@ -517,8 +517,10 @@ object LlmQueries {
 
   def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
-      k = 16, iters = 2, dims = 64)
+    // centroids come from the materialized index artifact (learned at
+    // most once per corpus version — CentroidArtifact), the same
+    // artifact s6's append and d13's cells consume
+    val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
     IvfIndex.ivfKnn(e, e.filter(col("vec_id") < 64), "vec_id", "embedding",
         k = 5, cents, nprobe = 2)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
@@ -589,14 +591,18 @@ object LlmQueries {
     * path a serving index runs between relearns: one argmin pass over
     * the batch against the broadcast/literal centroid table — no
     * relearning, no corpus reprocessing (the ANN counterpart of d10's
-    * incremental dedup indexes). Batch-side work is O(batch·k);
-    * corpus-side the census is one partial agg (in production it is
-    * the materialized artifact the index already maintains).
+    * incremental dedup indexes). "No relearning" is the EXECUTED
+    * plan, not just the asymptote: the centroids come from the
+    * materialized index artifact (CentroidArtifact — learned at most
+    * once per corpus version, shared with s3/d13), and the artifact
+    * spec pins that a warm append runs zero Lloyd jobs. Batch-side
+    * work is O(batch·k); corpus-side the census is one partial agg
+    * (in production it is part of the same artifact the index
+    * already maintains).
     */
   def s6IvfAppend(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
-      k = 16, iters = 2, dims = 64)
+    val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
     def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       transform(c, _.cast("double"))
     val corpusCells = e.select(col("vec_id"),
@@ -646,7 +652,8 @@ object LlmQueries {
     */
   def d13SemanticDedup(spark: SparkSession, dir: String): DataFrame =
     SemanticDedup.census(table(spark, dir, "embeddings"),
-      "vec_id", "embedding", tau = 0.42)
+      "vec_id", "embedding", tau = 0.42,
+      learn = Some(k => CentroidArtifact.embeddingCentroids(spark, dir, k)))
 
   val d13SemanticDedupSql: String =
     s"""WITH ${ivfLearnedCorpusCtes(

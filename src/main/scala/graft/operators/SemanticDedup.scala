@@ -62,11 +62,19 @@ object SemanticDedup {
     * learned cell — (cid, n_vecs, n_dup_pairs, n_dropped, max_cos6).
     * `max_cos6` is −1.0 for singleton cells (a cross-engine NULL
     * would stringify differently in the compare harness).
+    *
+    * `learn` (k → centroids) lets a caller route through a
+    * materialized index artifact (the d13 entry shares
+    * CentroidArtifact with s3/s6 so one corpus learns its cells
+    * once); the default learns in place with the same deterministic
+    * recipe — identical centroids either way.
     */
   def census(e: DataFrame, idCol: String, vecCol: String, tau: Double,
-      targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
+      targetCellSize: Long = DefaultTargetCellSize,
+      learn: Option[Int => Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val k = adaptiveK(e.count(), targetCellSize)
-    val cents = IvfIndex.learnCentroids(e, idCol, vecCol, k = k, iters = 2)
+    val cents = learn.map(_(k))
+      .getOrElse(IvfIndex.learnCentroids(e, idCol, vecCol, k = k, iters = 2))
     val vecs = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
     // small k: compiled centroid-literal argmin (zero shuffle);
     // large k: the broadcast-join form — identical assignment

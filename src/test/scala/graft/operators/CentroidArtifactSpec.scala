@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec}
+
+/** CentroidArtifact: the learned IVF index materializes once per
+  * corpus version and every consumer serves from it — in particular
+  * s6's "append WITHOUT relearning" headline holds in the executed
+  * plan (zero Lloyd learnings on a warm artifact).
+  */
+class CentroidArtifactSpec extends SparkSpec {
+
+  test("learning runs at most once per corpus version; the parquet roundtrip is exact") {
+    val a = CentroidArtifact.embeddingCentroids(spark, sf0, k = 16)
+    val once = CentroidArtifact.learnCount
+    val b = CentroidArtifact.embeddingCentroids(spark, sf0, k = 16)
+    assert(CentroidArtifact.learnCount === once,
+      "second fetch must serve the artifact, not relearn")
+    assert(a === b)
+    // the artifact equals a fresh deterministic learning bit-for-bit:
+    // 6-decimal rounded centroids survive the parquet roundtrip exactly
+    val fresh = IvfIndex.learnCentroids(
+      GraftSession.table(spark, sf0, "embeddings"), "vec_id", "embedding",
+      k = 16, iters = 2, dims = 64)
+    assert(a === fresh)
+    // and it really is a durable table on disk, not a driver cache
+    val base = new java.io.File("/root/repo/target/scratch/clusters")
+    assert(base.listFiles() != null &&
+      base.listFiles().exists(_.getName.startsWith("ivf_")),
+      "the (cid, v) parquet artifact must land under the artifact dir")
+  }
+
+  test("warm append path (s6) and search path (s3) run ZERO Lloyd learnings") {
+    CentroidArtifact.embeddingCentroids(spark, sf0, k = 16) // prime the index
+    val warm = CentroidArtifact.learnCount
+    assert(LlmQueries.s6IvfAppend(spark, sf0).collect().nonEmpty)
+    assert(CentroidArtifact.learnCount === warm,
+      "append-without-relearning must hold in the executed plan")
+    assert(LlmQueries.s3KnnIvf(spark, sf0).collect().nonEmpty)
+    assert(CentroidArtifact.learnCount === warm,
+      "search must serve from the same artifact")
+  }
+
+  test("a rewritten corpus changes the staleness stamp and relearns") {
+    val dir = tmpDir(s"centroid_stale_${System.nanoTime()}")
+    val e = spark.read.parquet(s"$sf0/embeddings.parquet")
+    def stage(df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = s"$dir/stage"
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, "embeddings.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    import org.apache.spark.sql.functions.col
+    stage(e)
+    val first = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
+    val n1 = CentroidArtifact.learnCount
+    // in-place rewrite with different content: stamp (mtime + content
+    // summary) changes, so the artifact is stale and must relearn
+    stage(e.filter(col("vec_id") % 2 === 0))
+    val second = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
+    assert(CentroidArtifact.learnCount === n1 + 1,
+      "a rewritten corpus must trigger exactly one relearning")
+    assert(first !== second, "half the corpus learns different centroids")
+  }
+}
