@@ -530,19 +530,20 @@ object LlmQueries {
   // one Lloyd step: assign to nearest centroid (ties by cid), then
   // per-dimension means rounded to 6 decimals — the same recipe
   // IvfIndex.learnCentroids runs as literal-embedded aggregations
-  private def ivfAssignSql(centSrc: String, out: String, filter: String = ""): String =
+  private def ivfAssignSql(centSrc: String, out: String, filter: String = "",
+      vecSrc: String = "e"): String =
     s"""$out AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, s.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_distance(e.v, s.v), s.cid) AS rn
-       |    FROM e $filter CROSS JOIN $centSrc s) t WHERE rn = 1)""".stripMargin
+       |    FROM $vecSrc e $filter CROSS JOIN $centSrc s) t WHERE rn = 1)""".stripMargin
 
-  private def ivfRecomputeSql(asgn: String, out: String): String =
+  private def ivfRecomputeSql(asgn: String, out: String, dims: Int = 64): String =
     s"""$out AS (
        |  SELECT cid, list(av ORDER BY i) AS v FROM (
        |    SELECT cid, i, round(avg(v[i]), 6) AS av
-       |    FROM $asgn, generate_series(1, 64) AS t(i) GROUP BY cid, i) u
+       |    FROM $asgn, generate_series(1, $dims) AS t(i) GROUP BY cid, i) u
        |  GROUP BY cid)""".stripMargin
 
   /** Shared CTE prefix: deterministic seeding, two Lloyd iterations,
@@ -642,6 +643,62 @@ object LlmQueries {
       |SELECT cc.cid, CAST(cc.n_corpus AS BIGINT) AS n_corpus,
       |  CAST(coalesce(bc.n_batch, 0) AS BIGINT) AS n_batch
       |FROM cc LEFT JOIN bc USING (cid) ORDER BY cid""".stripMargin
+
+  /** §2.4 s7: product quantization — the PQ-coded table itself:
+    * every vector compressed to m=4 subspace codes (k=16 each, so 4
+    * bytes of code per 64-d float vector) plus its 6-decimal
+    * reconstruction MSE (`operators.ProductQuantizer`). Learning
+    * reuses IvfIndex's deterministic recipe per 16-d slice — m
+    * sub-learnings the DuckDB oracle replays from first principles
+    * over `list_slice` (the s3/d13 CTE shape, one chain per
+    * subspace; the seed DRAW is shared — smallest (md5(id), id) —
+    * because seeding never looks at values). Encoding is a pure
+    * narrow map (spec-pinned exchange-free): m literal-codebook
+    * argmins + a left-to-right error fold, embarrassingly parallel
+    * at any corpus size.
+    */
+  def s7PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val books = ProductQuantizer.learnCodebooks(e, "vec_id", "embedding",
+      m = 4, dims = 64, k = 16, iters = 2)
+    ProductQuantizer.encode(e, "vec_id", "embedding", books, dims = 64)
+      .orderBy(col("vec_id"))
+  }
+
+  val s7PqEncodeSql: String = {
+    val m = 4; val sub = 16; val k = 16
+    val perSub = (0 until m).map { j =>
+      val lo = j * sub + 1
+      // one s3-shaped learning chain per subspace over list_slice'd
+      // vectors: seeds -> assign -> recompute -> assign -> recompute,
+      // then the final encode picks argmin cell + in-order err² fold
+      s"""e$j AS (SELECT vec_id, list_slice(v, $lo, ${lo + sub - 1}) AS v FROM e),
+        |seeds$j AS (
+        |  SELECT cid, v FROM (
+        |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
+        |    FROM e$j) s WHERE s.cid <= $k),
+        |${ivfAssignSql(s"seeds$j", s"a0$j", vecSrc = s"e$j")},
+        |${ivfRecomputeSql(s"a0$j", s"c0$j", dims = sub)},
+        |${ivfAssignSql(s"c0$j", s"a1$j", vecSrc = s"e$j")},
+        |${ivfRecomputeSql(s"a1$j", s"c1$j", dims = sub)},
+        |enc$j AS (
+        |  SELECT vec_id, cid AS code, err2 FROM (
+        |    SELECT q.vec_id, s.cid,
+        |      list_sum([(q.v[i] - s.v[i]) * (q.v[i] - s.v[i])
+        |                for i in generate_series(1, $sub)]) AS err2,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_distance(q.v, s.v), s.cid) AS rn
+        |    FROM e$j q CROSS JOIN c1$j s) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$perSub
+      |SELECT vec_id, enc0.code AS code_1, enc1.code AS code_2,
+      |  enc2.code AS code_3, enc3.code AS code_4,
+      |  round((((enc0.err2 + enc1.err2) + enc2.err2) + enc3.err2) / 64.0, 6) AS mse6
+      |FROM enc0 JOIN enc1 USING (vec_id) JOIN enc2 USING (vec_id)
+      |  JOIN enc3 USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+  }
 
   /** §2.3 d13: SemDeDup — semantic dedup via learned k-means cells
     * (SemanticDedup operator; see its Scaladoc for the design). The
