@@ -556,7 +556,14 @@ object LlmQueries {
     */
   private def ivfLearnedCorpusCtes(kSql: String): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |kv AS (SELECT $kSql AS k),
+      |${ivfLearnedCorpusCtesNoE(kSql)}""".stripMargin
+
+  /** The same learning chain WITHOUT the leading `e` CTE — for
+    * composition into a WITH clause that already defines `e` (the s8
+    * oracle shares `e` between the IVF and PQ chains).
+    */
+  private def ivfLearnedCorpusCtesNoE(kSql: String): String =
+    s"""kv AS (SELECT $kSql AS k),
       |seeds AS (
       |  SELECT cid, v FROM (
       |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
@@ -665,39 +672,128 @@ object LlmQueries {
       .orderBy(col("vec_id"))
   }
 
-  val s7PqEncodeSql: String = {
-    val m = 4; val sub = 16; val k = 16
-    val perSub = (0 until m).map { j =>
-      val lo = j * sub + 1
-      // one s3-shaped learning chain per subspace over list_slice'd
-      // vectors: seeds -> assign -> recompute -> assign -> recompute,
-      // then the final encode picks argmin cell + in-order err² fold
-      s"""e$j AS (SELECT vec_id, list_slice(v, $lo, ${lo + sub - 1}) AS v FROM e),
+  private val PqM = 4; private val PqSub = 16; private val PqK = 16
+
+  /** The m per-subspace PQ learning+encode chains (expects a CTE `e`
+    * of (vec_id, v)): one s3-shaped chain per subspace over
+    * list_slice'd vectors — seeds → assign → recompute → assign →
+    * recompute, then `enc$j` picks the argmin cell + in-order err²
+    * fold. Shared by the s7 encode oracle and the s8 serving-index
+    * oracle (CTE names are j-suffixed, disjoint from the full-vector
+    * IVF chain's).
+    */
+  private val pqSubChainsSql: String =
+    (0 until PqM).map { j =>
+      val lo = j * PqSub + 1
+      s"""e$j AS (SELECT vec_id, list_slice(v, $lo, ${lo + PqSub - 1}) AS v FROM e),
         |seeds$j AS (
         |  SELECT cid, v FROM (
         |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
-        |    FROM e$j) s WHERE s.cid <= $k),
+        |    FROM e$j) s WHERE s.cid <= $PqK),
         |${ivfAssignSql(s"seeds$j", s"a0$j", vecSrc = s"e$j")},
-        |${ivfRecomputeSql(s"a0$j", s"c0$j", dims = sub)},
+        |${ivfRecomputeSql(s"a0$j", s"c0$j", dims = PqSub)},
         |${ivfAssignSql(s"c0$j", s"a1$j", vecSrc = s"e$j")},
-        |${ivfRecomputeSql(s"a1$j", s"c1$j", dims = sub)},
+        |${ivfRecomputeSql(s"a1$j", s"c1$j", dims = PqSub)},
         |enc$j AS (
         |  SELECT vec_id, cid AS code, err2 FROM (
         |    SELECT q.vec_id, s.cid,
         |      list_sum([(q.v[i] - s.v[i]) * (q.v[i] - s.v[i])
-        |                for i in generate_series(1, $sub)]) AS err2,
+        |                for i in generate_series(1, $PqSub)]) AS err2,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY list_distance(q.v, s.v), s.cid) AS rn
         |    FROM e$j q CROSS JOIN c1$j s) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+
+  val s7PqEncodeSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |$perSub
+      |$pqSubChainsSql
       |SELECT vec_id, enc0.code AS code_1, enc1.code AS code_2,
       |  enc2.code AS code_3, enc3.code AS code_4,
       |  round((((enc0.err2 + enc1.err2) + enc2.err2) + enc3.err2) / 64.0, 6) AS mse6
       |FROM enc0 JOIN enc1 USING (vec_id) JOIN enc2 USING (vec_id)
       |  JOIN enc3 USING (vec_id)
       |ORDER BY vec_id""".stripMargin
+
+  /** §2.4 s8: the composed serving index — IVF ROUTES (queries probe
+    * the 2 nearest learned cells), PQ COMPRESSES (probed candidates
+    * are scored by asymmetric distance against their 4-byte code
+    * reconstructions, never their floats). This is the layout a
+    * 100 TB embedding table actually serves from: the corpus side of
+    * the search touches only (cell id, codes) — the full-precision
+    * vectors exist nowhere in the hot path — so the index is ~1.5 TB
+    * of codes routed by a k×dims centroid table. One cell-id shuffle
+    * (corpus coded+celled in a single narrow pass, queries broadcast
+    * after probe explosion), ADC = codegen'd literal-codebook
+    * expression. Both learned artifacts are shared: cells from
+    * CentroidArtifact (s3/s6/d13), codebooks from the s7 recipe —
+    * the oracle replays both learnings plus routing and ADC scoring
+    * from first principles.
+    */
+  def s8IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
+    val books = ProductQuantizer.learnCodebooks(e, "vec_id", "embedding",
+      m = 4, dims = 64, k = 16, iters = 2)
+    def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(c, _.cast("double"))
+    // the serving table: (cell, codes) per vector, one narrow pass
+    val coded = ProductQuantizer.encode(
+        e.withColumn("cid", IvfIndex.nearestCid(toD(col("embedding")), cents)),
+        "vec_id", "embedding", books, dims = 64, keep = Seq("cid"))
+      .withColumnRenamed("vec_id", "nid")
+    val q = e.select(col("vec_id").as("qid"), toD(col("embedding")).as("qv"))
+      .filter(col("qid") < 64)
+      .withColumn("cid", explode(IvfIndex.probeCids(col("qv"), cents, 2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    coded.join(q, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dist", ProductQuantizer.adcDist2(col("qv"), books,
+        (1 to 4).map(j => col(s"code_$j")), dims = 64))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s8IvfPqSql: String = {
+    // per-subspace ADC terms: the query slice against the centroid
+    // selected by the candidate's code (enc$j/c1$j come from the s7
+    // learning chains; corpus/c1/qp from the s3 IVF chain — the CTE
+    // names are disjoint by construction)
+    val subScores = (0 until PqM).map { j =>
+      val lo = j * PqSub + 1
+      s"""sub$j AS (
+        |  SELECT t.qid, t.nid,
+        |    list_sum([(t.qs[i] - ct.v[i]) * (t.qs[i] - ct.v[i])
+        |              for i in generate_series(1, $PqSub)]) AS d
+        |  FROM (SELECT qid, nid, list_slice(qv, $lo, ${lo + PqSub - 1}) AS qs
+        |        FROM cand) t
+        |  JOIN enc$j en ON en.vec_id = t.nid
+        |  JOIN c1$j ct ON ct.cid = en.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$pqSubChainsSql,
+      |${ivfLearnedCorpusCtesNoE("16")},
+      |qp AS (
+      |  SELECT qid, qv, cid FROM (
+      |    SELECT q.vec_id AS qid, q.v AS qv, s.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_distance(q.v, s.v), s.cid) AS rn
+      |    FROM e q CROSS JOIN c1 s WHERE q.vec_id < 64) t WHERE rn <= 2),
+      |cand AS (
+      |  SELECT qp.qid, qp.qv, n.vec_id AS nid
+      |  FROM qp JOIN corpus n USING (cid) WHERE n.vec_id != qp.qid),
+      |$subScores,
+      |scored AS (
+      |  SELECT s0.qid, s0.nid, (((s0.d + s1.d) + s2.d) + s3.d) AS dist
+      |  FROM sub0 s0 JOIN sub1 s1 USING (qid, nid)
+      |    JOIN sub2 s2 USING (qid, nid) JOIN sub3 s3 USING (qid, nid)),
+      |r AS (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
   /** §2.3 d13: SemDeDup — semantic dedup via learned k-means cells

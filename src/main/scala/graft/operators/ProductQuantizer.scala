@@ -64,16 +64,20 @@ object ProductQuantizer {
     ArrayDotProduct(diff, diff)
   }
 
-  /** Encode every vector: (id, code_1..code_m, mse6) where code_j is
-    * the nearest centroid id in subspace j and mse6 the 6-decimal
-    * whole-vector reconstruction MSE. Narrow map — zero shuffles.
+  /** Encode every vector: (id, [keep...], code_1..code_m, mse6) where
+    * code_j is the nearest centroid id in subspace j and mse6 the
+    * 6-decimal whole-vector reconstruction MSE. Narrow map — zero
+    * shuffles. `keep` carries extra input columns (e.g. an IVF cell
+    * id) through to the coded table — the serving layout stores codes
+    * NEXT TO their routing key, not joined onto it later.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-      books: Seq[Seq[(Int, Seq[Double])]], dims: Int): DataFrame = {
+      books: Seq[Seq[(Int, Seq[Double])]], dims: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val m = books.size
     val sub = dims / m
     val withSubs = (0 until m).foldLeft(
-        df.select(col(idCol), toDouble(col(vecCol)).as("v"))) {
+        df.select(col(idCol) +: keep.map(col) :+ toDouble(col(vecCol)).as("v"): _*)) {
       case (acc, j) =>
         val subv = slice(col("v"), j * sub + 1, sub)
         acc.withColumn(s"code_${j + 1}",
@@ -84,6 +88,26 @@ object ProductQuantizer {
     val totErr = (1 to m).map(j => col(s"err2_$j")).reduce(_ + _)
     withSubs
       .withColumn("mse6", round(totErr / lit(dims.toDouble), 6))
-      .select(col(idCol) +: (1 to m).map(j => col(s"code_$j")) :+ col("mse6"): _*)
+      .select(col(idCol) +: keep.map(col) ++:
+        (1 to m).map(j => col(s"code_$j")) :+ col("mse6"): _*)
+  }
+
+  /** Asymmetric distance (ADC): squared L2 between a full QUERY
+    * vector and a corpus vector's PQ RECONSTRUCTION, computed from
+    * the corpus side's m codes alone — Σ_j Σ_i (q_i − c_i)² against
+    * the codebook centroid each code selects. This is the distance a
+    * PQ serving index actually evaluates: the corpus floats are gone
+    * (m bytes remain), only queries stay full-precision. Same
+    * left-to-right fold as `subErr2`, so ADC(v, codes(v)) equals v's
+    * own reconstruction error exactly (spec-pinned), and the whole
+    * expression is a codegen'd narrow map.
+    */
+  def adcDist2(qv: Column, books: Seq[Seq[(Int, Seq[Double])]],
+      codes: Seq[Column], dims: Int): Column = {
+    require(codes.size == books.size, "one code column per codebook")
+    val sub = dims / books.size
+    books.indices.map { j =>
+      subErr2(slice(qv, j * sub + 1, sub), books(j), codes(j))
+    }.reduce(_ + _)
   }
 }

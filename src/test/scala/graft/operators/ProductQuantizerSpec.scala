@@ -65,6 +65,31 @@ class ProductQuantizerSpec extends SparkSpec {
       s"PQ encoding must not shuffle:\n$plan")
   }
 
+  test("ADC of a vector against its own codes equals its reconstruction error") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.toDouble
+    val e = embeddings
+    val books = ProductQuantizer.learnCodebooks(e, "vec_id", "embedding",
+      m = m, dims = 64, k = 16, iters = 2)
+    val enc = ProductQuantizer.encode(e, "vec_id", "embedding", books, dims = 64)
+    // same fold, same order: adc(v, codes(v)) must equal mse6·64
+    // before rounding — compare through the same 6-decimal rounding
+    val joined = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(enc, "vec_id")
+      .withColumn("adc6", round(ProductQuantizer.adcDist2(col("v"), books,
+        (1 to m).map(j => col(s"code_$j")), dims = 64) / 64.0, 6))
+    assert(joined.filter(col("adc6") =!= col("mse6")).count() === 0,
+      "asymmetric distance to self must be the reconstruction error exactly")
+  }
+
+  test("the composed s8 serving plan joins on cell id — no cartesian, no nested loop") {
+    val plan = LlmQueries.s8IvfPq(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"probed-cell candidate generation must stay an equi-join:\n$plan")
+  }
+
   test("misconfigured subspaces fail loudly") {
     val e = embeddings
     intercept[IllegalArgumentException] {
