@@ -85,6 +85,16 @@ object Bench {
     val totalMin = results.collect {
       case (_, ts) if !ts.exists(_ < 0) => ts.min
     }.sum
+    // explicit contention flag in the headline: per-query max/min
+    // spread — a query whose 3 runs differ by >3× was fighting the
+    // machine, not regressing (r7 and r8 driver runs both had
+    // first-run spikes up to 6× that read as slowdowns until the
+    // detail file was excavated; now the headline says so itself)
+    val spreads = results.collect {
+      case (_, ts) if !ts.exists(_ < 0) && ts.min > 0 => ts.max / ts.min
+    }
+    val contended = spreads.count(_ > 3.0)
+    val maxSpread = if (spreads.isEmpty) 1.0 else spreads.max
     val errJson = errors.distinct
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
@@ -102,7 +112,7 @@ object Bench {
         java.nio.file.Paths.get("/root/repo/target/bench_detail.json"),
         detailJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f(total)},"value_min":${f(totalMin)},"unit":"sec","n":${summary.size},"errors":$errJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${f(total)},"value_min":${f(totalMin)},"unit":"sec","n":${summary.size},"contended":$contended,"max_spread":${f(maxSpread)},"errors":$errJson,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }
