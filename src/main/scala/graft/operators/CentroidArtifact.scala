@@ -30,12 +30,44 @@ object CentroidArtifact {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val loaded =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private val pqPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val pqLoaded =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[(Int, Seq[Double])]]]
   private val learns = new java.util.concurrent.atomic.AtomicLong
+  private val pqLearns = new java.util.concurrent.atomic.AtomicLong
 
   /** How many actual Lloyd learnings have run (artifact misses) —
     * the spec hook pinning "append path relearns nothing".
     */
   def learnCount: Long = learns.get
+
+  /** How many PQ codebook learnings (one = all m sub-learnings) have
+    * run — the spec hook pinning that warm s7/s8 calls relearn
+    * nothing.
+    */
+  def pqLearnCount: Long = pqLearns.get
+
+  private def corpusStamp(spark: SparkSession, src: String): String = {
+    // staleness stamp via Hadoop FS (mtime + content summary), the
+    // documentClusters rule: works on hdfs://s3a://, catches in-place
+    // rewrites a directory mtime would miss
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val cs = fs.getContentSummary(p)
+      s"${fs.getFileStatus(p).getModificationTime}-${cs.getLength}-${cs.getFileCount}"
+    }
+  }
+
+  private def artifactPath(spark: SparkSession, prefix: String, key: String): String = {
+    val base = spark.conf.get("spark.graft.artifactDir",
+      "/root/repo/target/scratch/clusters")
+    base.stripSuffix("/") + "/" + prefix + "_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+  }
 
   /** Centroids for the embeddings corpus at `dir`, learned at most
     * once per (session, corpus version, config).
@@ -44,18 +76,7 @@ object CentroidArtifact {
       iters: Int = 2, dims: Int = 64,
       sampleRate: Double = 1.0): Seq[(Int, Seq[Double])] = {
     val src = s"$dir/embeddings.parquet"
-    // staleness stamp via Hadoop FS (mtime + content summary), the
-    // documentClusters rule: works on hdfs://s3a://, catches in-place
-    // rewrites a directory mtime would miss
-    val p = new org.apache.hadoop.fs.Path(src)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stamp =
-      if (!fs.exists(p)) "absent"
-      else {
-        val cs = fs.getContentSummary(p)
-        s"${fs.getFileStatus(p).getModificationTime}-${cs.getLength}-${cs.getFileCount}"
-      }
-    val key = s"${spark.sparkContext.applicationId}|$src|$stamp" +
+    val key = s"${spark.sparkContext.applicationId}|$src|${corpusStamp(spark, src)}" +
       s"|k=$k|it=$iters|d=$dims|sr=$sampleRate"
     // single-flight (the documentClusters rule): concurrent suites
     // sharing the session must not race two learnings onto the same
@@ -65,11 +86,7 @@ object CentroidArtifact {
       val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
         k = k, iters = iters, dims = dims, sampleRate = sampleRate)
       learns.incrementAndGet()
-      val base = spark.conf.get("spark.graft.artifactDir",
-        "/root/repo/target/scratch/clusters")
-      val out = base.stripSuffix("/") + "/ivf_" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      val out = artifactPath(spark, "ivf", key)
       import spark.implicits._
       cents.toDF("cid", "v").coalesce(1).write.mode("overwrite").parquet(out)
       out
@@ -77,5 +94,38 @@ object CentroidArtifact {
     loaded.getOrElseUpdate(path,
       spark.read.parquet(path).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1))
+  }
+
+  /** PQ codebooks for the embeddings corpus at `dir`, learned at most
+    * once per (session, corpus version, config) — the same artifact
+    * contract for the OTHER learned half of the serving index (s7
+    * encodes with it, s8 scores ADC against it). Persisted as one
+    * (sub, cid, v) parquet table; sub-learnings only run on a miss.
+    */
+  def pqCodebooks(spark: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int = 2, dims: Int = 64,
+      sampleRate: Double = 1.0): Seq[Seq[(Int, Seq[Double])]] = {
+    val src = s"$dir/embeddings.parquet"
+    val key = s"${spark.sparkContext.applicationId}|$src|${corpusStamp(spark, src)}" +
+      s"|pq|m=$m|k=$k|it=$iters|d=$dims|sr=$sampleRate"
+    val path = pqPaths.synchronized(pqPaths.getOrElseUpdate(key, {
+      val e = table(spark, dir, "embeddings")
+      val books = ProductQuantizer.learnCodebooks(e, "vec_id", "embedding",
+        m = m, dims = dims, k = k, iters = iters, sampleRate = sampleRate)
+      pqLearns.incrementAndGet()
+      val out = artifactPath(spark, "pq", key)
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.map { case (cid, v) => (j, cid, v) }
+      }.toDF("sub", "cid", "v").coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }))
+    pqLoaded.getOrElseUpdate(path, {
+      val rows = spark.read.parquet(path).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
+        rs.sortBy(_._2).map(t => t._2 -> t._3).toSeq
+      }
+    })
   }
 }

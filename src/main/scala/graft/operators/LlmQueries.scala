@@ -666,8 +666,9 @@ object LlmQueries {
     */
   def s7PqEncode(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    val books = ProductQuantizer.learnCodebooks(e, "vec_id", "embedding",
-      m = 4, dims = 64, k = 16, iters = 2)
+    // codebooks from the materialized artifact (learned once per
+    // corpus version, shared with s8's ADC scoring)
+    val books = CentroidArtifact.pqCodebooks(spark, dir, m = 4, k = 16)
     ProductQuantizer.encode(e, "vec_id", "embedding", books, dims = 64)
       .orderBy(col("vec_id"))
   }
@@ -732,8 +733,7 @@ object LlmQueries {
   def s8IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
     val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
-    val books = ProductQuantizer.learnCodebooks(e, "vec_id", "embedding",
-      m = 4, dims = 64, k = 16, iters = 2)
+    val books = CentroidArtifact.pqCodebooks(spark, dir, m = 4, k = 16)
     def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       transform(c, _.cast("double"))
     // the serving table: (cell, codes) per vector, one narrow pass

@@ -40,6 +40,28 @@ class CentroidArtifactSpec extends SparkSpec {
       "search must serve from the same artifact")
   }
 
+  test("PQ codebooks learn once and roundtrip exactly; warm s7/s8 relearn nothing") {
+    val a = CentroidArtifact.pqCodebooks(spark, sf0, m = 4, k = 16)
+    val once = CentroidArtifact.pqLearnCount
+    val b = CentroidArtifact.pqCodebooks(spark, sf0, m = 4, k = 16)
+    assert(CentroidArtifact.pqLearnCount === once,
+      "second fetch must serve the artifact, not relearn")
+    assert(a === b)
+    val fresh = ProductQuantizer.learnCodebooks(
+      GraftSession.table(spark, sf0, "embeddings"), "vec_id", "embedding",
+      m = 4, dims = 64, k = 16, iters = 2)
+    assert(a === fresh,
+      "the (sub, cid, v) parquet roundtrip must be exact (6-decimal centroids)")
+    // both serving entries run warm without any learning
+    CentroidArtifact.embeddingCentroids(spark, sf0, k = 16)
+    val warmIvf = CentroidArtifact.learnCount
+    assert(LlmQueries.s7PqEncode(spark, sf0).collect().nonEmpty)
+    assert(LlmQueries.s8IvfPq(spark, sf0).collect().nonEmpty)
+    assert(CentroidArtifact.pqLearnCount === once &&
+      CentroidArtifact.learnCount === warmIvf,
+      "warm s7/s8 must serve both learned artifacts, relearning neither")
+  }
+
   test("a rewritten corpus changes the staleness stamp and relearns") {
     val dir = tmpDir(s"centroid_stale_${System.nanoTime()}")
     val e = spark.read.parquet(s"$sf0/embeddings.parquet")
