@@ -339,6 +339,50 @@ object LlmQueries {
       |FROM ranked GROUP BY cluster HAVING count(*) > 1
       |ORDER BY cluster_id""".stripMargin
 
+  /** §2.3 d16: soft dedup — per-document SAMPLING WEIGHTS from near-dup
+    * cluster size, the alternative to d14's hard drop: instead of
+    * discarding duplicates, every member of an n-doc cluster gets
+    * weight 1/n so the CLUSTER contributes one document's worth of
+    * probability mass to training (duplicated pages stop dominating
+    * the mixture, but no unique phrasing is thrown away — the
+    * downweight-don't-delete policy of modern curation pipelines;
+    * singletons keep weight 1). Weights in integer micro-units
+    * (floor(1e6/n) — exact, engine-portable; no float ratios).
+    *
+    * Scale: the cluster pipeline never re-runs — this reads the
+    * MATERIALIZED cluster artifact (`documentClusters`, shared with
+    * d9/d14) + ONE left join + one cluster-key window whose
+    * partitions are cluster-sized, never corpus-wide. The output is
+    * a per-doc column a data loader joins on doc id — narrow from
+    * there on.
+    */
+  def d16ClusterWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val clusters = documentClusters(spark, dir)
+    val assigned = docs.select(col("doc_id"))
+      .join(clusters, docs("doc_id") === clusters("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    assigned.withColumn("n_members", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster").as("cluster_id"),
+        col("n_members").cast("long").as("n_members"),
+        floor(lit(1000000L) / col("n_members")).cast("long").as("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d16ClusterWeightsSql: String =
+    s"""WITH RECURSIVE $jaccardReachCtes,
+      |clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+      |assigned AS (
+      |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id)
+      |SELECT doc_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+      |  CAST(floor(1000000 / count(*) OVER (PARTITION BY cluster_id)) AS BIGINT)
+      |    AS weight_micro
+      |FROM assigned ORDER BY doc_id""".stripMargin
+
   /** §2.3 d5: embedding near-dup pairs — exact cosine verification
     * over MULTI-PROBE SRP candidates (buckets within Hamming ≤ 1).
     * This is the scale-shaped entry: one bucket-key shuffle, pairwise

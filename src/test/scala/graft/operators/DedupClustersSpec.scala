@@ -121,6 +121,40 @@ class DedupClustersSpec extends SparkSpec {
     assert(merged.filter(_._2 == 1L).keySet === Set(1L, 2L, 3L, 10L, 11L))
   }
 
+  test("d16 soft-dedup weights: 1/n per planted cluster member, singletons keep 1e6") {
+    import spark.implicits._
+    val dir = tmpDir("d16_fixture")
+    val shared = (1 to 40).map(i => s"common$i").mkString(" ")
+    Seq(
+      // near-dup cluster of 3 (same fixture shape as the d14 test)
+      (10L, s"$shared tail", "en", "s0", 100L),
+      (11L, s"$shared tail plus extra words here", "en", "s0", 130L),
+      (12L, s"$shared tai", "en", "s0", 99L),
+      // unrelated singleton — keeps full weight
+      (400L, "completely different content entirely", "en", "s0", 37L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = LlmQueries.d16ClusterWeights(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L, 400L),
+      "every doc appears exactly once — soft dedup drops nothing")
+    // the 3-member cluster: label = min id, weight = floor(1e6/3)
+    out.filter(_._1 <= 12L).foreach { case (_, cid, n, w) =>
+      assert(cid == 10L && n == 3L && w == 333333L)
+    }
+    assert(out.last == ((400L, 400L, 1L, 1000000L)))
+  }
+
+  test("d16 reads the cluster artifact — no pair re-verification in its plan") {
+    // materialize once (shared with the other artifact tests)
+    assert(LlmQueries.documentClusters(spark, sf0).count() > 0)
+    val plan = LlmQueries.d16ClusterWeights(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("scratch/clusters"), "weights must join the artifact")
+    assert(!plan.contains("array_intersect") && !plan.contains("collect_set"),
+      "weights must not re-verify candidate pairs")
+  }
+
   test("cluster artifact: computed once per corpus, d14 reads it instead of re-running d9") {
     // first lookup materializes the artifact
     assert(LlmQueries.documentClusters(spark, sf0).count() > 0)
