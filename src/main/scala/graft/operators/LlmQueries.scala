@@ -496,6 +496,65 @@ object LlmQueries {
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** §2.4 s9: ANN recall evaluation — the quality gate a serving
+    * index ships with: per-query recall@5 of the LSH index (s2's
+    * exact pipeline) against brute-force ground truth (s1's), on a
+    * fixed query panel. An approximate index without a measured
+    * recall number is not an index a pipeline can trust; this is the
+    * entry that turns s2's "approximate" into a number per query.
+    * recall in exact integer micro-units (hits·1e6/5) — no float
+    * ratios, engine-portable.
+    *
+    * Scale: ground truth is computed ONLY for the sampled panel
+    * (64 broadcast queries × corpus = one scan + two-phase top-k —
+    * exactly how production ANN eval works at 10⁹ vectors: you never
+    * brute-force the corpus against itself); the approximate side is
+    * s2's one-bucket-shuffle plan; the compare join is panel-sized
+    * (k·|panel| rows). Re-running this entry per index build is the
+    * recall-regression monitor.
+    */
+  def s9RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 64)
+    val truth = Similarity.bruteKnn(e, q, "vec_id", "embedding", 5)
+      .select(col("qid"), col("nid"))
+    val approx = Similarity.bucketedKnn(e, q, "vec_id", "embedding",
+        k = 5, nBits = 8)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    truth.join(approx, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") * lit(200000L)).as("recall_micro"))
+      .orderBy(col("qid"))
+  }
+
+  val s9RecallEvalSql: String = {
+    val bucketExpr = srpBucketSql("v")
+    val probeList = srpProbeListSql("bucket")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
+      |ts AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS sim
+      |       FROM q0 CROSS JOIN e WHERE e.vec_id != qid),
+      |truth AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |    FROM ts) WHERE rank <= 5),
+      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |qp AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
+      |       FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 64)),
+      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
+      |      FROM qp JOIN b c USING (bucket) WHERE c.vec_id != qid),
+      |approx AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |    FROM s) WHERE rank <= 5)
+      |SELECT t.qid, CAST(count(a.nid) AS BIGINT) AS n_hits,
+      |  CAST(count(a.nid) * 200000 AS BIGINT) AS recall_micro
+      |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+      |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+  }
+
   /** §2.4 s3: true IVF ANN — k-means-learned centroids (deterministic
     * md5 seeding, 2 Lloyd iterations, 6-decimal centroid rounding)
     * partition the corpus into cells; queries probe the 2 nearest

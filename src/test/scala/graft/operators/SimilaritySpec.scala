@@ -123,6 +123,53 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum === base.length + dups.length)
   }
 
+  test("s9 recall eval: agrees with recall recomputed from the s1/s2 entries") {
+    val out = LlmQueries.s9RecallEval(spark, sf0)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 64, "one row per panel query")
+    out.foreach { case (_, hits, micro) =>
+      assert(hits >= 0 && hits <= 5 && micro === hits * 200000L)
+    }
+    // independent recomputation from the two shipped knn entries
+    val truth = LlmQueries.s1KnnBrute(spark, sf0)
+      .filter($"qid" < 64) // s1's panel is qid < 8 — restrict to overlap
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val approx = LlmQueries.s2KnnLsh(spark, sf0)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val expected = truth.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.count(approx.contains).toLong
+    }
+    out.filter(r => expected.contains(r._1)).foreach { case (q, hits, _) =>
+      assert(hits === expected(q), s"query $q: entry says $hits, recompute says ${expected(q)}")
+    }
+    // non-vacuous: the LSH index finds SOME true neighbors. (The mean
+    // recall itself is the entry's output, not a spec constant — on
+    // this corpus 8-bit SRP recall@5 is genuinely low, ~0.12, which
+    // is precisely the kind of number the eval exists to surface.)
+    assert(out.map(_._2).sum > 0L, "LSH found no true neighbors at all")
+  }
+
+  test("s9 recall eval: a perfect index scores exactly 1e6 on a planted corpus") {
+    // plant 5 EXACT copies of every panel query: the copies are the
+    // true top-5 (cosine 1.0 beats every distinct vector), and an
+    // identical vector always shares its source's SRP bucket, so the
+    // LSH index must retrieve all 5 — recall is 1e6 by construction
+    val dir = tmpDir("s9_fixture")
+    val base = emb.filter($"vec_id" < 64).select($"vec_id", $"embedding")
+    val copies = base.as[(Long, Seq[Float])].collect().flatMap { case (id, v) =>
+      (0 until 5).map(j => (10000L + id * 10 + j, v))
+    }.toSeq.toDF("vec_id", "embedding")
+    base.unionByName(copies)
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val out = LlmQueries.s9RecallEval(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 64)
+    out.foreach { case (q, hits, micro) =>
+      assert(hits === 5L && micro === 1000000L,
+        s"query $q: expected full recall on planted copies, got $hits/5")
+    }
+  }
+
   test("bucket assignment is deterministic across evaluations") {
     import graft.functions.VectorFunctions
     val b1 = emb.select(VectorFunctions.srpBucket(
