@@ -149,4 +149,66 @@ object ModelQueries {
       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bi,
       |  round(sum(tf * (ln(cbi) - ln(cpre))) / sum(tf), 6) AS avg_lp
       |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t18: BPE merge learning (tokenizer induction)
+  // ---------------------------------------------------------------
+
+  /** How many BPE merges the t18 entry learns. Real tokenizers learn
+    * 30k+; 8 keeps the oracle's unrolled CTE chain readable while
+    * exercising the full iterative pipeline (every round after the
+    * first operates on merged multi-character symbols).
+    */
+  val BpeRounds = 8
+
+  /** §2.5 t18: learn the first `BpeRounds` BPE merges from the corpus
+    * (`operators.BpeMerges`) — tokenizer induction as a data-pipeline
+    * job, the step every from-scratch training run executes before a
+    * single model step. Output: one row per learned rule (round, the
+    * symbol pair, the merged token, the pair's corpus frequency when
+    * it won). Counts are exact integers and ties break
+    * lexicographically, so the oracle replays the identical rule
+    * sequence by unrolling the rounds as chained CTEs.
+    */
+  def t18BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BpeMerges.learn(table(spark, dir, "documents"), "text", BpeRounds)
+      .map(m => (m.round, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  val t18BpeMergesSql: String = {
+    val header =
+      """WITH words AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY w
+        |), v0 AS (
+        |  SELECT '  ' || array_to_string(
+        |      [word[i:i] for i in generate_series(1, length(word))], '  ')
+        |    || '  ' AS s, cnt
+        |  FROM words
+        |)""".stripMargin
+    val roundCtes = (1 to BpeRounds).map { r =>
+      s""", p$r AS (
+        |  SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        |    SELECT unnest([{'lhs': syms[i], 'rhs': syms[i+1]}
+        |                   for i in generate_series(1, len(syms)-1)]) AS p, cnt
+        |    FROM (SELECT string_split(trim(s), '  ') AS syms, cnt FROM v${r - 1}))
+        |  GROUP BY 1, 2
+        |), b$r AS (
+        |  SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1
+        |), v$r AS (
+        |  SELECT replace(s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                 ' ' || b.lhs || b.rhs || ' ') AS s, cnt
+        |  FROM v${r - 1} CROSS JOIN b$r b
+        |)""".stripMargin
+    }.mkString
+    val selects = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM b$r")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    header + roundCtes + selects
+  }
 }
