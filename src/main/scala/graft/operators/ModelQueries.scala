@@ -211,4 +211,93 @@ object ModelQueries {
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
     header + roundCtes + selects
   }
+
+  // ---------------------------------------------------------------
+  // t19: BPE tokenization (the encode side)
+  // ---------------------------------------------------------------
+
+  /** §2.5 t19: tokenize the corpus under the learned BPE merges —
+    * the ENCODE pass, the production workload t18's learning exists
+    * for (every training run tokenizes its whole corpus at least
+    * once). Output per doc: word count, subword count, and fertility
+    * (subwords per word, integer micro-units) — the standard
+    * tokenizer-quality statistic.
+    *
+    * Scale shape: tokenization is WORD-LEVEL — the merge sequence is
+    * applied once per DISTINCT word (the vocab frame, which tracks
+    * vocabulary size, not corpus bytes), and per-doc counts come
+    * from one (word) equi-join of the exploded corpus against that
+    * word→subword-count table plus a doc-key partial agg. The corpus
+    * is never re-scanned per merge round, and nothing data-sized is
+    * collected or broadcast (AQE may choose to broadcast the vocab
+    * side when it is small — that is the right call, not a
+    * requirement). The merge rules re-enter as literals (O(rounds)
+    * driver state, t18's argmax collects).
+    */
+  def t19BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val merges = BpeMerges.learn(docs, "text", BpeRounds)
+    val vocab0 = BpeMerges.wordVocab(docs, "text")
+      .select(col("word"), BpeMerges.symInit(col("word")).as("s"))
+    val finalVocab = merges.foldLeft(vocab0)((v, m) =>
+      BpeMerges.applyMerge(v, m.lhs, m.rhs))
+    val wlen = finalVocab.select(col("word"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_sub"))
+    val occ = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    occ.join(wlen, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subwords"))
+      .withColumn("fertility_micro",
+        expr("(1000000 * n_subwords) div n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: t18's unrolled merge chain, with `word` carried through
+    * the rewrite rounds so the final symbol strings map back to
+    * per-word subword counts, joined against the exploded corpus.
+    */
+  val t19BpeTokenizeSql: String = {
+    val header =
+      """WITH words AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY w
+        |), v0 AS (
+        |  SELECT word, '  ' || array_to_string(
+        |      [word[i:i] for i in generate_series(1, length(word))], '  ')
+        |    || '  ' AS s, cnt
+        |  FROM words
+        |)""".stripMargin
+    val roundCtes = (1 to BpeRounds).map { r =>
+      s""", p$r AS (
+        |  SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        |    SELECT unnest([{'lhs': syms[i], 'rhs': syms[i+1]}
+        |                   for i in generate_series(1, len(syms)-1)]) AS p, cnt
+        |    FROM (SELECT string_split(trim(s), '  ') AS syms, cnt FROM v${r - 1}))
+        |  GROUP BY 1, 2
+        |), b$r AS (
+        |  SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1
+        |), v$r AS (
+        |  SELECT word, replace(s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+        |                 ' ' || b.lhs || b.rhs || ' ') AS s, cnt
+        |  FROM v${r - 1} CROSS JOIN b$r b
+        |)""".stripMargin
+    }.mkString
+    header + roundCtes +
+      s""", wlen AS (
+        |  SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sub
+        |  FROM v$BpeRounds
+        |), occ AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+        |  (1000000 * CAST(sum(n_sub) AS BIGINT)) // count(*) AS fertility_micro
+        |FROM occ JOIN wlen USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

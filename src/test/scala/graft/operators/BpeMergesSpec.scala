@@ -101,6 +101,62 @@ class BpeMergesSpec extends SparkSpec {
     assert(ms.isEmpty)
   }
 
+  test("t19 tokenize: per-word subword counts agree with the reference greedy encoder") {
+    def mergeGreedy(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val texts = Seq("banana bandana cabana", "ban dan nab anab", "a ab aba abab")
+    val docs = docsOf(texts)
+    val merges = BpeMerges.learn(docs, "text", 3)
+    assert(merges.length === 3)
+    // reference: tokenize each word with the learned rules
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList)((syms, m) =>
+        mergeGreedy(syms, m.lhs, m.rhs))
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").toSeq
+      val subs = ws.map(w => encode(w).length.toLong).sum
+      (i.toLong, ws.length.toLong, subs, 1000000L * subs / ws.length)
+    }
+    // same pipeline as the entry, at the spec's round count
+    val vocab0 = BpeMerges.wordVocab(docs, "text")
+      .select($"word", BpeMerges.symInit($"word").as("s"))
+    val fin = merges.foldLeft(vocab0)((v, m) => BpeMerges.applyMerge(v, m.lhs, m.rhs))
+    val wlen = fin.select($"word",
+      size(split(trim($"s"), "  ")).cast("long").as("n_sub"))
+    val occ = docs.select($"doc_id",
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    val got = occ.join(wlen, "word").groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum($"n_sub").cast("long").as("n_subwords"))
+      .withColumn("fertility_micro", expr("(1000000 * n_subwords) div n_words"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
+  test("t19 entry: subword counts bounded by letters below and words above") {
+    val out = ModelQueries.t19BpeTokenize(spark, sf0)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (doc, nw, ns, fert) =>
+      assert(ns >= nw, s"doc $doc: fewer subwords than words")
+      assert(fert === 1000000L * ns / nw)
+      assert(fert >= 1000000L, s"doc $doc: fertility below 1 word")
+    }
+    // merging must actually compress: mean fertility strictly below
+    // the char-level upper bound (chars per word on any real corpus
+    // is > 3; eight merges bring subwords well under that)
+    val meanFert = out.map(_._4).sum / out.length
+    assert(meanFert < 4000000L, s"mean fertility $meanFert looks unmerged")
+  }
+
   test("learning is deterministic run to run") {
     val docs = docsOf(Seq("banana bandana banana", "cabana banana"))
     val a = BpeMerges.learn(docs, "text", 3)
