@@ -908,6 +908,85 @@ object Extended {
       |FROM o GROUP BY 1, 2
       |ORDER BY src, dst""".stripMargin
 
+  /** §2.2 q_ewma: exponentially-weighted moving average per user —
+    * the time-DECAYED trend next to the equal-weight rolling windows
+    * of q_window2 (engagement trend, spend velocity, crawl-freshness
+    * scoring: recent activity must dominate). Decay 1/2 per step over
+    * the last ≤8 events; the 2^-8 tail that a bounded frame truncates
+    * is < 1/255 of the weight mass, so the cutoff is principled, and
+    * it is what makes the operator engine-portable: weights are exact
+    * powers of two, the average is one integer division
+    * (num·den > 0 ⇒ Spark `div` ≡ DuckDB `//`), and no recursive
+    * state survives across rows. Output: each user's LATEST ewma next
+    * to their lifetime average and a trending flag (ewma > avg —
+    * rising spenders).
+    *
+    * Shape: ONE (user_id) hash shuffle; all 8 lags share a single
+    * Window sort (same spec), and the final per-user rollup reuses
+    * the partitioning (t5's rule). The latest row is picked by a
+    * lexicographic struct-max over the tie-safe (ts, event_id) key
+    * inside that rollup — no second descending sort, no
+    * WindowGroupLimit, no join back.
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val num = (1 to 7).map(j =>
+        coalesce(lag(col("cents"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+      .foldLeft(col("cents") * lit(128L))(_ + _)
+    val den = (1 to 7).map(j =>
+        when(lag(col("event_id"), j).over(w).isNotNull, lit(1L << (7 - j)))
+          .otherwise(lit(0L)))
+      .foldLeft(lit(128L))(_ + _)
+    ev.withColumn("num", num).withColumn("den", den)
+      .withColumn("ewma_cents", expr("num div den"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        max(struct(col("ts"), col("event_id"), col("ewma_cents"))).as("last"))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("last.ewma_cents").as("ewma_cents"),
+        expr("sum_cents div n_events").as("avg_cents"))
+      .withColumn("trending",
+        when(col("ewma_cents") > col("avg_cents"), 1).otherwise(0))
+      .orderBy(col("user_id"))
+  }
+
+  val qEwmaSql: String = {
+    val num = (1 to 7).map(j =>
+      s"${1L << (7 - j)} * coalesce(lag(cents, $j) OVER w, 0)")
+      .mkString("128 * cents + ", " + ", "")
+    val den = (1 to 7).map(j =>
+      s"CASE WHEN lag(event_id, $j) OVER w IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END")
+      .mkString("128 + ", " + ", "")
+    s"""WITH ev AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, ts, event_id, cents,
+      |    $num AS num,
+      |    $den AS den
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), e AS (
+      |  SELECT user_id, ts, cents, CAST(num // den AS BIGINT) AS ewma_cents,
+      |    row_number() OVER
+      |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+      |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS sum_cents
+      |  FROM f
+      |)
+      |SELECT user_id, n_events,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |  ewma_cents, sum_cents // n_events AS avg_cents,
+      |  CASE WHEN ewma_cents > sum_cents // n_events THEN 1 ELSE 0 END AS trending
+      |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
+
   /** §2.2 q_hierarchy: recursive CTE — iterative graph/tree traversal
     * in the SQL surface (org charts, category trees, BOM explosions;
     * the capability d9's connected components hand-rolls, exposed
