@@ -48,26 +48,13 @@ object CentroidArtifact {
     */
   def pqLearnCount: Long = pqLearns.get
 
-  private def corpusStamp(spark: SparkSession, src: String): String = {
-    // staleness stamp via Hadoop FS (mtime + content summary), the
-    // documentClusters rule: works on hdfs://s3a://, catches in-place
-    // rewrites a directory mtime would miss
-    val p = new org.apache.hadoop.fs.Path(src)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "absent"
-    else {
-      val cs = fs.getContentSummary(p)
-      s"${fs.getFileStatus(p).getModificationTime}-${cs.getLength}-${cs.getFileCount}"
-    }
-  }
+  // staleness stamp + deterministic path shared with every other
+  // artifact (Artifacts.scala) — one aging rule for all of them
+  private def corpusStamp(spark: SparkSession, src: String): String =
+    Artifacts.corpusStamp(spark, src)
 
-  private def artifactPath(spark: SparkSession, prefix: String, key: String): String = {
-    val base = spark.conf.get("spark.graft.artifactDir",
-      "/root/repo/target/scratch/clusters")
-    base.stripSuffix("/") + "/" + prefix + "_" +
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
-  }
+  private def artifactPath(spark: SparkSession, prefix: String, key: String): String =
+    Artifacts.path(spark, prefix, key)
 
   /** Centroids for the embeddings corpus at `dir`, learned at most
     * once per (session, corpus version, config).

@@ -210,19 +210,10 @@ object LlmQueries {
     * here).
     */
   def documentClusters(spark: SparkSession, dir: String): DataFrame = {
-    // staleness key via Hadoop's FileSystem, not java.io.File — the
-    // artifact dir contract advertises any Hadoop path (hdfs://,
-    // s3a://, ...), where a local-File mtime is always 0; the content
-    // summary (length + file count) additionally catches a same-name
-    // in-place rewrite that leaves the directory mtime untouched
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stamp =
-      if (!fs.exists(p)) "absent"
-      else {
-        val cs = fs.getContentSummary(p)
-        s"${fs.getFileStatus(p).getModificationTime}-${cs.getLength}-${cs.getFileCount}"
-      }
+    // staleness key via the shared Artifacts stamp (Hadoop FS mtime +
+    // content summary — works on hdfs://, s3a://, catches in-place
+    // rewrites a directory mtime would miss)
+    val stamp = Artifacts.corpusStamp(spark, s"$dir/documents.parquet")
     val key = s"${spark.sparkContext.applicationId}|$dir|$stamp"
     // single-flight: TrieMap.getOrElseUpdate may evaluate the update
     // concurrently, and two threads would overwrite the SAME
@@ -234,11 +225,7 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"))
       val edges = Dedup.jaccardVerify(docs, pairs, "doc_id", "text", threshold = 0.2)
       val clusters = DedupClusters.connectedComponents(edges, "id_a", "id_b")
-      val base = spark.conf.get("spark.graft.artifactDir",
-        "/root/repo/target/scratch/clusters")
-      val out = base.stripSuffix("/") + "/" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      val out = Artifacts.path(spark, "cc", key)
       graft.sources.Layout.writeClustered(clusters, out, Seq("cluster_id"))
       out
     }))
