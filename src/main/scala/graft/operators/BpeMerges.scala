@@ -104,23 +104,32 @@ object BpeMerges {
     val v0 = wordVocab(docs, textCol)
       .select(symInit(col("word")).as("s"), col("cnt"))
       .persist()
-    try {
-      var vocab: DataFrame = v0
-      val merges = Seq.newBuilder[Merge]
-      var exhausted = false
-      for (r <- 1 to rounds if !exhausted) {
-        val top = pairCounts(vocab)
-          .orderBy(col("c").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val m = Merge(r, top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2))
-          merges += m
-          vocab = applyMerge(vocab, m.lhs, m.rhs)
-        }
+    try learnOnVocab(v0, rounds) finally v0.unpersist()
+  }
+
+  /** The merge-round loop over an already-materialized (s, cnt)
+    * symbol-string vocab — split out so the scaling bench can time
+    * the corpus-proportional vocab aggregation and the
+    * vocab-proportional rounds separately (they have different scale
+    * models: the former is linear in corpus bytes, the latter is
+    * independent of them).
+    */
+  def learnOnVocab(v0: DataFrame, rounds: Int): Seq[Merge] = {
+    var vocab: DataFrame = v0
+    val merges = Seq.newBuilder[Merge]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = Merge(r, top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += m
+        vocab = applyMerge(vocab, m.lhs, m.rhs)
       }
-      merges.result()
-    } finally v0.unpersist()
+    }
+    merges.result()
   }
 }
