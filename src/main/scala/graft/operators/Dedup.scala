@@ -59,23 +59,44 @@ object Dedup {
     * recomputes the signature per band because higher-order functions
     * get no common-subexpression elimination — measured 10× slower.)
     */
+  /** The wide (id, h0..hN-1) signature frame both consumers build on:
+    * minhashBands folds it into LSH band keys, minhashSignatures
+    * packs it into an array for component-wise comparison (d17's
+    * estimator calibration).
+    */
+  private def minhashSigWide(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int,
+      baseHash: Column => Column): DataFrame = {
+    val exploded = shingleRows(df, idCol, textCol, shingleK)
+    val withH = exploded.select(col(idCol), baseHash(col("s")).as("h"))
+    val aggs = (0 until numHashes).map(j =>
+      min(HashFunctions.universalMinhash(col("h"), j)).as(s"h$j"))
+    withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
       // md5 base = oracle-replayable (default); HashFunctions
       // .minhashBaseXx = faster production family, same API
       baseHash: Column => Column = HashFunctions.minhashBase): DataFrame = {
     val rows = numHashes / bands
-    val exploded = shingleRows(df, idCol, textCol, shingleK)
-    val withH = exploded.select(col(idCol), baseHash(col("s")).as("h"))
-    val aggs = (0 until numHashes).map(j =>
-      min(HashFunctions.universalMinhash(col("h"), j)).as(s"h$j"))
-    val sig = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = minhashSigWide(df, idCol, textCol, shingleK, numHashes, baseHash)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
     }
     sig.select(col(idCol), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
+
+  /** Per-doc minhash signature as an array column (id, sig) — the
+    * raw estimator d17 calibrates: P(component match) = Jaccard.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 16,
+      baseHash: Column => Column = HashFunctions.minhashBase): DataFrame =
+    minhashSigWide(df, idCol, textCol, shingleK, numHashes, baseHash)
+      .select(col(idCol),
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * The self-join shuffles only (band, band_hash) — the LSH scale

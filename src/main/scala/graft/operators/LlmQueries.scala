@@ -370,6 +370,87 @@ object LlmQueries {
       |    AS weight_micro
       |FROM assigned ORDER BY doc_id""".stripMargin
 
+  /** §2.3 d17: MinHash estimator calibration — s9's counterpart for
+    * the dedup sketch family: on the candidate-pair panel, compare
+    * the 16-component MinHash Jaccard ESTIMATE (matching components
+    * / 16 — what the d2 LSH index implicitly thresholds on) against
+    * the EXACT shingle-set Jaccard (d4's kernel), rolled up as a
+    * calibration curve (mean absolute error per exact-Jaccard
+    * decile). An approximate dedup index without a measured
+    * estimator error is a threshold chosen blind; this is the
+    * monitor that says what "3 of 4 bands agree" actually means in
+    * Jaccard terms on YOUR corpus. Integer micro-units throughout
+    * (est = matches·62500; error vs round(jaccard·1e6); mean = sum
+    * div n).
+    *
+    * Scale: the panel is d4's gap-block candidates (bounded,
+    * never-quadratic); signatures are ONE partial-agg pass (d2's
+    * map-side-collapsed minhash agg); the compare is two equi-joins
+    * on the panel + a ≤11-row rollup. Runs per index build like s9.
+    */
+  def d17MinhashError(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
+      .select(col("id_a"), col("id_b"))
+    val exact = Dedup.jaccardVerify(docs, pairs, "doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val est16 = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    exact
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("jaccard"), (est16 * lit(62500L)).as("est_micro"))
+      .withColumn("err",
+        abs(col("est_micro") - round(col("jaccard") * 1000000).cast("long")))
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        expr("sum(err) div count(*)").as("mean_abs_err_micro"))
+      .orderBy(col("bucket"))
+  }
+
+  val d17MinhashErrorSql: String = {
+    import graft.functions.HashFunctions.{minhashA, minhashB, MinhashP => P}
+    val minCols = (0 until 16).map(j =>
+      s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $P) AS h$j").mkString(", ")
+    val matches = (0 until 16).map(j =>
+      s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH norm AS (
+      |  SELECT doc_id, source,
+      |    list_distinct([('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
+      |                   for i in generate_series(1, length(t) - 4)]) AS sh
+      |  FROM (SELECT doc_id, source,
+      |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      |        FROM documents)
+      |), cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |  FROM norm a JOIN norm b
+      |    ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
+      |), shingle AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([substr(t, i, 5) for i in generate_series(1, length(t) - 4)])) AS s
+      |  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      |        FROM documents) WHERE length(t) >= 5
+      |), hb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % $P AS h FROM shingle
+      |), mh AS (
+      |  SELECT doc_id, $minCols FROM hb GROUP BY doc_id
+      |), e AS (
+      |  SELECT c.jaccard, ($matches) * 62500 AS est_micro
+      |  FROM cand c
+      |  JOIN mh a ON a.doc_id = c.id_a
+      |  JOIN mh b ON b.doc_id = c.id_b
+      |)
+      |SELECT CAST(floor(jaccard * 10) AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(abs(est_micro - CAST(round(jaccard * 1000000) AS BIGINT)))
+      |       // count(*) AS BIGINT) AS mean_abs_err_micro
+      |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** §2.3 d5: embedding near-dup pairs — exact cosine verification
     * over MULTI-PROBE SRP candidates (buckets within Hamming ≤ 1).
     * This is the scale-shaped entry: one bucket-key shuffle, pairwise

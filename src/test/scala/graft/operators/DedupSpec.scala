@@ -122,6 +122,52 @@ class DedupSpec extends SparkSpec {
     assert(unweighted(1L) !== unweighted(2L))
   }
 
+  test("minhash signatures: identical docs match on every component, distinct docs on few") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig.values.forall(_.length === 16))
+    // exact copy: all 16 components equal — estimate 1.0, error 0
+    assert(sig(3L) === sig(100L))
+    // near copy (1 of 60 words changed): most components still match
+    val nearMatches = sig(5L).zip(sig(101L)).count { case (a, b) => a == b }
+    assert(nearMatches >= 10, s"only $nearMatches/16 components for a near-dup")
+    // unrelated docs: component agreement is chance-level
+    val unrelated = sig(0L).zip(sig(102L)).count { case (a, b) => a == b }
+    assert(unrelated <= 4, s"$unrelated/16 components match for unrelated docs")
+  }
+
+  test("d17 calibration: estimator is near-exact at jaccard 1, bounded error overall") {
+    val dir = tmpDir("d17_fixture")
+    // candidate panel needs (source, n_chars) and ids within the
+    // 60-id gap window — plant the copies CLOSE to their sources
+    // (the shared `docs` fixture's 100+ ids fall outside the panel)
+    val nearCopy = base(5)._2.split(" ").updated(30, "zzzqqq").mkString(" ")
+    val d17docs = (base ++ Seq(
+      43L -> base(3)._2, // exact copy of #3, jaccard 1.0
+      45L -> nearCopy, // near copy of #5
+      49L -> "completely unrelated text that matches nothing else here"))
+      .toDF("doc_id", "text")
+    d17docs.withColumn("source", lit("s0"))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = LlmQueries.d17MinhashError(spark, dir)
+      .as[(Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val byBucket = out.map(r => r._1 -> r).toMap
+    // the exact-copy pair lands in bucket 10 (jaccard = 1.0): a
+    // matching signature estimates exactly 1e6 — zero error
+    assert(byBucket.contains(10), "exact-copy pair missing from the panel")
+    assert(byBucket(10)._3 === 0L, "estimator must be exact at jaccard 1.0")
+    // every bucket's mean error is bounded by the 16-component
+    // resolution: one component is 62500 micro; chance-level
+    // agreement on disjoint sets keeps errors low overall
+    out.foreach { case (b, n, err) =>
+      assert(n >= 1 && err <= 312500L, // 5 components of slack
+        s"bucket $b: mean error $err beyond estimator resolution")
+    }
+  }
+
   test("winnowing fingerprints overlap heavily for near-dups") {
     import graft.functions.TextFunctions
     val fp = docs.select($"doc_id",
