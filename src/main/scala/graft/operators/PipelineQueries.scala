@@ -340,6 +340,79 @@ object PipelineQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // d18: duplicated-span coverage (span-removal census)
+  // ---------------------------------------------------------------
+
+  /** §2.3 d18: per-doc duplicated-SPAN census — d11 reports which doc
+    * PAIRS share passages; this reports, for every doc, the maximal
+    * spans covered by corpus-duplicated windows and the duplicated
+    * token fraction: the statistic a span-REMOVAL pass (cut the
+    * quoted/copy-pasted region, keep the unique prose) decides on.
+    * Same plant as d11 (decade-head 12 tokens appended) so the
+    * synthetic corpus has real signal; the oracle replays plant,
+    * windows, df filter and island merge exactly. Kernel + scale
+    * argument in `operators.DupSpans` (IntervalMerge islands over
+    * half-open window intervals; no hot-window cap — coverage never
+    * forms pairs).
+    */
+  def d18DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val heads = docs.select(col("doc_id").as("head_id"),
+      slice(wsTokens(col("text")), 1, 12).as("ptoks"))
+    val planted = docs
+      .withColumn("head_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
+      .join(heads, "head_id")
+      .select(col("doc_id"), concat(wsTokens(col("text")), col("ptoks")).as("tk"))
+    DupSpans.census(planted).orderBy(col("doc_id"))
+  }
+
+  val d18DupSpansSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |  FROM documents
+      |), planted AS (
+      |  SELECT d.doc_id, list_concat(d.toks, h.toks[1:12]) AS tk
+      |  FROM d JOIN d h ON h.doc_id = d.doc_id - d.doc_id % 10
+      |), wins AS (
+      |  SELECT doc_id, unnest([{'pos': i,
+      |      'h': ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT}
+      |    for i in generate_series(1, len(tk) - 7)], recursive := true)
+      |  FROM planted WHERE len(tk) >= 8
+      |), dup AS (
+      |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+      |  GROUP BY h HAVING count(*) >= 2
+      |), dpos AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(pos + 8 AS BIGINT) AS e
+      |  FROM wins WHERE h IN (SELECT h FROM dup)
+      |), w AS (
+      |  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |  FROM dpos
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_max_e IS NULL OR pos > prev_max_e
+      |                 THEN 1 ELSE 0 END AS opens
+      |  FROM w
+      |), g AS (
+      |  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM f
+      |), sp AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(e) AS e2
+      |  FROM g GROUP BY doc_id, island
+      |), per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(e2 - s) AS BIGINT) AS dup_tokens
+      |  FROM sp GROUP BY doc_id
+      |)
+      |SELECT p.doc_id, CAST(len(p.tk) AS BIGINT) AS n_tok,
+      |  coalesce(n_spans, 0) AS n_spans,
+      |  coalesce(dup_tokens, 0) AS dup_tokens,
+      |  coalesce(dup_tokens, 0) * 1000000
+      |    // greatest(CAST(len(p.tk) AS BIGINT), 1) AS dup_frac_micro
+      |FROM planted p LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // t10: token-entropy quality signal
   // ---------------------------------------------------------------
 
