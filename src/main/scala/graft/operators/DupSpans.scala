@@ -47,11 +47,12 @@ object DupSpans {
   /** Rolling window width in tokens (d11's passage granularity). */
   val Width = 8
 
-  /** Per-doc duplicated-span census over `toks`: one row per doc with
-    * (doc_id, tk: array&lt;string&gt;) in, one row per doc out —
-    * (doc_id, n_tok, n_spans, dup_tokens, dup_frac_micro).
+  /** Lineage-cut token frame + merged dup spans (doc_id, m_start,
+    * m_end, …) over it — the shared front half of census and scrub,
+    * returned as a pair so both consumers ride ONE plant scan and one
+    * island merge.
     */
-  def census(toks: DataFrame): DataFrame = {
+  private def spanFrames(toks: DataFrame): (DataFrame, DataFrame) = {
     val cut = Checkpoints.cut(toks.select(col("doc_id"), col("tk")))
     val winArr = transform(
       sequence(lit(1), size(col("tk")) - lit(Width - 1)),
@@ -68,7 +69,16 @@ object DupSpans {
       .filter(col("n_docs") >= 2).select(col("h"))
     val dpos = pw.join(dup, "h")
       .select(col("doc_id"), col("pos"), (col("pos") + lit(Width)).as("e"))
-    val perDoc = IntervalMerge.islands(dpos, "doc_id", "pos", "pos", "e")
+    (cut, IntervalMerge.islands(dpos, "doc_id", "pos", "pos", "e"))
+  }
+
+  /** Per-doc duplicated-span census over `toks`: one row per doc with
+    * (doc_id, tk: array&lt;string&gt;) in, one row per doc out —
+    * (doc_id, n_tok, n_spans, dup_tokens, dup_frac_micro).
+    */
+  def census(toks: DataFrame): DataFrame = {
+    val (cut, spans) = spanFrames(toks)
+    val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("m_end") - col("m_start")).as("dup_tokens"))
@@ -79,5 +89,32 @@ object DupSpans {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         expr("coalesce(dup_tokens, 0) * 1000000 div greatest(n_tok, 1)")
           .as("dup_frac_micro"))
+  }
+
+  /** Span REMOVAL (the transform the census decides on): one row per
+    * doc out — (doc_id, n_tok, kept: array&lt;string&gt;) where `kept`
+    * is `tk` with every token inside a merged duplicated span cut and
+    * the unique prose kept, in original order.
+    *
+    * Shape: the merged spans collapse to ONE per-doc struct array
+    * (bounded by doc length — a doc of n tokens has ≤ n/Width merged
+    * spans; never corpus-sized), joined back to the cut token frame on
+    * the doc key; the cut itself is then a narrow index-filter map
+    * (`filter(tk, (x, i) -> !exists(spans, …))`) inside codegen — no
+    * explode of the corpus into token rows.
+    */
+  def scrub(toks: DataFrame): DataFrame = {
+    val (cut, spans) = spanFrames(toks)
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("m_start"), col("m_end"))).as("spans"))
+    cut.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        when(col("spans").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (_, i) =>
+            !exists(col("spans"), sp =>
+              (i + lit(1) >= sp.getField("m_start")) &&
+                (i + lit(1) < sp.getField("m_end")))))
+          .as("kept"))
   }
 }

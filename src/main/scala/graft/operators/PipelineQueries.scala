@@ -276,14 +276,23 @@ object PipelineQueries {
     * above threshold, below the boilerplate cap). The oracle replays
     * plant + windows + hashes exactly.
     */
-  def d11PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Decade-head plant shared by d11/d18/d19: every doc gets its
+    * decade-head doc's first 12 tokens appended, so docs in a decade
+    * share 5 rolling 8-token windows — the synthetic corpus otherwise
+    * contains no natural cross-doc spans. Oracles replay it verbatim.
+    */
+  private[operators] def plantedSpanToks(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     val heads = docs.select(col("doc_id").as("head_id"),
       slice(wsTokens(col("text")), 1, 12).as("ptoks"))
-    val planted = docs
+    docs
       .withColumn("head_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
       .join(heads, "head_id")
       .select(col("doc_id"), concat(wsTokens(col("text")), col("ptoks")).as("tk"))
+  }
+
+  def d11PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedSpanToks(spark, dir)
     // hash INSIDE a transform over the post-exchange `tk` attribute,
     // then explode only the resulting longs: the explode-over-positions
     // form carried the full token array on every window row (~windows×
@@ -355,16 +364,8 @@ object PipelineQueries {
     * half-open window intervals; no hot-window cap — coverage never
     * forms pairs).
     */
-  def d18DupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val heads = docs.select(col("doc_id").as("head_id"),
-      slice(wsTokens(col("text")), 1, 12).as("ptoks"))
-    val planted = docs
-      .withColumn("head_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
-      .join(heads, "head_id")
-      .select(col("doc_id"), concat(wsTokens(col("text")), col("ptoks")).as("tk"))
-    DupSpans.census(planted).orderBy(col("doc_id"))
-  }
+  def d18DupSpans(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.census(plantedSpanToks(spark, dir)).orderBy(col("doc_id"))
 
   val d18DupSpansSql: String =
     """WITH d AS (
@@ -410,6 +411,82 @@ object PipelineQueries {
       |  coalesce(dup_tokens, 0) * 1000000
       |    // greatest(CAST(len(p.tk) AS BIGINT), 1) AS dup_frac_micro
       |FROM planted p LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // d19: span scrub (the removal transform d18's census decides on)
+  // ---------------------------------------------------------------
+
+  /** §2.3 d19: span REMOVAL — emits each doc with its corpus-
+    * duplicated spans (d18's merged islands) cut and the unique prose
+    * kept in order: the Dolma/RefinedWeb-style passage-scrub step
+    * where doc-level dedup would throw away the whole doc. Verified
+    * content-exactly via md5 of the space-joined kept tokens (drift-
+    * free string compare; the oracle replays plant → windows → df≥2 →
+    * island merge, then anti-joins token positions against the spans
+    * and string_aggs in position order). Kernel + shape in
+    * `DupSpans.scrub`: spans collapse to one bounded per-doc struct
+    * array, and the cut is a narrow index-filter map inside codegen —
+    * the corpus is never exploded into token rows.
+    */
+  def d19SpanScrub(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.scrub(plantedSpanToks(spark, dir))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("kept")).cast("long").as("kept_tok"),
+        md5(array_join(col("kept"), " ")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+
+  val d19SpanScrubSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |  FROM documents
+      |), planted AS (
+      |  SELECT d.doc_id, list_concat(d.toks, h.toks[1:12]) AS tk
+      |  FROM d JOIN d h ON h.doc_id = d.doc_id - d.doc_id % 10
+      |), wins AS (
+      |  SELECT doc_id, unnest([{'pos': i,
+      |      'h': ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT}
+      |    for i in generate_series(1, len(tk) - 7)], recursive := true)
+      |  FROM planted WHERE len(tk) >= 8
+      |), dup AS (
+      |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+      |  GROUP BY h HAVING count(*) >= 2
+      |), dpos AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(pos + 8 AS BIGINT) AS e
+      |  FROM wins WHERE h IN (SELECT h FROM dup)
+      |), w AS (
+      |  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |  FROM dpos
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_max_e IS NULL OR pos > prev_max_e
+      |                 THEN 1 ELSE 0 END AS opens
+      |  FROM w
+      |), g AS (
+      |  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM f
+      |), sp AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(e) AS e2
+      |  FROM g GROUP BY doc_id, island
+      |), tokpos AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'tok': tk[i]}
+      |    for i in generate_series(1, len(tk))], recursive := true)
+      |  FROM planted
+      |), kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok
+      |  FROM tokpos t
+      |  WHERE NOT EXISTS (SELECT 1 FROM sp
+      |    WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.e2)
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS scrub_md5
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT p.doc_id, CAST(len(p.tk) AS BIGINT) AS n_tok,
+      |  coalesce(kept_tok, 0) AS kept_tok,
+      |  coalesce(scrub_md5, md5('')) AS scrub_md5
+      |FROM planted p LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------

@@ -66,6 +66,52 @@ class DupSpansSpec extends SparkSpec {
     assert(out(2L) === ((16L, 0L, 0L, 0L)))
   }
 
+  private def runScrub(rows: Seq[(Long, Seq[String])]) =
+    DupSpans.scrub(rows.toDF("doc_id", "tk"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[String](2))))
+      .toMap
+
+  test("scrub: cuts exactly the merged spans, keeps unique prose in order") {
+    val shared = toks("a", 30).slice(10, 20) // a11..a20
+    val out = runScrub(Seq(
+      (1L, toks("a", 30)), // span [11,21) -> keep a1..a10 ++ a21..a30
+      (2L, toks("b", 5) ++ shared ++ toks("c", 10)), // span [6,16)
+      (3L, toks("z", 5)))) // no windows: untouched
+    assert(out(1L) === ((30L, toks("a", 30).take(10) ++ toks("a", 30).drop(20))))
+    assert(out(2L) === ((25L, toks("b", 5) ++ toks("c", 10))))
+    assert(out(3L) === ((5L, toks("z", 5))))
+  }
+
+  test("scrub: an exact-copy pair scrubs to empty; census and scrub agree") {
+    val t = toks("c", 12)
+    val out = runScrub(Seq((1L, t), (2L, t)))
+    assert(out(1L) === ((12L, Seq.empty[String])))
+    assert(out(2L) === ((12L, Seq.empty[String])))
+  }
+
+  test("scrub: kept count complements census dup_tokens on every doc") {
+    val shared = toks("s", 9)
+    val rows = Seq(
+      (1L, toks("p", 7) ++ shared ++ toks("q", 3)),
+      (2L, shared ++ toks("r", 11)),
+      (3L, toks("w", 10)))
+    val census = run(rows)
+    val scrub = runScrub(rows)
+    def isSubseq(sub: Seq[String], of: Seq[String]): Boolean = {
+      var rest = of
+      sub.forall { t =>
+        val i = rest.indexOf(t)
+        if (i >= 0) { rest = rest.drop(i + 1); true } else false
+      }
+    }
+    rows.foreach { case (id, tk) =>
+      val (nTok, _, dupTokens, _) = census(id)
+      assert(scrub(id)._2.length.toLong === nTok - dupTokens, s"doc $id")
+      assert(isSubseq(scrub(id)._2, tk), s"doc $id keeps an ordered subsequence")
+    }
+  }
+
   test("d18 entry: full-corpus row count, zero-signal floor, no cartesian") {
     val df = PipelineQueries.d18DupSpans(spark, sf0)
     val plan = df.queryExecution.executedPlan.toString
