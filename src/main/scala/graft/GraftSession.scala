@@ -36,20 +36,33 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an events frame's `ts` to session-timezone TimestampType.
+    *
+    * events.ts has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark only reads as a
+    * long under spark.sql.legacy.parquet.nanosAsLong) and plain
+    * TIMESTAMP(MICROS) without timezone (which Spark reads as
+    * TIMESTAMP_NTZ). Both become TimestampType — the session runs UTC,
+    * so the NTZ cast is exact — and every operator downstream sees one
+    * canonical type, like DuckDB does. A pure projection, so it works on
+    * streaming frames too.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
   /** Scan one synthetic table. Plain parquet scan — Catalyst pushes
     * filters/pruning into it, so callers just compose DataFrame algebra.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // long (spark.sql.legacy.parquet.nanosAsLong). Convert to a proper
-    // timestamp at microsecond precision right at the scan so every
-    // operator downstream sees a TimestampType column, like DuckDB does.
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

@@ -13,23 +13,22 @@ class EventStreamsSpec extends SparkSpec {
 
   private def batchEvents: DataFrame = GraftSession.table(spark, sf0, "events")
 
-  // the file stream source wants a directory — stage the single
-  // parquet file into a fresh per-test dir (tests may append flush
-  // files, so staging is never shared)
+  // the file stream source wants a directory — stage the events table
+  // into a fresh per-test dir with ts already normalized to
+  // TimestampType (so the streamed schema is canonical regardless of
+  // the fixture's physical form; tests may append flush files, so
+  // staging is never shared)
   private def stageStream(name: String): String = {
-    val dir = java.nio.file.Paths.get(tmpDir(s"events_stream_$name"))
-    dir.toFile.listFiles().foreach(_.delete())
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf0/events.parquet"),
-      dir.resolve("events.parquet"))
-    dir.toString
+    val dir = tmpDir(s"events_stream_$name")
+    batchEvents.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
   }
 
   private def streamEvents(streamDir: String): DataFrame = {
-    // streaming source needs an explicit schema; ts arrives as nanos
-    // long (nanosAsLong) and is converted exactly like the batch path
+    // streaming source needs an explicit schema; staging already
+    // normalized ts, so the batch schema is reused as-is
     val schema = spark.read.parquet(streamDir).schema
     spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
@@ -47,8 +46,8 @@ class EventStreamsSpec extends SparkSpec {
     val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
-      val maxNanos = spark.read.parquet(streamDir).agg(max("ts")).head().getLong(0)
-      val flushTs = maxNanos + 30L * 24 * 3600 * 1000 * 1000 * 1000
+      val maxTs = spark.read.parquet(streamDir).agg(max("ts")).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
       Seq((-1L, flushTs, -1L, "flush", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(streamDir)

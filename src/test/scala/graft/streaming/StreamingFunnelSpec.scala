@@ -33,11 +33,12 @@ class StreamingFunnelSpec extends SparkSpec {
     // stage the events parquet as TWO time-ordered files so the file
     // source runs (at least) two triggers and state must carry over
     val dir = tmpDir(s"funnel_stream_${System.nanoTime()}")
-    val ev = spark.read.parquet(s"$sf0/events.parquet")
-    val cut = ev.agg(expr("percentile(ts, 0.5D)")).head().getDouble(0)
-    ev.filter(col("ts") <= cut).coalesce(1).write.mode("overwrite")
+    // normalized ts (TimestampType); split on the median microsecond
+    val ev = GraftSession.table(spark, sf0, "events")
+    val cut = ev.agg(expr("percentile(unix_micros(ts), 0.5D)")).head().getDouble(0)
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/f0")
-    ev.filter(col("ts") > cut).coalesce(1).write.mode("overwrite")
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/f1")
     val staged = new java.io.File(dir)
     Seq("f0", "f1").zipWithIndex.foreach { case (f, i) =>
@@ -55,7 +56,6 @@ class StreamingFunnelSpec extends SparkSpec {
     // pure fold equivalence (eviction has its own planted spec)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withWatermark("ts", "3650 days")
       .as[FunnelEvent]
