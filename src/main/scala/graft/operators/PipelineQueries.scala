@@ -983,4 +983,90 @@ object PipelineQueries {
       |  CAST(row_number() OVER (PARTITION BY substr(hh, 1, 2)
       |       ORDER BY hh, doc_id) AS BIGINT) AS pos
       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t20: DSIR importance weights (data selection by distribution match)
+  // ---------------------------------------------------------------
+
+  /** Hashed-feature space size for t20. Real DSIR runs use 10k-1M
+    * buckets; 1024 keeps the bucket table obviously broadcast-sized
+    * while exercising the full hashed-ngram pipeline.
+    */
+  val DsirBuckets = 1024
+
+  /** §2.8 t20: DSIR importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — score
+    * every raw document by how target-like its hashed-unigram
+    * distribution is: w(doc) = mean over tokens of
+    * ln p_target(bucket) − ln p_raw(bucket), with add-one smoothing
+    * over `DsirBuckets` hashed features. The target here is the
+    * English slice (`lang = 'en'`), standing in for the
+    * quality-domain corpus (Wikipedia/books) a real run targets.
+    * Positive weight ⇒ the doc looks more like the target than the
+    * corpus mixture; downstream, p1/p3-style samplers resample
+    * proportional to exp(w) — this entry is the scoring pass.
+    *
+    * Shape: tokenize once; ONE (doc, bucket, lang) partial-agg
+    * shuffle builds the per-doc bucket histogram, which is
+    * lineage-CUT (t15's rule) because two consumers branch off it:
+    * the B-bounded global bucket table (≤1024 rows — broadcast by
+    * size) and the per-doc fold. Bucket totals join back BROADCAST;
+    * corpus totals are a 1-row cross join (t7's rule). No vocabulary
+    * shuffle at all — the whole point of hashed features is that the
+    * model is O(B), not O(vocab), so the stats side is
+    * constant-sized at any corpus scale.
+    *
+    * Oracle parity: every ln argument is one IEEE division of
+    * exactly-representable integers (count+1 over total+B); the
+    * per-doc sum is rounded to 6dp to absorb summation-order drift
+    * (SURVEY §5, t12/t14/t15 precedent).
+    */
+  def t20Dsir(spark: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    val docs = table(spark, dir, "documents")
+    val g = Checkpoints.cut(docs
+      .select(col("doc_id"), col("lang"), explode(wsTokens(col("text"))).as("term"))
+      .withColumn("b",
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % b)
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("tf")))
+    val stats = g.groupBy(col("b")).agg(
+      sum(col("tf")).as("raw"),
+      sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("tgt"))
+    val totals = stats.agg(
+      sum(col("raw")).as("rawtot"), sum(col("tgt")).as("tgttot"))
+    g.join(broadcast(stats), "b")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tok"),
+        round(
+          sum(col("tf").cast("double") *
+            (log((col("tgt") + lit(1.0)) / (col("tgttot") + lit(b.toDouble))) -
+             log((col("raw") + lit(1.0)) / (col("rawtot") + lit(b.toDouble))))) /
+          sum(col("tf")), 6).as("dsir_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t20DsirSql: String =
+    s"""WITH occ AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS term
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(term), 1, 8))::BIGINT % $DsirBuckets AS b,
+      |    count(*) AS tf
+      |  FROM occ GROUP BY 1, 2, 3
+      |), stats AS (
+      |  SELECT b, sum(tf) AS raw,
+      |    sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS tgt
+      |  FROM g GROUP BY 1
+      |), tot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM stats)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+      |  round(sum(tf * (ln((tgt + 1.0) / (tgttot + $DsirBuckets.0)) -
+      |                  ln((raw + 1.0) / (rawtot + $DsirBuckets.0)))) / sum(tf),
+      |        6) AS dsir_w
+      |FROM g JOIN stats USING (b) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

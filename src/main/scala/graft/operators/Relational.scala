@@ -213,6 +213,49 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** §2.2 q_sliding_window: HOPPING-window rollup — 1 h windows
+    * sliding every 15 min, the overlapping-window shape behind every
+    * rate monitor and rolling SLA dashboard (q_events_bucket is its
+    * tumbling special case). Spark's `window(ts, dur, slide)`
+    * generates the ⌈dur/slide⌉ = 4 covering windows per event as a
+    * NARROW expansion (an Expand/generator inside the scan stage —
+    * no pre-shuffle blowup materialized), then one (window,
+    * event_type) partial-agg shuffle; at 100 TB the cost is the same
+    * single agg shuffle as the tumbling form, ×4 partial-agg input
+    * rows that map-side combine collapses before the wire.
+    *
+    * Oracle parity: window starts are epoch-aligned in both engines
+    * (start ≡ 0 mod 900 s, the slide), so the oracle regenerates the
+    * 4 covering starts per event with integer second arithmetic —
+    * identical bucketing by construction. Measures follow the
+    * cents-exact rule; window bounds are emitted as formatted strings
+    * (qEventsBucket precedent).
+    */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("value_cents"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val qSlidingWindowSql: String =
+    """WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events),
+      |e AS (
+      |  SELECT event_type, value,
+      |    make_timestamp(((epoch_us(ts) // 1000000 // 900 - i) * 900) * 1000000) AS ws
+      |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+      |)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+      |FROM e GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** Correlated + uncorrelated scalar subqueries, via the engine's SQL
     * entry: Catalyst rewrites both into joins (correlated → left
     * outer aggregate join; uncorrelated → scalar broadcast), so the

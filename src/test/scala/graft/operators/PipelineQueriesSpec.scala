@@ -161,4 +161,26 @@ class PipelineQueriesSpec extends SparkSpec {
       .select($"doc_id", $"kept").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
   }
+
+  test("dsir: disjoint-vocab plant — target-vocab docs score positive, rest negative") {
+    // target (en) docs use one vocabulary, non-target another; the
+    // importance weight must then separate the classes by sign:
+    // target tokens are over-represented in the target model
+    // (p_t > p_r) and absent tokens under-represented (p_t add-one
+    // floor vs a real raw count)
+    val dir = tmpDir(s"dsir_plant_${System.nanoTime()}")
+    val docs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma delta", "en")
+      else (i.toLong, "uno dos tres cuatro", "de")
+    }
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val w = PipelineQueries.t20Dsir(spark, dir)
+      .select($"doc_id", $"dsir_w").as[(Long, Double)].collect().toMap
+    assert(w.size === 20)
+    (0 until 20).foreach { i =>
+      if (i % 2 == 0) assert(w(i.toLong) > 0, s"target doc $i must score > 0")
+      else assert(w(i.toLong) < 0, s"non-target doc $i must score < 0")
+    }
+  }
 }

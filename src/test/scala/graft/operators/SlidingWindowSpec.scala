@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** q_sliding_window: the hopping-window expansion invariants that the
+  * row-hash oracle can't state directly — every event is covered by
+  * exactly dur/slide windows, so the sliding rollup is a constant
+  * multiple of the direct aggregate.
+  */
+class SlidingWindowSpec extends SparkSpec {
+
+  test("each event is covered by exactly dur/slide = 4 sliding windows") {
+    val res = Relational.qSlidingWindow(spark, sf0)
+    val ev = GraftSession.table(spark, sf0, "events")
+    val nEvents = ev.count()
+    assert(res.agg(sum(col("n"))).head().getLong(0) === 4 * nEvents)
+    val cents = res.agg(sum(col("value_cents"))).head().getLong(0)
+    val direct = ev.agg(sum(round(col("value") * 100)).cast("long"))
+      .head().getLong(0)
+    assert(cents === 4 * direct)
+  }
+
+  test("window starts are slide-aligned and dur-cover their events") {
+    val res = Relational.qSlidingWindow(spark, sf0)
+    val misaligned = res
+      .withColumn("sec", unix_timestamp(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .filter(col("sec") % 900 =!= 0)
+    assert(misaligned.count() === 0)
+  }
+}
