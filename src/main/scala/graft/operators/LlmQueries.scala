@@ -564,6 +564,62 @@ object LlmQueries {
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB expression for the 8×`dims` SRP bucket of `vExpr` —
+    * srpBucketSql generalized to non-64 dimensionality (s10 buckets
+    * the norm-AUGMENTED dims+1 vectors).
+    */
+  private def srpBucketSqlDims(vExpr: String, dims: Int): String =
+    graft.functions.VectorFunctions.srpPlanes(8, dims).map { plane =>
+      val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** §2.4 s10: bucketed MAXIMUM-INNER-PRODUCT top-5 via the
+    * norm-augmentation reduction to cosine LSH
+    * (`Similarity.mipsKnn`, Neyshabur & Srebro 2015). Inner product
+    * is the serving objective wherever the embedding NORM carries
+    * signal (two-tower recommenders, unnormalized retrieval heads) —
+    * cosine search (s1/s2) deliberately erases it. The reduction
+    * reuses the whole SRP machinery in 65 dims: corpus x̂ =
+    * [x/M ; √(1−‖x‖²/M²)], query [q ; 0], rerank by the true q·x.
+    * Like s2, the ENTIRE approximate pipeline is deterministic and
+    * DuckDB-replayed from the same plane constants: M² is a max agg,
+    * every augmentation component is the identical IEEE expression
+    * in both engines, so buckets — and therefore results — match
+    * exactly. Recall vs brute MIPS is spec-checked (SimilaritySpec).
+    */
+  def s10Mips(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    Similarity.mipsKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s10MipsSql: String = {
+    val bucket65 = srpBucketSqlDims("aug", 65)
+    val probeList = srpProbeListSql("bucket")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+      |c AS (
+      |  SELECT vec_id, v,
+      |    list_append([x / sqrt(m2) for x in v],
+      |      sqrt(greatest(0.0, 1.0 - list_dot_product(v, v) / m2))) AS aug
+      |  FROM e CROSS JOIN m
+      |), cb AS (SELECT vec_id, v, $bucket65 AS bucket FROM c),
+      |q0 AS (SELECT vec_id AS qid, v AS qv, list_append(v, 0.0) AS aug
+      |       FROM e WHERE vec_id < 8),
+      |qb AS (SELECT qid, qv, $bucket65 AS bucket FROM q0),
+      |q AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket FROM qb),
+      |s AS (
+      |  SELECT qid, cb.vec_id AS nid, list_dot_product(qv, cb.v) AS ip
+      |  FROM q JOIN cb USING (bucket) WHERE cb.vec_id != qid
+      |), r AS (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS rank
+      |  FROM s)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** §2.4 s9: ANN recall evaluation — the quality gate a serving
     * index ships with: per-query recall@5 of the LSH index (s2's
     * exact pipeline) against brute-force ground truth (s1's), on a

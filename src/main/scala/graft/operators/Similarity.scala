@@ -114,6 +114,62 @@ object Similarity {
     * Hamming distance 1 (flip one bit), trading `nBits`× candidate
     * volume for recall.
     */
+  /** Brute-force MAXIMUM-INNER-PRODUCT top-k: `bruteKnn` with the
+    * inner product as the score. Inner product is the serving-time
+    * objective when embeddings encode popularity/quality in their
+    * NORM (recommender two-tower models, unnormalized retrieval
+    * heads) — cosine deliberately erases exactly that signal. Same
+    * broadcast-queries/no-corpus-shuffle shape as bruteKnn.
+    */
+  def bruteMips(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("nid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("ip"))
+  }
+
+  /** Bucketed MIPS top-k via the norm-augmentation reduction to
+    * cosine LSH (Neyshabur & Srebro 2015, "simple-LSH"): corpus
+    * vectors x become unit-norm x̂ = [x/M ; √(1 − ‖x‖²/M²)] (M² = the
+    * corpus max squared norm), queries become [q ; 0] — then
+    * cos(q̂, x̂) orders exactly by q·x, so the existing SRP bucket +
+    * multi-probe + exact-rerank machinery solves MIPS unchanged in
+    * dims+1 dimensions. M² is ONE tiny agg broadcast back (never a
+    * collect); augmentation is a narrow map; one bucket-key shuffle —
+    * the same 100 TB shape as `bucketedKnn`. Rerank scores by the
+    * TRUE inner product q·x (monotone in the augmented cosine, fewer
+    * IEEE ops for the oracle to mirror).
+    */
+  def mipsKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+    val m2 = c0.agg(max(norm2(col("cv"))).as("m2"))
+    val c = c0.crossJoin(broadcast(m2))
+      .withColumn("aug", concat(
+        transform(col("cv"), x => x / sqrt(col("m2"))),
+        array(sqrt(greatest(lit(0.0), lit(1.0) - norm2(col("cv")) / col("m2"))))))
+      .withColumn("bucket", srpBucket(col("aug"), nBits, dims + 1))
+      .select(col("bucket"), col("nid"), col("cv"))
+    val q0 = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket",
+        srpBucket(concat(col("qv"), array(lit(0.0))), nBits, dims + 1))
+    val q = q0.select(col("qid"), col("qv"),
+      explode(probeSet(col("bucket"), nBits)).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("nid"))
+    c.join(q, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("ip"))
+  }
+
   def bucketedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int = 8, multiProbe: Boolean = true,
       dims: Int = 64): DataFrame = {

@@ -200,4 +200,37 @@ class SimilaritySpec extends SparkSpec {
     val batchN = Sampling.hashSample(emb, "vec_id", 0.2).count()
     assert(out.getLong(0) === batchN && out.getLong(1) === emb.count())
   }
+
+  test("MIPS ranks by norm where cosine cannot: planted collinear vectors") {
+    // three corpus vectors along one direction with different norms:
+    // cosine ties them all at 1.0; the inner product MUST order them
+    // by norm — the signal MIPS exists to preserve
+    val dirV = Array.tabulate(64)(i => math.sin(i * 1.3).toFloat)
+    def scaled(s: Float) = dirV.map(_ * s).toSeq
+    val corpus = Seq((1L, scaled(1f)), (2L, scaled(2f)), (3L, scaled(3f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((99L, scaled(1f))).toDF("vec_id", "embedding")
+    val order = Similarity.bruteMips(corpus, query, "vec_id", "embedding", 3)
+      .orderBy($"rank").select($"nid").as[Long].collect()
+    assert(order.toSeq === Seq(3L, 2L, 1L), "MIPS must rank by descending norm")
+  }
+
+  test("bucketed MIPS recall vs brute MIPS on the real corpus") {
+    val q = emb.filter($"vec_id" < 16)
+    val truth = Similarity.bruteMips(emb, q, "vec_id", "embedding", 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.mipsKnn(emb, q, "vec_id", "embedding", 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val hits = truth.intersect(approx).size
+    // same recall regime as the 8-bit SRP cosine index (s9 measures
+    // ~low recall on this corpus); the spec pins "the reduction finds
+    // a meaningful fraction of true MIPS neighbors through buckets",
+    // not a tuned index
+    assert(hits >= 8, s"only $hits/80 true MIPS neighbors retrieved")
+    // and every approximate rank list is well-formed
+    val ranks = Similarity.mipsKnn(emb, q, "vec_id", "embedding", 5)
+      .groupBy($"qid").agg(max($"rank").as("mx"), count(lit(1)).as("n"))
+      .as[(Long, Int, Long)].collect()
+    ranks.foreach { case (_, mx, n) => assert(mx.toLong === n) }
+  }
 }
