@@ -300,4 +300,93 @@ object ModelQueries {
         |FROM occ JOIN wlen USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // t21: interpolated Kneser-Ney bigram scoring
+  // ---------------------------------------------------------------
+
+  /** Absolute-discount constant for t21. 0.75 is the standard KN
+    * discount (Chen & Goodman 1999) and is exactly representable in
+    * binary, so `c − D` stays drift-free across engines.
+    */
+  val KnDiscount = 0.75
+
+  /** §2.5 t21: interpolated Kneser-Ney bigram log-probability per doc
+    * — the PROPER-smoothing upgrade of t14's raw-MLE scorer, and the
+    * actual arithmetic inside KenLM-style perplexity filters:
+    * p(w|v) = max(c(vw)−D, 0)/c(v·) + (D·N₁₊(v·)/c(v·))·N₁₊(·w)/N₁₊(··)
+    * — continuation probability by distinct-CONTEXT counts, which is
+    * what separates KN from every naive smoothing (a word frequent in
+    * one context only, "Francisco", gets a LOW continuation weight).
+    *
+    * Shape: one (doc, pre, w) partial-agg shuffle (lineage-cut), then
+    * the bigram TYPE table (again cut — four consumers) feeds three
+    * key-partitioned aggregates: prefix totals (c(v·), N₁₊(v·)),
+    * continuation counts (N₁₊(·w)), and the 1-row type total. All
+    * join back by KEY SHUFFLE, never broadcast — vocabulary scales
+    * with the corpus (t12/t14's rule); the 1-row total is a broadcast
+    * cross join (t7's rule). No collect anywhere.
+    *
+    * Oracle parity: c, cpre, n1pre, nw, ntypes are exact integers; D
+    * is a binary-exact literal; both engines evaluate the SAME
+    * associativity of the smoothing expression, so every ln argument
+    * is bit-identical; summation-order drift absorbed by 6dp rounding
+    * (SURVEY §5, t12/t14/t15 precedent).
+    */
+  def t21KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("pre"), b.as("w")))).as("p"))
+      .select(col("doc_id"), col("p.pre").as("pre"), col("p.w").as("w"))
+    val tf = Checkpoints.cut(
+      pairs.groupBy(col("doc_id"), col("pre"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+    val bg = Checkpoints.cut(
+      tf.groupBy(col("pre"), col("w")).agg(sum(col("tf")).as("cbi")))
+    val preT = bg.groupBy(col("pre"))
+      .agg(sum(col("cbi")).as("cpre"), count(lit(1)).as("n1pre"))
+    val contT = bg.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val nTypes = bg.agg(count(lit(1)).as("ntypes"))
+    val d = lit(KnDiscount)
+    tf.join(bg, Seq("pre", "w"))
+      .join(preT, Seq("pre"))
+      .join(contT, Seq("w"))
+      .crossJoin(broadcast(nTypes))
+      .withColumn("p",
+        greatest(col("cbi") - d, lit(0.0)) / col("cpre") +
+          (d * col("n1pre") / col("cpre")) * (col("nw") / col("ntypes")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bi"),
+        round(sum(col("tf").cast("double") * log(col("p"))) / sum(col("tf")), 6)
+          .as("avg_kn_lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t21KneserNeySql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS t
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id,
+      |    unnest([t[i] for i in generate_series(1, len(t) - 1)]) AS pre,
+      |    unnest([t[i+1] for i in generate_series(1, len(t) - 1)]) AS w
+      |  FROM toks WHERE len(t) >= 2
+      |), tf AS (
+      |  SELECT doc_id, pre, w, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+      |), bg AS (SELECT pre, w, sum(tf) AS cbi FROM tf GROUP BY 1, 2),
+      |pre_t AS (SELECT pre, sum(cbi) AS cpre, count(*) AS n1pre FROM bg GROUP BY 1),
+      |cont_t AS (SELECT w, count(*) AS nw FROM bg GROUP BY 1),
+      |nt AS (SELECT count(*) AS ntypes FROM bg)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bi,
+      |  round(sum(tf * ln(greatest(cbi - $KnDiscount, 0.0) / cpre +
+      |    ($KnDiscount * n1pre / cpre) * (nw / ntypes))) / sum(tf), 6) AS avg_kn_lp
+      |FROM tf JOIN bg USING (pre, w) JOIN pre_t USING (pre)
+      |  JOIN cont_t USING (w) CROSS JOIN nt
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

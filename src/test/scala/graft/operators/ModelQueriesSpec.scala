@@ -107,4 +107,26 @@ class ModelQueriesSpec extends SparkSpec {
       ("small", 2L, 1000L, 1683L, 1683L * 1000000L / 1000L),
       ("tiny", 1L, 100L, 1683L, 4000000L)))
   }
+
+  test("t21: Kneser-Ney probabilities match the hand-computed plant") {
+    // corpus: "a b a b" + "a b c" →
+    //   bigram types (a,b):3 (b,a):1 (b,c):1; prefixes a:(3,1) b:(2,2);
+    //   continuations b:1 a:1 c:1; 3 types total
+    val dir = tmpDir(s"t21_plant_${System.nanoTime()}")
+    Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val pAB = (3 - 0.75) / 3 + (0.75 * 1 / 3) * (1.0 / 3) // 0.8333…
+    val pBA = (1 - 0.75) / 2 + (0.75 * 2 / 2) * (1.0 / 3) // 0.375
+    val exp1 = (2 * math.log(pAB) + math.log(pBA)) / 3
+    val exp2 = (math.log(pAB) + math.log(pBA)) / 2
+    val out = ModelQueries.t21KneserNey(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - exp1) < 2e-6, s"doc1 ${out(1L)._2} vs $exp1")
+    assert(math.abs(out(2L)._2 - exp2) < 2e-6, s"doc2 ${out(2L)._2} vs $exp2")
+    // KN's defining property on this plant: "b" appears often but only
+    // after "a" — the interpolated mass it receives (continuation
+    // count 1) equals rare "c"'s, NOT its raw frequency share
+    assert(pBA === (1 - 0.75) / 2 + (0.75 * 2 / 2) * (1.0 / 3))
+  }
 }
