@@ -985,6 +985,57 @@ object PipelineQueries {
       |FROM h ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // p9: key-skew census (the pre-shuffle diagnostic)
+  // ---------------------------------------------------------------
+
+  /** §2.8 p9: key-skew census — the diagnostic you run BEFORE
+    * choosing a join/agg strategy at scale: the top heavy-hitter
+    * keys with their individual and CUMULATIVE shares of the table.
+    * "Top 3 keys own 40% of rows" is the number that decides between
+    * a plain shuffle, AQE skew splitting, salting (q_skew_join's
+    * recipe), or a broadcast hot-key carve-out — guessed today,
+    * measured here.
+    *
+    * Shape: one key partial-agg shuffle builds the KEY histogram
+    * (cardinality = distinct keys, not rows); the top-k comes from
+    * `orderBy.limit` — Spark's distributed TakeOrdered, per-partition
+    * heaps + a k-row driver merge, NEVER a global sort (the window
+    * rank runs on the 10-row result, and the totals are a 1-row
+    * broadcast cross join). Shares in exact integer micro-units.
+    */
+  def p9SkewCensus(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = table(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val tot = perKey.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = perKey.orderBy(col("cnt").desc, col("user_id")).limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("user_id"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("cnt * 1000000 div n_rows"))
+      .withColumn("cum_micro",
+        expr("sum(cnt) over (order by rank) * 1000000 div n_rows"))
+      .select(col("rank"), col("user_id"), col("cnt"), col("n_keys"),
+        col("n_rows"), col("share_micro"), col("cum_micro"))
+      .orderBy(col("rank"))
+  }
+
+  val p9SkewCensusSql: String =
+    """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |        count(*) AS n_keys FROM pk),
+      |top AS (SELECT user_id, cnt FROM pk ORDER BY cnt DESC, user_id LIMIT 10),
+      |r AS (SELECT user_id, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+      |      FROM top)
+      |SELECT rank, user_id, cnt, n_keys, n_rows,
+      |  CAST((cnt * 1000000) // n_rows AS BIGINT) AS share_micro,
+      |  CAST((sum(cnt) OVER (ORDER BY rank) * 1000000) // n_rows AS BIGINT) AS cum_micro
+      |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // t20: DSIR importance weights (data selection by distribution match)
   // ---------------------------------------------------------------
 

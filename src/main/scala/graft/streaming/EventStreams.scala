@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
-  /** Watermarked tumbling-window rollup. State is bounded by the
-    * watermark: late events beyond `lateness` are dropped, windows
-    * finalize and evict — the property that keeps state O(windows in
-    * flight) instead of O(stream length) on an unbounded stream.
+  /** Watermarked window rollup — tumbling by default, HOPPING when
+    * `slide` is set (q_sliding_window's streaming twin: each event
+    * enters its ⌈len/slide⌉ covering windows). State is bounded by
+    * the watermark: late events beyond `lateness` are dropped,
+    * windows finalize and evict — the property that keeps state
+    * O(windows in flight) instead of O(stream length) on an
+    * unbounded stream; sliding multiplies in-flight windows by
+    * len/slide, not by stream length.
     */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes", slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(slide.map(s => window(col("ts"), windowLen, s))
+        .getOrElse(window(col("ts"), windowLen)), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(round(col("value") * 100)).cast("long").as("value_cents"),

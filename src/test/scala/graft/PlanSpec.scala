@@ -207,4 +207,17 @@ class PlanSpec extends SparkSpec {
       .head().getDouble(0)
     assert(v === 32.0)
   }
+
+  test("p9 skew census: heavy hitters via TakeOrdered, never a global sort of the key histogram") {
+    val plan = executed(operators.PipelineQueries.p9SkewCensus(spark, sf0))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must run as distributed TakeOrdered (per-partition heaps)")
+    // the only Sort allowed is over the 10-row top-k result (window +
+    // final orderBy), never the pre-limit key histogram: the sort
+    // operators must all sit ABOVE the TakeOrdered in the plan text
+    val firstSort = plan.indexOf("Sort ")
+    val takeOrdered = plan.indexOf("TakeOrderedAndProject")
+    assert(firstSort == -1 || firstSort < takeOrdered,
+      "no global Sort may feed the limit")
+  }
 }

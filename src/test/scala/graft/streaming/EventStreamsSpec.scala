@@ -70,6 +70,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(s.toSeq === b.toSeq)
   }
 
+  test("streaming sliding-window agg matches batch computation") {
+    val dir = stageStream("slide")
+    val streamed = runWithFlush(
+      EventStreams.windowedAgg(streamEvents(dir), slide = Some("15 minutes")),
+      "slide_agg", dir)
+      .filter($"event_type" =!= "flush")
+    val batch = EventStreams.windowedAgg(batchEvents, slide = Some("15 minutes"))
+    val s = streamed.orderBy("window_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Long, Long)].collect()
+    val b = batch.orderBy("window_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Long, Long)].collect()
+    assert(s.nonEmpty)
+    assert(s.toSeq === b.toSeq)
+    // hopping expansion: 4x the event mass of the tumbling rollup
+    val evN = batchEvents.count()
+    assert(b.map(_._3).sum === 4 * evN)
+  }
+
   test("streaming dedup drops replayed event ids") {
     val dir = stageStream("dedup")
     val ev = streamEvents(dir)
