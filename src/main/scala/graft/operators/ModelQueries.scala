@@ -302,6 +302,87 @@ object ModelQueries {
   }
 
   // ---------------------------------------------------------------
+  // t22: PMI collocation mining
+  // ---------------------------------------------------------------
+
+  /** Minimum bigram count for t22 — PMI is notoriously noisy on rare
+    * pairs (a hapax bigram of two hapax words maxes the score);
+    * the standard fix is a count floor.
+    */
+  val PmiMinCount = 5L
+
+  /** §2.5 t22: collocation mining — the corpus's top bigrams by
+    * pointwise mutual information, PMI(v,w) = ln [c(vw)·N / (c(v·)·c(·w))]
+    * over bigram tokens. The classic phrase-detection statistic
+    * (word2vec's phrase pass, tokenizer whole-word-vs-split audits):
+    * high-PMI pairs co-occur far above chance — multiword entities a
+    * pipeline may want to protect from splitting; t14/t21 score DOCS
+    * under the LM, this mines the LM's own strongest associations.
+    *
+    * Shape: t14's bigram count infrastructure verbatim — one
+    * (pre, w) partial-agg shuffle to bigram types (lineage-cut, two
+    * window consumers), marginals as key-partitioned window sums
+    * (vocabulary shuffles, never broadcast), the grand total a 1-row
+    * broadcast cross. Top-50 via orderBy.limit = distributed
+    * TakeOrdered over the count-floored survivors (p9's rule).
+    *
+    * Oracle parity: PMI decomposes to ln on four exact integers with
+    * identical left-association in both engines — bit-identical
+    * doubles, so even the top-k SELECTION boundary matches; emitted
+    * at 6dp (SURVEY §5).
+    */
+  def t22Pmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = docs
+      .select(wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("pre"), b.as("w")))).as("p"))
+      .select(col("p.pre").as("pre"), col("p.w").as("w"))
+    val bg = Checkpoints.cut(
+      pairs.groupBy(col("pre"), col("w")).agg(count(lit(1)).as("cbi")))
+    val wPre = org.apache.spark.sql.expressions.Window.partitionBy(col("pre"))
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    val tot = bg.agg(sum(col("cbi")).as("nbi"))
+    bg
+      .withColumn("cpre", sum(col("cbi")).over(wPre))
+      .withColumn("cw", sum(col("cbi")).over(wW))
+      .filter(col("cbi") >= PmiMinCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(
+        log(col("cbi").cast("double")) + log(col("nbi").cast("double")) -
+          log(col("cpre").cast("double")) - log(col("cw").cast("double")), 6))
+      .orderBy(col("pmi").desc, col("pre"), col("w"))
+      .limit(50)
+      .select(col("pre"), col("w"), col("cbi").cast("long").as("n_bi"), col("pmi"))
+      .orderBy(col("pmi").desc, col("pre"), col("w"))
+  }
+
+  val t22PmiSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS t
+      |  FROM documents
+      |), bi AS (
+      |  SELECT
+      |    unnest([t[i] for i in generate_series(1, len(t) - 1)]) AS pre,
+      |    unnest([t[i+1] for i in generate_series(1, len(t) - 1)]) AS w
+      |  FROM toks WHERE len(t) >= 2
+      |), bg AS (SELECT pre, w, count(*) AS cbi FROM bi GROUP BY 1, 2),
+      |m AS (
+      |  SELECT pre, w, cbi,
+      |    sum(cbi) OVER (PARTITION BY pre) AS cpre,
+      |    sum(cbi) OVER (PARTITION BY w) AS cw
+      |  FROM bg
+      |), tot AS (SELECT sum(cbi) AS nbi FROM bg)
+      |SELECT pre, w, CAST(cbi AS BIGINT) AS n_bi,
+      |  round(ln(cbi) + ln(nbi) - ln(cpre) - ln(cw), 6) AS pmi
+      |FROM m CROSS JOIN tot WHERE cbi >= $PmiMinCount
+      |ORDER BY pmi DESC, pre, w LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------
   // t21: interpolated Kneser-Ney bigram scoring
   // ---------------------------------------------------------------
 

@@ -985,6 +985,74 @@ object PipelineQueries {
       |FROM h ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // p10: largest-remainder eval-slot apportionment
+  // ---------------------------------------------------------------
+
+  /** Eval-set size for p10 (slots to apportion across sources). */
+  val EvalSlots = 100L
+
+  /** §2.8 p10: apportion a fixed eval budget across sources by the
+    * largest-remainder (Hamilton) method — the exact-integer answer
+    * to "build a 100-doc eval set that mirrors the corpus mix".
+    * Naive rounding of proportional shares over- or under-shoots the
+    * budget; largest-remainder gives every source ⌊K·n_s/N⌋ and hands
+    * the leftover slots to the largest fractional remainders, so the
+    * total is EXACTLY K and every allocation is within one slot of
+    * exact proportionality (p3's stratified sampler then fills the
+    * quota per source; p6 plans epochs — this entry sets the
+    * quotas).
+    *
+    * Shape: one source partial-agg census (cardinality = #sources,
+    * not rows), a 1-row totals cross join, and a window rank over
+    * the SOURCE census — bounded by #sources, which is the operating
+    * assumption of every per-source operator here (t9/p4/p6). Pure
+    * integer arithmetic end to end: ⌊K·n/N⌋ by integer div, the
+    * remainder ordering by integer mod — nothing to drift.
+    */
+  def p10EvalAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val k = EvalSlots
+    val census = table(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = census.agg(sum(col("n_docs")).as("n_total"))
+    val based = census.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$k * n_docs div n_total"))
+      .withColumn("rem", expr(s"($k * n_docs) % n_total"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    based
+      .withColumn("leftover", lit(k) - sum(col("base")).over(wAll))
+      .withColumn("rank", row_number().over(wRem))
+      .withColumn("alloc",
+        (col("base") + when(col("rank") <= col("leftover"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("base").cast("long").as("base"),
+        col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val p10EvalAllocSql: String =
+    s"""WITH census AS (
+      |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+      |), tot AS (SELECT sum(n_docs) AS n_total FROM census),
+      |based AS (
+      |  SELECT source, n_docs,
+      |    ($EvalSlots * n_docs) // n_total AS base,
+      |    ($EvalSlots * n_docs) % n_total AS rem
+      |  FROM census CROSS JOIN tot
+      |), lo AS (SELECT $EvalSlots - sum(base) AS leftover FROM based),
+      |ranked AS (
+      |  SELECT source, n_docs, base, leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rank
+      |  FROM based CROSS JOIN lo
+      |)
+      |SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+      |  CAST(base + (CASE WHEN rank <= leftover THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS alloc
+      |FROM ranked ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // p9: key-skew census (the pre-shuffle diagnostic)
   // ---------------------------------------------------------------
 

@@ -108,6 +108,25 @@ class ModelQueriesSpec extends SparkSpec {
       ("tiny", 1L, 100L, 1683L, 4000000L)))
   }
 
+  test("t22: a deterministic collocation tops PMI over diffuse co-occurrences") {
+    // "san francisco": the words appear ONLY together; "the" pairs
+    // with many different words — PMI must rank the exclusive pair
+    // first even though "the"-bigrams are more frequent
+    val dir = tmpDir(s"t22_plant_${System.nanoTime()}")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, "san francisco " * 5 + s"the w$i " * 10)
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val top = ModelQueries.t22Pmi(spark, dir)
+      .select(col("pre"), col("w")).collect().map(r => (r.getString(0), r.getString(1)))
+    // the x5 repetition makes (francisco, san) exclusive too (circular
+    // wrap), with the SAME PMI — both must lead, ahead of every diffuse
+    // "the"-pair
+    assert(top.take(2).toSet === Set(("san", "francisco"), ("francisco", "san")),
+      s"exclusive pairs must top PMI, got ${top.take(2).toSeq}")
+  }
+
   test("t21: Kneser-Ney probabilities match the hand-computed plant") {
     // corpus: "a b a b" + "a b c" →
     //   bigram types (a,b):3 (b,a):1 (b,c):1; prefixes a:(3,1) b:(2,2);

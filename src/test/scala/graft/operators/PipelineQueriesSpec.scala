@@ -162,6 +162,35 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("p10: largest-remainder allocation sums exactly to the budget, within 1 of proportional") {
+    val out = PipelineQueries.p10EvalAlloc(spark, sf0)
+      .select($"n_docs", $"alloc").as[(Long, Long)].collect()
+    val k = PipelineQueries.EvalSlots
+    val n = out.map(_._1).sum
+    assert(out.map(_._2).sum === k, "allocations must sum exactly to the budget")
+    out.foreach { case (nd, alloc) =>
+      val exact = k.toDouble * nd / n
+      assert(math.abs(alloc - exact) < 1.0,
+        s"alloc $alloc vs exact share $exact must differ by < 1")
+    }
+  }
+
+  test("p10: hand-computed plant — remainders break the tie in order") {
+    // 3 sources with 5/3/2 docs, K=100: shares 50/30/20 exactly — no
+    // leftover; then 4/3/3 docs: base 40/30/30, no leftover either;
+    // use 5/4/1 → base 50/40/10, exact again... force remainders with
+    // 7 docs: 3/3/1 → base 42/42/14, rem 600%7=… compute directly
+    val dir = tmpDir(s"p10_plant_${System.nanoTime()}")
+    (Seq.fill(3)("a") ++ Seq.fill(3)("b") ++ Seq("c")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    // N=7, K=100: a,b: 300/7=42 rem 6; c: 100/7=14 rem 2 → sum base
+    // 98, leftover 2 → both 'a' and 'b' (larger remainder) get +1
+    val out = PipelineQueries.p10EvalAlloc(spark, dir)
+      .select($"source", $"alloc").as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 43L, "b" -> 43L, "c" -> 14L))
+  }
+
   test("dsir: disjoint-vocab plant — target-vocab docs score positive, rest negative") {
     // target (en) docs use one vocabulary, non-target another; the
     // importance weight must then separate the classes by sign:
