@@ -1111,6 +1111,63 @@ object LlmQueries {
       |  CAST(((n_frames + 24) // 25 - 1) * 25 AS BIGINT) AS last_idx
       |FROM f ORDER BY id""".stripMargin
 
+  /** Shard byte budget for m4 — tiny against WebDataset's real
+    * 100 MB-1 GB so the sf0.01 corpus yields a multi-shard plan per
+    * source; the budget is the only scale knob.
+    */
+  val ShardBudgetBytes = 4096L
+
+  /** §2.6 m4: media shard-plan manifest — WebDataset-style packing of
+    * (media) items into byte-budgeted sequential shards, per source:
+    * each item's shard is the block its FIRST byte falls into
+    * (t5's packing rule applied to bytes), and the manifest row per
+    * shard carries counts, byte extents and the id range — exactly
+    * what a downstream tar-shard writer consumes, and what a trainer
+    * uses to route shard reads. Items are the documents corpus as
+    * byte blobs (m1's convention: the text IS the binary payload
+    * stand-in).
+    *
+    * Scale: the running byte total is a per-source window — never a
+    * global sort (Packing's rule); the manifest is a (source, shard)
+    * partial agg. All integer arithmetic.
+    */
+  def m4ShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("byte_before", sum(col("n_bytes")).over(w) - col("n_bytes"))
+      .withColumn("shard_id",
+        floor(col("byte_before") / lit(ShardBudgetBytes)).cast("long"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).cast("long").as("shard_bytes"),
+        min(col("byte_before")).cast("long").as("start_byte"),
+        max(col("byte_before") + col("n_bytes")).cast("long").as("end_byte"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  val m4ShardPlanSql: String =
+    s"""WITH d AS (
+      |  SELECT source, doc_id, strlen(text) AS n_bytes FROM documents
+      |), c AS (
+      |  SELECT source, doc_id, n_bytes,
+      |    sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+      |      AS byte_before
+      |  FROM d
+      |)
+      |SELECT source, CAST(byte_before // $ShardBudgetBytes AS BIGINT) AS shard_id,
+      |  count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+      |  CAST(min(byte_before) AS BIGINT) AS start_byte,
+      |  CAST(max(byte_before + n_bytes) AS BIGINT) AS end_byte,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM c GROUP BY source, byte_before // $ShardBudgetBytes
+      |ORDER BY source, shard_id""".stripMargin
+
   /** §2.7 batch form of sessionization (session_window). Oracled: the
     * DuckDB side reconstructs identical sessions from first principles
     * (lag-gap flag → running-sum session id), an independent

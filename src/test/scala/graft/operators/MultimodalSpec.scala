@@ -95,4 +95,35 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.count() === 50)
     assert(joined.filter($"nFrames" >= 1).count() === 50)
   }
+
+  test("m4 shard plan: per-source shards are contiguous and conserve bytes") {
+    import org.apache.spark.sql.functions._
+    val plan = LlmQueries.m4ShardPlan(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(plan.nonEmpty)
+    val totals = GraftSession.table(spark, sf0, "documents")
+      .groupBy($"source").agg(sum(octet_length($"text")).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.groupBy(_._1).foreach { case (src, shards) =>
+      val sorted = shards.sortBy(_._2)
+      // shard ids are dense from 0
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      // contiguity: each shard starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 === b._5,
+          s"$src: shard ${a._2} ends at ${a._6}, next starts at ${b._5}")
+        case _ =>
+      }
+      assert(sorted.head._5 === 0L)
+      // conservation: shard bytes sum to the source's total bytes
+      assert(sorted.map(_._4).sum === totals(src))
+      // every shard except the last holds >= the budget boundary rule:
+      // its end crosses its own block boundary (it closed because full)
+      sorted.init.foreach { s =>
+        assert(s._6 > (s._2 + 1) * LlmQueries.ShardBudgetBytes - LlmQueries.ShardBudgetBytes,
+          s"$src shard ${s._2} closed early")
+      }
+    }
+  }
 }
