@@ -403,10 +403,13 @@ object ModelQueries {
     * Shape: one (doc, pre, w) partial-agg shuffle (lineage-cut), then
     * the bigram TYPE table (again cut — four consumers) feeds three
     * key-partitioned aggregates: prefix totals (c(v·), N₁₊(v·)),
-    * continuation counts (N₁₊(·w)), and the 1-row type total. All
-    * join back by KEY SHUFFLE, never broadcast — vocabulary scales
-    * with the corpus (t12/t14's rule); the 1-row total is a broadcast
-    * cross join (t7's rule). No collect anywhere.
+    * continuation counts (N₁₊(·w)), and the 1-row type total. The
+    * marginals join back as plain equi-joins — nothing FORCES a
+    * broadcast, so Spark's stats pick broadcast at small vocab (the
+    * executed sf0.01 plan) and shuffle joins once the type tables
+    * outgrow the threshold — vocabulary scales with the corpus
+    * (t12/t14's rule); the 1-row total is a broadcast cross join
+    * (t7's rule). No collect anywhere.
     *
     * Oracle parity: c, cpre, n1pre, nw, ntypes are exact integers; D
     * is a binary-exact literal; both engines evaluate the SAME
