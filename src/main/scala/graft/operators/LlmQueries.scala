@@ -620,6 +620,42 @@ object LlmQueries {
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** §2.4 s11: k-NN GRAPH construction — every corpus vector's top-3
+    * neighbors (not a query panel: the corpus IS the query set).
+    * The k-NN graph is the substrate under semantic clustering,
+    * manifold/graph-based dedup, label propagation and
+    * connected-component curation (d9's doc graph, but in embedding
+    * space); building it is the step that turns "we have embeddings"
+    * into "we have structure". Same SRP bucket + Hamming-1
+    * multi-probe + exact-rerank machinery as s2, with the query side
+    * = the whole corpus: a SYMMETRIC bucket-key self-join whose
+    * shuffle cardinality is (nBits+2)·N — never N², never a
+    * broadcast of either side. Vectors whose probed buckets hold
+    * fewer than k candidates emit shorter lists (the honest
+    * approximate-graph contract; recall economics are s9's job).
+    */
+  def s11KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    Similarity.bucketedKnn(e, e, "vec_id", "embedding", k = 3, nBits = 8)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s11KnnGraphSql: String = {
+    val bucketExpr = srpBucketSql("v")
+    val probeList = srpProbeListSql("bucket")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |q AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
+      |      FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b)),
+      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
+      |      FROM q JOIN b c USING (bucket) WHERE c.vec_id != qid),
+      |r AS (SELECT qid, nid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |      FROM s)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** §2.4 s9: ANN recall evaluation — the quality gate a serving
     * index ships with: per-query recall@5 of the LSH index (s2's
     * exact pipeline) against brute-force ground truth (s1's), on a

@@ -201,6 +201,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getLong(0) === batchN && out.getLong(1) === emb.count())
   }
 
+  test("knn graph: planted near-duplicates are mutual top-1 neighbors") {
+    val src = emb.as[(Long, Seq[Float], Int)].collect()
+    // clone 5 corpus vectors with a tiny perturbation, ids offset
+    val clones = src.take(5).map { case (id, v, l) =>
+      (id + 50000L, v.map(_ + 0.001f), l) }
+    val corpus = (src ++ clones).toSeq.toDF("vec_id", "embedding", "label")
+    val graph = Similarity.bucketedKnn(corpus, corpus, "vec_id", "embedding",
+        k = 3, nBits = 8)
+      .select($"qid", $"rank".cast("long"), $"nid").as[(Long, Long, Long)].collect()
+    val top1 = graph.filter(_._2 == 1L).map(g => g._1 -> g._3).toMap
+    (0 until 5).foreach { i =>
+      assert(top1(i.toLong) === i + 50000L, s"vector $i's top-1 must be its clone")
+      assert(top1(i + 50000L) === i.toLong, s"clone $i's top-1 must be its source")
+    }
+    // well-formed: ranks dense from 1, no self-edges
+    graph.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length))
+      assert(!rows.exists(_._3 == q))
+    }
+  }
+
   test("MIPS ranks by norm where cosine cannot: planted collinear vectors") {
     // three corpus vectors along one direction with different norms:
     // cosine ties them all at 1.0; the inner product MUST order them
