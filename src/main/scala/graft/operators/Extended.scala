@@ -928,6 +928,73 @@ object Extended {
     * inside that rollup — no second descending sort, no
     * WindowGroupLimit, no join back.
     */
+  /** §2.2 q_cusum: per-user CHANGEPOINT detection — the ts where the
+    * cumulative deviation from the user's own mean peaks (the CUSUM
+    * statistic): the standard "did this key's behavior shift, and
+    * when" monitor (spend-level change, scraper output shift, sensor
+    * drift). For row i of n with prefix sum cum_i and total T, the
+    * deviation |cum_i − (i/n)·T| is kept INTEGER as |n·cum_i − i·T|
+    * (cents-exact values, scaled by n) — no floating point anywhere,
+    * so the argmax is drift-free by construction.
+    *
+    * Shape: ONE user-key shuffle; the running sum, the per-user
+    * totals and the argmax pick are three window passes over the
+    * SAME partitioning (Spark plans one Exchange + sorts); the
+    * argmax is a lexicographic struct-max in the per-user rollup —
+    * no second shuffle, no join back (q_ewma's rule). n·cum and i·T
+    * stay under 2^63 for cents×rows per key < 9·10^18 — a per-KEY
+    * bound (row count of one user), not a corpus bound.
+    */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("i", count(lit(1)).over(wRun))
+      .withColumn("cum", sum(col("cents")).over(wRun))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", sum(col("cents")).over(wAll))
+      .withColumn("dev", abs(col("n") * col("cum") - col("i") * col("t")))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        max(struct(col("dev"), col("ts"), col("event_id"))).as("best"))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("best.ts"), "yyyy-MM-dd HH:mm:ss").as("cp_ts"),
+        col("best.dev").as("dev_max"))
+      .orderBy(col("user_id"))
+  }
+
+  // struct-max picks (dev, ts, event_id) lexicographically: max dev,
+  // ties broken toward the LATEST (ts, event_id) — mirrored by the
+  // oracle's arg-max ORDER BY. Deterministic because keys are unique.
+  val qCusumSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, event_id, cents,
+      |    row_number() OVER w AS i,
+      |    sum(cents) OVER w AS cum,
+      |    count(*) OVER (PARTITION BY user_id) AS n,
+      |    sum(cents) OVER (PARTITION BY user_id) AS t
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), d AS (
+      |  SELECT user_id, ts, event_id, n, abs(n * cum - i * t) AS dev,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY abs(n * cum - i * t) DESC, ts DESC, event_id DESC) AS rk
+      |  FROM r
+      |)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+      |  CAST(dev AS BIGINT) AS dev_max
+      |FROM d WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   def qEwma(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

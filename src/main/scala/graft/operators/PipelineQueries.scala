@@ -321,8 +321,11 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d11PassageDedupSql: String =
-    """WITH d AS (
+  /** Shared CTE prefix for d11/d20: plant → windows → df cap →
+    * surviving (h, doc) rows (`ok`).
+    */
+  private val passageWindowCtes: String =
+    """d AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
       |  FROM documents
@@ -340,13 +343,57 @@ object PipelineQueries {
       |  SELECT h FROM wins GROUP BY h HAVING count(*) > 100
       |), ok AS (
       |  SELECT * FROM wins WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = wins.h)
-      |)
+      |)""".stripMargin
+
+  val d11PassageDedupSql: String =
+    s"""WITH $passageWindowCtes
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       |FROM ok a JOIN ok b USING (h)
       |WHERE a.doc_id < b.doc_id
       |GROUP BY doc_a, doc_b
       |HAVING count(*) >= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** §2.3 d20: cross-SOURCE copy forensics — roll d11's passage-pair
+    * table up to the source level: for every source pair, how many
+    * doc pairs share passages and how many shared windows in total.
+    * The corpus-governance view of duplication: "src3 keeps
+    * republishing src1" is an acquisition/licensing decision, not a
+    * per-doc one, and no per-doc report surfaces it. Composes d11's
+    * pipeline (the pair table is the expensive part, one run) with
+    * two broadcast-sized dimension joins and a (source, source)
+    * partial agg — output bounded by #sources², input bounded by
+    * d11's pair cardinality. All integer counts.
+    */
+  def d20SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d11PassageDedup(spark, dir)
+    val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("n_shared"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_shared")).cast("long").as("n_windows"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val d20SourceOverlapSql: String =
+    s"""WITH $passageWindowCtes,
+      |dp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM ok a JOIN ok b USING (h)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY doc_a, doc_b
+      |  HAVING count(*) >= 3
+      |)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  count(*) AS n_pairs, CAST(sum(n_shared) AS BIGINT) AS n_windows
+      |FROM dp JOIN documents da ON da.doc_id = dp.doc_a
+      |  JOIN documents db ON db.doc_id = dp.doc_b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
   // d18: duplicated-span coverage (span-removal census)

@@ -162,6 +162,38 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("d20: source overlap conserves d11's pair table exactly") {
+    val pairs = PipelineQueries.d11PassageDedup(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rollup = PipelineQueries.d20SourceOverlap(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rollup.nonEmpty)
+    // every doc pair lands in exactly one source cell → counts conserve
+    assert(rollup.map(_._3).sum === pairs.length.toLong)
+    assert(rollup.map(_._4).sum === pairs.map(_._3).sum)
+    // cells are canonical: source_a <= source_b, no duplicate cells
+    rollup.foreach { case (a, b, _, _) => assert(a <= b) }
+    assert(rollup.map(r => (r._1, r._2)).distinct.length === rollup.length)
+  }
+
+  test("cusum: changepoint lands on a planted level shift") {
+    // user 1: flat 0 then flat 10.00 — CUSUM must peak at the last
+    // pre-shift row (i=4 of 8: |n*cum - i*T| = |0 - 4*4000| = 16000)
+    val dir = tmpDir(s"cusum_plant_${System.nanoTime()}")
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val rows = (0 until 8).map { i =>
+      (i.toLong, t(i), 1L, "e", if (i < 4) 0.0 else 10.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val out = Extended.qCusum(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 8L)
+    assert(r.getString(2) === "2024-01-01 03:00:00", "peak at last pre-shift row")
+    assert(r.getLong(3) === 16000L)
+  }
+
   test("p10: largest-remainder allocation sums exactly to the budget, within 1 of proportional") {
     val out = PipelineQueries.p10EvalAlloc(spark, sf0)
       .select($"n_docs", $"alloc").as[(Long, Long)].collect()
