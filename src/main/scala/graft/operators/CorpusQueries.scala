@@ -546,4 +546,85 @@ object CorpusQueries {
       |FROM planted GROUP BY 1 ORDER BY canonical""".stripMargin
       .replace("CANON", canon)
   }
+
+  // ---------------------------------------------------------------
+  // t23: vocabulary growth curve (Heaps' law monitor)
+  // ---------------------------------------------------------------
+
+  /** Number of growth checkpoints for t23 — FIXED, so the cumulative
+    * window runs over ≤ 20 rows whatever the corpus size (a
+    * fixed-stride curve would grow the checkpoint table with the
+    * corpus and turn the cumulative into an unbounded global window).
+    */
+  val GrowthBuckets = 20L
+
+  /** §2.5 t23: vocabulary growth curve — cumulative distinct-term
+    * count (and cumulative tokens) at 20 evenly-spaced corpus
+    * checkpoints, in ingestion (doc_id) order: the Heaps'-law
+    * monitor. A healthy diverse corpus keeps minting new vocabulary
+    * (V ∝ N^β, β≈0.5); a curve that flattens early says the tail of
+    * the crawl is boilerplate/duplication — the earliest cheap signal
+    * that more data is not more information.
+    *
+    * Shape: "vocabulary at checkpoint k" needs no distinct-count per
+    * prefix (which would be 20 corpus scans): a term is new at the
+    * checkpoint of its FIRST occurrence, so one (term → min doc_id)
+    * partial-agg shuffle + a 20-row bucket census + a ≤20-row
+    * cumulative window gives every checkpoint at once. Token totals
+    * ride the same bucket key from a per-doc census. The stride
+    * derives from max(doc_id) via one 1-row broadcast — everything
+    * else is integer arithmetic.
+    */
+  def t23VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val occ = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val maxd = docs.agg(max(col("doc_id")).as("maxd"))
+    // stride s = ceil((maxd+1)/buckets); bucket = doc_id div s ∈ [0, 20)
+    val first = occ.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(maxd))
+      .select(expr(s"fd div (((maxd + 1) + ${GrowthBuckets - 1}) div $GrowthBuckets)").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("new_terms"))
+    val toks = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(maxd))
+      .select(expr(s"doc_id div (((maxd + 1) + ${GrowthBuckets - 1}) div $GrowthBuckets)").as("b"),
+        col("n_tok"))
+      .groupBy(col("b")).agg(sum(col("n_tok")).as("bucket_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.join(first, Seq("b"), "left")
+      .withColumn("cum_tokens", sum(col("bucket_toks")).over(w).cast("long"))
+      .withColumn("cum_vocab",
+        sum(coalesce(col("new_terms"), lit(0L))).over(w).cast("long"))
+      .select(col("b").cast("long").as("checkpoint"), col("cum_tokens"),
+        col("cum_vocab"))
+      .orderBy(col("checkpoint"))
+  }
+
+  val t23VocabGrowthSql: String =
+    s"""WITH occ AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '')) AS term
+      |  FROM documents
+      |), m AS (
+      |  SELECT ((max(doc_id) + 1) + ${GrowthBuckets - 1}) // $GrowthBuckets AS s
+      |  FROM documents
+      |), first AS (
+      |  SELECT fd // s AS b, count(*) AS new_terms
+      |  FROM (SELECT term, min(doc_id) AS fd FROM occ GROUP BY term) f
+      |    CROSS JOIN m
+      |  GROUP BY fd // s
+      |), toks AS (
+      |  SELECT doc_id // s AS b, sum(n_tok) AS bucket_toks
+      |  FROM (SELECT doc_id, count(*) AS n_tok FROM occ GROUP BY doc_id) t
+      |    CROSS JOIN m
+      |  GROUP BY doc_id // s
+      |)
+      |SELECT CAST(b AS BIGINT) AS checkpoint,
+      |  CAST(sum(bucket_toks) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |FROM toks LEFT JOIN first USING (b)
+      |ORDER BY checkpoint""".stripMargin
 }

@@ -192,4 +192,31 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out(1).getLong(1) === 1L, "depth 1 holds only node 1")
     assert(out(4).getLong(1) === 8L, "depth 4 of the full tree has 8 nodes")
   }
+
+  test("t23 vocab growth: monotone curves ending at exact corpus totals") {
+    val out = CorpusQueries.t23VocabGrowth(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= CorpusQueries.GrowthBuckets)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2 && a._3 <= b._3, "cumulative curves never decrease")
+      case _ =>
+    }
+    import graft.functions.TextFunctions.wsTokens
+    val docs = GraftSession.table(spark, sf0, "documents")
+    val occ = docs.select(explode(wsTokens(col("text"))).as("term"))
+    assert(out.last._2 === occ.count(), "final cum_tokens = corpus tokens")
+    assert(out.last._3 === occ.distinct().count(), "final cum_vocab = corpus vocabulary")
+  }
+
+  test("t23 vocab growth: a duplicated corpus flattens after the first checkpoint") {
+    val dir = tmpDir(s"t23_plant_${System.nanoTime()}")
+    (0 until 200).map(i => (i.toLong, "same five tokens every doc"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = CorpusQueries.t23VocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.head._2 === 5L, "vocabulary minted entirely at checkpoint 0")
+    assert(out.forall(_._2 === 5L), "curve must stay flat — no new vocabulary")
+  }
 }
