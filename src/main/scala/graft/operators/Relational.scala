@@ -213,6 +213,54 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Histogram bucket count for q_histogram. */
+  val HistBuckets = 20L
+
+  /** §2.2 q_histogram: equi-width value histograms per event type —
+    * the distribution-SHAPE profile q_profile's scalar stats can't
+    * show (bimodality, truncation, heaping): the standard first look
+    * at any numeric column before choosing filters or outlier rules.
+    *
+    * Integer-exact by construction: bucketing runs on CENTS with an
+    * integer stride ⌈(max−min+1)/buckets⌉, so bucket boundaries are
+    * exact longs — no float boundary can disagree between engines.
+    * Shape: one 1-row global min/max broadcast-crossed into the scan,
+    * then ONE (type, bucket) partial-agg shuffle; output bounded by
+    * types × buckets.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    ev.crossJoin(broadcast(mm))
+      .withColumn("w", expr(s"((hi - lo + 1) + ${HistBuckets - 1}) div $HistBuckets"))
+      .withColumn("bucket", expr("(cents - lo) div w"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo") + col("bucket") * col("w")).as("lo_cents"),
+        min(col("lo") + (col("bucket") + 1) * col("w") - 1).as("hi_cents"))
+      .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+        col("lo_cents").cast("long").as("lo_cents"),
+        col("hi_cents").cast("long").as("hi_cents"), col("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val qHistogramSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      |), mm AS (
+      |  SELECT min(cents) AS lo, max(cents) AS hi,
+      |    ((max(cents) - min(cents) + 1) + ${HistBuckets - 1}) // $HistBuckets AS w
+      |  FROM ev
+      |)
+      |SELECT event_type, CAST((cents - lo) // w AS BIGINT) AS bucket,
+      |  CAST(min(lo + ((cents - lo) // w) * w) AS BIGINT) AS lo_cents,
+      |  CAST(min(lo + ((cents - lo) // w + 1) * w - 1) AS BIGINT) AS hi_cents,
+      |  count(*) AS n
+      |FROM ev CROSS JOIN mm
+      |GROUP BY event_type, (cents - lo) // w
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** §2.2 q_sliding_window: HOPPING-window rollup — 1 h windows
     * sliding every 15 min, the overlapping-window shape behind every
     * rate monitor and rolling SLA dashboard (q_events_bucket is its

@@ -28,4 +28,14 @@ class SlidingWindowSpec extends SparkSpec {
       .filter(col("sec") % 900 =!= 0)
     assert(misaligned.count() === 0)
   }
+
+  test("histogram: conserves rows, buckets in range, widths uniform") {
+    val out = Relational.qHistogram(spark, sf0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nEvents = GraftSession.table(spark, sf0, "events").count()
+    assert(out.map(_._5).sum === nEvents, "every event lands in exactly one bucket")
+    assert(out.forall(b => b._2 >= 0 && b._2 < Relational.HistBuckets))
+    val widths = out.map(b => b._4 - b._3 + 1).distinct
+    assert(widths.length === 1, s"equi-width buckets, got widths $widths")
+  }
 }
