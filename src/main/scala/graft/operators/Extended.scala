@@ -928,6 +928,65 @@ object Extended {
     * inside that rollup — no second descending sort, no
     * WindowGroupLimit, no join back.
     */
+  /** §2.2 q_dwell: per-user inter-event gap profile — gap count, the
+    * EXACT lower median gap, and the max gap, in whole seconds. The
+    * dwell/cadence statistic behind engagement scoring and session-
+    * timeout tuning (q_sessionize's 30 min gap is exactly the knob
+    * this measures). Exact median, not approx_percentile: rank the
+    * gaps per user and take row ⌈n/2⌉ — deterministic, integer, and
+    * (unlike a sketch) oracle-replayable.
+    *
+    * Shape: ONE user-key shuffle; the lag, the rank, the count and
+    * the max are window passes over the same partitioning, and the
+    * median row is a filter — no second shuffle, no join back. The
+    * per-user sort is partition-local and user-sized (the p7/Packing
+    * rule: per-key sorts stay executor-sized).
+    */
+  def qDwell(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("gap_s"), col("ts"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(wSeq))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - unix_micros(prev)) div 1000000"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("max_gap", max(col("gap_s")).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("n").cast("long").as("n_gaps"),
+        col("gap_s").cast("long").as("median_gap_s"),
+        col("max_gap").cast("long").as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val qDwellSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts, event_id,
+      |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |       ORDER BY ts, event_id))) // 1000000 AS gap_s
+      |  FROM ev
+      |), gg AS (SELECT * FROM g WHERE gap_s IS NOT NULL),
+      |r AS (
+      |  SELECT user_id, gap_s, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY gap_s, ts, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n,
+      |    max(gap_s) OVER (PARTITION BY user_id) AS max_gap
+      |  FROM gg
+      |)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+      |  CAST(gap_s AS BIGINT) AS median_gap_s,
+      |  CAST(max_gap AS BIGINT) AS max_gap_s
+      |FROM r WHERE rn = (n + 1) // 2 ORDER BY user_id""".stripMargin
+
   /** §2.2 q_cusum: per-user CHANGEPOINT detection — the ts where the
     * cumulative deviation from the user's own mean peaks (the CUSUM
     * statistic): the standard "did this key's behavior shift, and

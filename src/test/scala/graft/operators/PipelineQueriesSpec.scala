@@ -194,6 +194,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getLong(3) === 16000L)
   }
 
+  test("dwell: planted gaps yield the exact lower median and max") {
+    // gaps of 10, 20, 30, 40 s → n=4, lower median = 2nd smallest = 20
+    val dir = tmpDir(s"dwell_plant_${System.nanoTime()}")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val offs = Seq(0L, 10L, 30L, 60L, 100L) // cumulative: gaps 10/20/30/40
+    val rows = offs.zipWithIndex.map { case (o, i) =>
+      (i.toLong, new java.sql.Timestamp(ts0 + o * 1000), 7L, "e", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val out = Extended.qDwell(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 20L, 40L)))
+  }
+
   test("p10: largest-remainder allocation sums exactly to the budget, within 1 of proportional") {
     val out = PipelineQueries.p10EvalAlloc(spark, sf0)
       .select($"n_docs", $"alloc").as[(Long, Long)].collect()
