@@ -627,4 +627,57 @@ object CorpusQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
       |FROM toks LEFT JOIN first USING (b)
       |ORDER BY checkpoint""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t25: lexical diversity per source (TTR + Simpson repeat index)
+  // ---------------------------------------------------------------
+
+  /** §2.5 t25: per-source lexical diversity — type-token ratio and
+    * the Simpson repeat index Σ tf·(tf−1) / (N·(N−1)) (the
+    * probability two random tokens are the SAME type; high ⇒
+    * template/boilerplate sources, low ⇒ diverse prose). The corpus-
+    * curation dashboard stat for spotting degenerate sources that
+    * per-DOC repetition filters (t8) miss because the repetition is
+    * ACROSS documents.
+    *
+    * Both ratios are exact integer micro-units: V·10⁶ // N and
+    * Σtf(tf−1)·10⁶ // N(N−1) — no float summation anywhere.
+    *
+    * Shape: one (source, term) partial-agg shuffle (map-side combine
+    * collapses the token stream), then a source-key rollup —
+    * shuffle volume O(source·vocab), never O(tokens). No collects;
+    * sources are the natural unit of parallelism at corpus scale.
+    */
+  def t25LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("tf") * (col("tf") - 1)).cast("long").as("rep_pairs"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micro"),
+        expr("rep_pairs * 1000000 div (n_tokens * (n_tokens - 1))")
+          .as("simpson_micro"))
+      .orderBy(col("source"))
+
+  val t25LexicalDiversitySql: String =
+    """WITH occ AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+      |           x -> x != '')) AS term
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source, sum(tf) AS n_tokens, count(*) AS n_types,
+      |    sum(tf * (tf - 1)) AS rep_pairs
+      |  FROM g GROUP BY 1)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_micro,
+      |  CAST(rep_pairs * 1000000 // (n_tokens * (n_tokens - 1)) AS BIGINT)
+      |    AS simpson_micro
+      |FROM s ORDER BY source""".stripMargin
 }

@@ -1201,4 +1201,233 @@ object Extended {
       |  CAST(max(e) AS BIGINT) AS m_end, CAST(count(*) AS BIGINT) AS n_merged
       |FROM g GROUP BY k, island
       |ORDER BY o_custkey, m_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_streaks: gaps-and-islands — longest consecutive-active-day run
+  // ---------------------------------------------------------------
+
+  /** §2.2 q_streaks: the gaps-and-islands idiom (the complement of
+    * q_interval_merge's overlap islands): per user, the longest run
+    * of CONSECUTIVE active calendar days, plus streak census. The
+    * day − row_number() trick makes each maximal consecutive run a
+    * constant group key — one distinct, one user-partition window,
+    * one bounded rollup; no self-join, no recursion.
+    *
+    * Tie-break: equal-length streaks resolve to the EARLIEST start,
+    * via a lexicographic struct-max on (len, −startDay) — mirrored by
+    * the oracle's `ORDER BY len DESC, start ASC` arg-max.
+    *
+    * Scale: the distinct and the window share the user_id hash
+    * partitioning (AQE plans one exchange); per-user day counts are
+    * calendar-bounded (≤ days in the retention window), so window
+    * partitions can never skew past a few thousand rows regardless of
+    * corpus size.
+    */
+  def qStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("d"))
+    val epoch = to_date(lit("1992-01-01"))
+    table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("grp", datediff(col("d"), epoch) - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("start"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        max(struct(col("len"),
+          (lit(0L) - datediff(col("start"), epoch)).as("neg_start"),
+          col("start"))).as("best"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("best.len").cast("long").as("best_len"),
+        date_format(col("best.start"), "yyyy-MM-dd").as("best_start"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreaksSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, d,
+      |    date_diff('day', DATE '1992-01-01', d)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM ev),
+      |s AS (
+      |  SELECT user_id, grp, count(*) AS len, min(d) AS start
+      |  FROM r GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, len, start,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, start ASC) AS rk,
+      |    sum(len) OVER (PARTITION BY user_id) AS tot,
+      |    count(*) OVER (PARTITION BY user_id) AS ns
+      |  FROM s)
+      |SELECT user_id, CAST(tot AS BIGINT) AS n_active_days,
+      |  CAST(ns AS BIGINT) AS n_streaks, CAST(len AS BIGINT) AS best_len,
+      |  strftime(start, '%Y-%m-%d') AS best_start
+      |FROM b WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_scd2: slowly-changing-dimension type 2 from a change stream
+  // ---------------------------------------------------------------
+
+  /** §2.2 q_scd2: SCD Type-2 dimension build — the warehouse-standard
+    * history table. Each user's event_type stream is read as a state
+    * signal; consecutive repeats collapse (only CHANGES open a new
+    * version) and each version carries a [valid_from, valid_to)
+    * interval, the open row flagged `is_current` with the
+    * conventional 9999-12-31 sentinel.
+    *
+    * Shape: one user-partition window for the change filter (lag),
+    * then lead/row_number over the SAME partitioning on the filtered
+    * frame — the filter preserves the hash partitioning so Catalyst
+    * reuses the exchange (one shuffle, two sorts). No join back: the
+    * validity interval comes from lead(), not a self-join on
+    * version±1.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        when(col("valid_to_ts").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val qScd2Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    event_id, event_type AS state
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(state) OVER w AS prev
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id, ts, event_id, state
+      |  FROM c WHERE prev IS NULL OR prev != state),
+      |v AS (
+      |  SELECT user_id, ts, state, row_number() OVER w AS version,
+      |    lead(ts) OVER w AS valid_to_ts
+      |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'),
+      |           '9999-12-31 00:00:00') AS valid_to,
+      |  CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_paths: top-k sequential event-type trigrams (path mining)
+  // ---------------------------------------------------------------
+
+  /** §2.2 q_paths: sequential pattern mining — the top-20 3-step
+    * event-type paths across all user timelines (the "common journeys"
+    * complement of q_funnel's fixed pattern and q_markov's 1-step
+    * transition matrix). Paths come from two lead() taps on one
+    * user-partition window — no per-user collect_list, no explode of
+    * whole timelines.
+    *
+    * Scale: window shuffle on user_id (calendar-bounded partitions),
+    * then a partial-agg count on the trigram string whose key space
+    * is |event_type|³ — tiny, so the final agg is a handful of rows
+    * and the top-20 is a TakeOrdered, never a global sort.
+    */
+  def qPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val qPathsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    event_id, event_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_benford: first-significant-digit data-quality profile
+  // ---------------------------------------------------------------
+
+  /** Benford expectation log10(1 + 1/d) in integer micro-units,
+    * computed once here and inlined as literals on BOTH engine sides
+    * so no runtime log10 can drift between JVMs.
+    */
+  val benfordMicro: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** §2.8 q_benford: first-significant-digit distribution of
+    * lineitem extended prices vs the Benford expectation — the
+    * classic fabricated-data / ingestion-bug screen a data-quality
+    * profiler runs over every numeric column. The leading significant
+    * digit is scale-invariant, so it is read off the exact
+    * cents-integer string (no float log10 at runtime on either
+    * engine; the expectation table is precomputed micro-integers).
+    *
+    * Shape: one narrow map + one 9-key partial agg; the total joins
+    * back as a 1-row broadcast cross join. Integer-exact end to end.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val expected = benfordMicro.foldLeft(lit(0L)) { case (acc, (d, m)) =>
+      when(col("digit") === d, lit(m)).otherwise(acc)
+    }
+    val digits = table(spark, dir, "lineitem")
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("share_micro"),
+        expected.as("benford_micro"))
+      .withColumn("delta_micro",
+        abs(col("share_micro") - col("benford_micro")))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordSql: String = {
+    val cases = benfordMicro
+      .map { case (d, m) => s"WHEN $d THEN $m" }.mkString(" ")
+    s"""WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY 1),
+      |tot AS (SELECT sum(n) AS total FROM g)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+      |  CAST(CASE digit $cases END AS BIGINT) AS benford_micro,
+      |  CAST(abs(n * 1000000 // total - CASE digit $cases END) AS BIGINT)
+      |    AS delta_micro
+      |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
+  }
 }

@@ -1235,4 +1235,129 @@ object PipelineQueries {
       |        6) AS dsir_w
       |FROM g JOIN stats USING (b) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t24: BM25 relevance scoring
+  // ---------------------------------------------------------------
+
+  /** Fixed query-term set for t24 — in production the terms arrive as
+    * a (small, broadcast) query table; a literal IN keeps the oracle
+    * one self-contained SQL string.
+    */
+  val Bm25Terms: Seq[String] = Seq("table", "spark", "vector", "query")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** §2.5 t24: BM25 (Robertson/Spärck Jones) document relevance
+    * against a fixed query-term set — the retrieval-side scorer a
+    * data pipeline uses to mine topical subsets (t7's tf-idf is the
+    * keyword EXTRACTOR; BM25 is the query-conditioned RANKER with
+    * saturated tf and length normalization).
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl·N/Σdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the Lucene variant.
+    *
+    * Shape: doc lengths are a narrow map (no explode); the tf pass
+    * filters to the query terms BEFORE its one (doc,term) partial-agg
+    * shuffle, so shuffle volume is O(docs·|query|), not O(tokens);
+    * df and the corpus totals are |query|-row / 1-row BROADCASTs.
+    * avgdl enters as dl·N/Σdl — exact integers into one IEEE
+    * division, same expression shape both engines; the per-doc sum
+    * rounds to 6dp (SURVEY §5 summation-order rule). Docs hitting no
+    * query term are absent (score would be 0).
+    */
+  def t24Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    tf.join(dl, "doc_id").join(broadcast(df), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+            + lit(Bm25B) * col("dl") * col("n_docs") / col("sum_dl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t24Bm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    s"""WITH dl AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(trim(text)), ' +'),
+      |        x -> x != '')) AS dl
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+      |           x -> x != '')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM toks WHERE term IN ($terms) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |  round(sum(
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * $k1p1)
+      |      / (tf + $Bm25K1 * ($oneMinusB + $Bm25B * dl * n_docs / sum_dl))
+      |  ), 6) AS bm25
+      |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // p11: exact-k deterministic per-group sample
+  // ---------------------------------------------------------------
+
+  /** Per-group sample size for p11. */
+  val GroupSampleK = 10
+
+  /** §2.8 p11: exact-k per-group sampling — "give me exactly k docs
+    * from EVERY source", the eval-set / debugging complement of p1's
+    * rate-based Bernoulli sample (whose per-group counts fluctuate)
+    * and p3's fractional strata. Selection key is md5 of a salted
+    * doc id, so membership is uniform, deterministic, and
+    * engine-independent; groups smaller than k return whole.
+    *
+    * Shape: ONE shuffle on source; the rank ≤ k filter collapses to
+    * a WindowGroupLimit (per-partition top-k pushed BELOW the final
+    * sort — map-side, each task keeps k rows per group), so the
+    * exchange carries O(groups·k) rows upward, not the corpus.
+    */
+  def p11GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(lit("p11:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= GroupSampleK)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val p11GroupSampleSql: String =
+    s"""WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('p11:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= $GroupSampleK
+      |ORDER BY source, rk""".stripMargin
 }
