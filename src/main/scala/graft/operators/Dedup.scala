@@ -205,14 +205,25 @@ object Dedup {
       maxHamming: Int = 3, weighted: Boolean = false): DataFrame = {
     val sh = if (weighted) simhashWeighted(df, idCol, textCol)
       else simhash(df, idCol, textCol)
-    val banded = sh.select(col(idCol), col("simhash"),
+    hexHashPairs(sh, idCol, "simhash", maxHamming)
+  }
+
+  /** Banded Hamming pairing over an EXISTING 16-hex-char hash column —
+    * the shared kernel behind simhashPairs (text) and m5's perceptual-
+    * hash media dedup: 4 bands of 16 bits each form the shuffle key,
+    * and by pigeonhole any pair within Hamming 3 of 64 bits agrees on
+    * ≥1 band, so recall at the ≤3 radius is exact with no O(n²) stage.
+    */
+  def hexHashPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val banded = hashed.select(col(idCol), col(hashCol),
       posexplode(array((0 until 4).map(b =>
-        col("simhash").substr(b * 4 + 1, 4)): _*)))
+        col(hashCol).substr(b * 4 + 1, 4)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
     val l = banded.select(col("band"), col("chunk"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      col(idCol).as("id_a"), col(hashCol).as("sh_a"))
     val r = banded.select(col("band"), col("chunk"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      col(idCol).as("id_b"), col(hashCol).as("sh_b"))
     l.join(r, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -1429,4 +1429,167 @@ object LlmQueries {
       |  substr(upper(hex(text::BLOB)), 1, 8) AS magic_hex,
       |  md5(text) AS content_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // m5: perceptual-hash media near-dup (banded Hamming join)
+  // ---------------------------------------------------------------
+
+  /** §2.6 m5: perceptual-hash near-duplicate detection over the media
+    * corpus — the media-side dedup d1-d15 do for text: re-encoded /
+    * re-uploaded copies of the same asset hash NEAR each other, and
+    * pairs surface from a banded Hamming join, never an all-pairs
+    * compare. The pHash here is a weighted SimHash over byte 4-grams
+    * of the blob — the documented STUB for a real DCT pHash (no image
+    * codecs in this container): it has the algebra that matters
+    * (near-identical byte streams → near-identical bits, fully
+    * deterministic) while the banding/verify plumbing — the part that
+    * must scale — is real and oracle-checked.
+    *
+    * The corpus plants deterministic re-uploads (every 25th asset
+    * duplicated under id+1,000,000) so pair-finding is exercised
+    * non-vacuously (t6's plant rule); organic near-pairs surface too.
+    *
+    * Scale: hashing is a narrow map; `Dedup.hexHashPairs` shuffles on
+    * (band, 16-bit chunk) — by pigeonhole a Hamming-≤3 pair agrees on
+    * ≥1 of 4 bands, so recall at the radius is exact with candidates
+    * ∝ band collisions, not n². Verify is a 16-nibble fold.
+    */
+  def m5PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.simhashHex
+    val docs = table(spark, dir, "documents")
+    val media = docs.select(col("doc_id").as("media_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("media_id"), col("text")))
+    // spread the hash map across cores — a small parquet arrives as ONE
+    // scan partition and the per-blob vote fold is the expensive part
+    // (Dedup.simhash's rule)
+    val ph = media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"),
+        simhashHex(charShingleSeq(col("text"), 4)).as("phash"))
+    Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m5PhashNeardupSql: String = {
+    // Hamming over 4 bands of 16 bits: xor the band ints, popcount.
+    def ham(k: Int) =
+      s"bit_count(xor(('0x' || substr(pa, ${k * 4 + 1}, 4))::BIGINT, ('0x' || substr(pb, ${k * 4 + 1}, 4))::BIGINT))"
+    val hamming = (0 until 4).map(ham).mkString(" + ")
+    s"""WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+      |  FROM documents WHERE doc_id % 25 = 0
+      |), d AS (
+      |  SELECT media_id,
+      |    [substr(t, i, 4) for i in generate_series(1, length(t) - 3)] AS toks
+      |  FROM media
+      |), h AS (
+      |  SELECT media_id,
+      |    [[CAST(strpos('0123456789abcdef', substr(md5(t), k, 1)) - 1 AS INT)
+      |      for k in generate_series(1, 16)] for t in toks] AS hs
+      |  FROM d
+      |), v AS (
+      |  SELECT media_id,
+      |    [list_sum([((h[(p // 4) + 1] // ([1, 2, 4, 8][(p % 4) + 1])) % 2) * 2 - 1
+      |      for h in hs]) for p in generate_series(0, 63)] AS votes
+      |  FROM h
+      |), ph AS (
+      |  SELECT media_id,
+      |    list_aggregate(
+      |      [substr('0123456789abcdef',
+      |         1 + (CASE WHEN votes[k * 4 + 1] > 0 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN votes[k * 4 + 2] > 0 THEN 2 ELSE 0 END)
+      |           + (CASE WHEN votes[k * 4 + 3] > 0 THEN 4 ELSE 0 END)
+      |           + (CASE WHEN votes[k * 4 + 4] > 0 THEN 8 ELSE 0 END), 1)
+      |       for k in generate_series(0, 15)], 'string_agg', '') AS phash
+      |  FROM v
+      |), bands AS (
+      |  SELECT media_id, phash, g.b, substr(phash, g.b * 4 + 1, 4) AS chunk
+      |  FROM ph, generate_series(0, 3) g(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+      |    a.phash AS pa, c.phash AS pb
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.chunk = c.chunk
+      |    AND a.media_id < c.media_id
+      |)
+      |SELECT id_a, id_b, CAST($hamming AS BIGINT) AS hamming
+      |FROM cand WHERE $hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // s12: graded ranking quality (NDCG) of the LSH index
+  // ---------------------------------------------------------------
+
+  /** Ideal DCG at depth 5 under the natural-log discount with graded
+    * relevance 5,4,3,2,1 — a constant, computed once and inlined as a
+    * literal on both engine sides.
+    */
+  val IdcgAt5: Double = (1 to 5).map(i => (6.0 - i) / math.log(i + 1.0)).sum
+
+  /** §2.4 s12: NDCG@5 of the LSH index against brute-force ground
+    * truth — the GRADED ranking-quality gate next to s9's set-overlap
+    * recall: recall says "did the right neighbors appear"; NDCG says
+    * "did they appear in the right ORDER, weighted toward the top"
+    * (an index that always buries the best neighbor at rank 5 has
+    * recall 1.0 and visibly sub-1 NDCG). Relevance grades are 6−rank
+    * of the true top-5; discount is 1/ln(rank+1) — NDCG is invariant
+    * to the log base, and ln-on-small-ints is the engine-portable
+    * choice (t12 rule); per-query sums round to 6dp.
+    *
+    * Scale: identical to s9 — truth only for the 64-query broadcast
+    * panel, approx side is s2's one-bucket-shuffle plan, the compare
+    * join is panel-sized. Runs per index build as the ranking-
+    * regression monitor.
+    */
+  def s12Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 64)
+    val truth = Similarity.bruteKnn(e, q, "vec_id", "embedding", 5)
+      .select(col("qid"), col("nid"), (lit(6L) - col("rank")).as("rel"))
+    val approx = Similarity.bucketedKnn(e, q, "vec_id", "embedding",
+        k = 5, nBits = 8)
+      .select(col("qid"), col("nid"), col("rank"))
+    approx.join(truth, Seq("qid", "nid"), "left")
+      .withColumn("gain",
+        coalesce(col("rel"), lit(0L)) / log(col("rank") + lit(1)))
+      .groupBy(col("qid"))
+      .agg(count(col("rel")).cast("long").as("n_hits"),
+        round(sum(col("gain")), 6).as("dcg"),
+        round(sum(col("gain")) / lit(IdcgAt5), 6).as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
+  val s12NdcgSql: String = {
+    val bucketExpr = srpBucketSql("v")
+    val probeList = srpProbeListSql("bucket")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
+      |ts AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS sim
+      |       FROM q0 CROSS JOIN e WHERE e.vec_id != qid),
+      |truth AS (SELECT qid, nid, 6 - rank AS rel FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |    FROM ts) WHERE rank <= 5),
+      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |qp AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
+      |       FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 64)),
+      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
+      |      FROM qp JOIN b c USING (bucket) WHERE c.vec_id != qid),
+      |approx AS (SELECT qid, nid, rank FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |    FROM s) WHERE rank <= 5)
+      |SELECT a.qid, CAST(count(t.rel) AS BIGINT) AS n_hits,
+      |  round(sum(coalesce(t.rel, 0) / ln(a.rank + 1)), 6) AS dcg,
+      |  round(sum(coalesce(t.rel, 0) / ln(a.rank + 1)) / $IdcgAt5, 6) AS ndcg
+      |FROM approx a LEFT JOIN truth t ON t.qid = a.qid AND t.nid = a.nid
+      |GROUP BY a.qid ORDER BY a.qid""".stripMargin
+  }
 }

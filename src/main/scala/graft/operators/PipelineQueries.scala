@@ -1360,4 +1360,58 @@ object PipelineQueries {
       |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= $GroupSampleK
       |ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // p12: per-source Gini concentration of document mass
+  // ---------------------------------------------------------------
+
+  /** §2.8 p12: Gini coefficient of document-length mass per source —
+    * the inequality profile behind mixture decisions: a source whose
+    * token mass sits in a few giant documents (Gini → 1) behaves very
+    * differently under doc-level sampling (p1/p3) and packing (t5)
+    * than a uniform one (Gini → 0), and p9's top-k heavy hitters
+    * can't see mid-distribution concentration.
+    *
+    * Exact rank formula on ascending (n_chars, doc_id) order:
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n, emitted in integer micro-units
+    * (two floor divisions with identical association both engines —
+    * no float summation anywhere).
+    *
+    * Scale: ONE source-key shuffle; the rank window and the rollup
+    * share the partitioning, per-source sorts stay executor-sized
+    * (p7's rule). Σ i·xᵢ needs n·max(x)·n < 2⁶³ per SOURCE — holds to
+    * ~10⁸ docs/source at 100 KB docs; beyond that, shard sources
+    * before profiling (the p9 census says which).
+    */
+  def p12Gini(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("i") * col("n_chars")).as("iwx"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        (expr("2 * iwx * 1000000 div (n_docs * total_chars)")
+          - expr("(n_docs + 1) * 1000000 div n_docs")).as("gini_micro"))
+      .orderBy(col("source"))
+  }
+
+  val p12GiniSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS i
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |    sum(i * n_chars) AS iwx
+      |  FROM r GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(total_chars AS BIGINT) AS total_chars,
+      |  CAST(2 * iwx * 1000000 // (n_docs * total_chars)
+      |       - (n_docs + 1) * 1000000 // n_docs AS BIGINT) AS gini_micro
+      |FROM s ORDER BY source""".stripMargin
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** m5_phash_neardup (banded perceptual-hash media dedup), s12_ndcg
+  * (graded ranking eval), p12_gini (per-source concentration).
+  */
+class MediaRankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(name: String, rows: Seq[(Long, String, String)]): String = {
+    val dir = tmpDir(name)
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    dir
+  }
+
+  // -------------------------------------------------------------- m5
+
+  test("phash near-dup: planted re-uploads surface at hamming 0; unrelated assets don't pair") {
+    // doc 25 and 50 get planted copies under +1e6 (25 % 25 == 0)
+    val dir = writeDocs("phash_fixture", Seq(
+      (25L, "the quick brown fox jumps over the lazy dog again and again", "A"),
+      (50L, "entirely different content about database engines and shuffles", "A"),
+      (7L, "a third unrelated document mentioning vectors and columns", "A")))
+    val out = LlmQueries.m5PhashNeardup(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((25L, 1000025L)) && pairs.contains((50L, 1000050L)))
+    out.filter(t => (t._1, t._2) == (25L, 1000025L) || (t._1, t._2) == (50L, 1000050L))
+      .foreach(t => assert(t._3 === 0L, "identical bytes must hash identically"))
+    // doc 7 has no copy and is unlike the others: it never pairs
+    assert(!out.exists(t => t._1 == 7L || t._2 == 7L))
+  }
+
+  test("phash near-dup: a small byte mutation stays within the radius") {
+    // same base text, one word substituted — most 4-gram votes agree
+    val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4)
+    val dir = writeDocs("phash_mut", Seq(
+      (1L, base + "ending one", "A"),
+      (2L, base + "ending two", "A")))
+    val out = LlmQueries.m5PhashNeardup(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.exists(t => t._1 == 1L && t._2 == 2L && t._3 <= 3L),
+      s"near-identical blobs must pair within hamming 3, got $out")
+  }
+
+  test("phash banding: no cartesian in the plan — candidates come from a band equi-join") {
+    val plan = LlmQueries.m5PhashNeardup(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"banded pairing must never plan a cartesian:\n$plan")
+  }
+
+  // -------------------------------------------------------------- s12
+
+  test("ndcg: perfect ranking scores exactly 1, worse rankings strictly less") {
+    val out = LlmQueries.s12Ndcg(spark, sf0)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length === 64)
+    out.foreach { case (qid, hits, dcg, ndcg) =>
+      assert(hits >= 0 && hits <= 5, s"q$qid")
+      assert(dcg >= 0.0 && ndcg >= 0.0 && ndcg <= 1.0, s"q$qid ndcg=$ndcg")
+      // gain only accrues from true-top-5 members: zero hits ⇒ zero
+      // ndcg, any hit ⇒ positive ndcg, and 1.0 needs the full set
+      assert((ndcg > 0.0) === (hits > 0L), s"q$qid hits=$hits ndcg=$ndcg")
+      if (ndcg == 1.0) assert(hits === 5L, s"q$qid perfect score without full hits")
+    }
+    // the eval must DISCRIMINATE on this corpus — not all queries equal
+    assert(out.map(_._4).distinct.length > 1)
+  }
+
+  test("ndcg: idcg constant matches the closed form") {
+    val expect = (1 to 5).map(i => (6.0 - i) / math.log(i + 1.0)).sum
+    assert(math.abs(LlmQueries.IdcgAt5 - expect) < 1e-12)
+    // dcg/idcg consistency on the corpus rows (up to 6dp double rounding)
+    LlmQueries.s12Ndcg(spark, sf0)
+      .as[(Long, Long, Double, Double)].collect().foreach {
+        case (q, _, dcg, ndcg) =>
+          assert(math.abs(ndcg - dcg / LlmQueries.IdcgAt5) < 2e-6, s"q$q")
+      }
+  }
+
+  // -------------------------------------------------------------- p12
+
+  test("gini: uniform source scores ~0, concentrated source scores high") {
+    val uniform = (1L to 10L).map(i => (i, "x" * 100, "uni"))
+    // one giant doc + nine tiny ones
+    val skewed = (11L to 19L).map(i => (i, "x", "skew")) :+ (20L, "x" * 9991, "skew")
+    val dir = writeDocs("gini_fixture", uniform ++ skewed)
+    val rows = PipelineQueries.p12Gini(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (_, nU, totU, gU) = rows("uni")
+    val (_, nS, totS, gS) = rows("skew")
+    assert((nU, totU) === (10L, 1000L))
+    assert(gU === 0L, "identical docs ⇒ zero inequality")
+    assert((nS, totS) === (10L, 10000L))
+    // hand-computed: Σi·x = 45 + 10·9991 = 99955 →
+    // 2·99955·1e6 div (10·10000) − 11·1e6 div 10 = 1999100 − 1100000
+    assert(gS === 899100L)
+  }
+
+  test("gini: corpus — micro value within [0, 1e6), totals conserved") {
+    val out = PipelineQueries.p12Gini(spark, sf0)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (s, n, tot, g) =>
+      assert(n >= 1 && tot >= n, s)
+      assert(g >= 0L && g < 1000000L, s"$s gini=$g")
+    }
+    val totalChars = graft.GraftSession.table(spark, sf0, "documents")
+      .agg(sum(col("n_chars"))).as[Long].head()
+    assert(out.map(_._3).sum === totalChars)
+  }
+
+  test("gini plan: rank window and rollup share one source exchange") {
+    val plan = PipelineQueries.p12Gini(spark, sf0)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+}
