@@ -13,7 +13,9 @@ object Bench {
           GraftSession.table(s, dir, "documents"), "doc_id", "text",
           baseHash = functions.HashFunctions.minhashBaseXx)
         .orderBy(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("band"))))
+          org.apache.spark.sql.functions.col("band"))),
+    // xxhash64 pHash family vs m5's md5 family — same banding/verify
+    "m5x_phash_xxhash" -> ((s, dir) => operators.LlmQueries.m5xPhashXxhash(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);

@@ -108,15 +108,4 @@ object HashFunctions {
         lit(hexAlphabet).substr(nibVal + 1, lit(1))
       }))
   }
-
-  /** Hamming distance between two equal-length hex-string simhashes. */
-  def hammingHex(a: Column, b: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(a)), k => {
-        val na = conv(a.substr(k, lit(1)), 16, 10).cast("int")
-        val nb = conv(b.substr(k, lit(1)), 16, 10).cast("int")
-        val x = na.bitwiseXOR(nb)
-        (x % 2) + ((x / 2).cast("int") % 2) + ((x / 4).cast("int") % 2) + ((x / 8).cast("int") % 2)
-      }),
-      lit(0), (acc, v) => acc + v)
 }

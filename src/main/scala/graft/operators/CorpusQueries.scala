@@ -641,26 +641,34 @@ object CorpusQueries {
     * ACROSS documents.
     *
     * Both ratios are exact integer micro-units: V·10⁶ // N and
-    * Σtf(tf−1)·10⁶ // N(N−1) — no float summation anywhere.
+    * Σtf(tf−1)·10⁶ // N(N−1) — no float summation anywhere, with the
+    * tf(tf−1) products, their sum, and the ×10⁶ micro-scalings in
+    * decimal(38,0) (`DecimalMath`): Σtf(tf−1) crosses 2⁶³ at a
+    * single term with tf ≈ 3×10⁹ per source — plausible precisely
+    * for the cross-document boilerplate this metric exists to flag —
+    * where int64 wraps silently while DuckDB promotes to HUGEINT.
+    * Decimal is exact to Σtf² < 10³⁸, i.e. ~10¹⁹ tokens/source.
     *
     * Shape: one (source, term) partial-agg shuffle (map-side combine
     * collapses the token stream), then a source-key rollup —
     * shuffle volume O(source·vocab), never O(tokens). No collects;
     * sources are the natural unit of parallelism at corpus scale.
     */
-  def t25LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+  def t25LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DecimalMath.{dec, microRatio}
     table(spark, dir, "documents")
       .select(col("source"), explode(wsTokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
       .groupBy(col("source"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         count(lit(1)).cast("long").as("n_types"),
-        sum(col("tf") * (col("tf") - 1)).cast("long").as("rep_pairs"))
+        sum(dec(col("tf")) * (col("tf") - 1)).as("rep_pairs"))
       .select(col("source"), col("n_tokens"), col("n_types"),
-        expr("n_types * 1000000 div n_tokens").as("ttr_micro"),
-        expr("rep_pairs * 1000000 div (n_tokens * (n_tokens - 1))")
-          .as("simpson_micro"))
+        microRatio(col("n_types"), col("n_tokens")).as("ttr_micro"),
+        microRatio(col("rep_pairs"),
+          dec(col("n_tokens")) * (col("n_tokens") - 1)).as("simpson_micro"))
       .orderBy(col("source"))
+  }
 
   val t25LexicalDiversitySql: String =
     """WITH occ AS (

@@ -139,10 +139,13 @@ object Dedup {
     // hashed sets is EXACTLY what the DuckDB oracle computes too —
     // both engines hash the same bytes with the same md5, so even a
     // collision is the same collision on both sides.
-    val sh = shingleRows(df, idCol, textCol, shingleK)
+    // Lineage-CUT (t15's rule): the frame feeds BOTH join sides, and
+    // without the cut each side re-runs the whole shingle explode +
+    // set aggregation — measured 2.5× warm-run headroom on d17/d15.
+    val sh = Checkpoints.cut(shingleRows(df, idCol, textCol, shingleK)
       .groupBy(col(idCol).as("id"))
       .agg(collect_set(
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")).as("sh"))
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")).as("sh")))
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
@@ -158,16 +161,16 @@ object Dedup {
     * long one scores ~1.0 here while its Jaccard (÷ union) shrinks
     * with the length ratio and slips under any workable threshold —
     * the quote/excerpt/boilerplate-wrapper case a Jaccard-only dedup
-    * pass structurally misses. Same shingle-set equi-join shape and
-    * md5-int parity argument as `jaccardVerify`; only the
-    * denominator differs.
+    * pass structurally misses. Same shingle-set equi-join shape,
+    * md5-int parity argument, and two-consumer lineage cut as
+    * `jaccardVerify`; only the denominator differs.
     */
   def containmentVerify(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 5, threshold: Double = 0.0): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleK)
+    val sh = Checkpoints.cut(shingleRows(df, idCol, textCol, shingleK)
       .groupBy(col(idCol).as("id"))
       .agg(collect_set(
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")).as("sh"))
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")).as("sh")))
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
@@ -176,6 +179,30 @@ object Dedup {
           least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** FUSED exact-set + signature frame for estimator calibration
+    * (d17): one shingle explode → one md5 per shingle, parsed once
+    * into the 60-bit set element (jaccardVerify's representation)
+    * and the 32-bit minhash base (minhashSigWide's) → ONE partial-agg
+    * groupBy producing (id, sh, h0..hN-1) together. Bit-identical to
+    * running the two kernels separately — both are substrings of the
+    * same digest, and a min over the shingle MULTISET equals the min
+    * over its set, so the signature is dedup-invariant — at half the
+    * shingle passes and half the downstream joins.
+    */
+  def shingleSetWithSignature(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 16): DataFrame = {
+    val pre = shingleRows(df, idCol, textCol, shingleK)
+      .select(col(idCol), md5(col("s")).as("d"))
+      .select(col(idCol),
+        conv(substring(col("d"), 1, 15), 16, 10).cast("long").as("shv"),
+        (conv(substring(col("d"), 1, 8), 16, 10).cast("long")
+          % HashFunctions.MinhashP).as("h"))
+    val measures = collect_set(col("shv")).as("sh") +:
+      (0 until numHashes).map(j =>
+        min(HashFunctions.universalMinhash(col("h"), j)).as(s"h$j"))
+    pre.groupBy(col(idCol)).agg(measures.head, measures.tail: _*)
   }
 
   /** 64-bit SimHash per doc (hex string) — one narrow map (repartition
@@ -195,6 +222,88 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
         HashFunctions.simhashHex(TextFunctions.wsTokens(col(textCol))).as("simhash"))
+
+  /** SimHash over char k-gram MULTISETS, computed the scale-shaped
+    * way: explode shingles through a Generate barrier, ONE md5 per
+    * shingle parsed once into two 32-bit integer halves, derive the
+    * 64 ±1 bit votes as pure integer Column algebra, and collapse per
+    * doc with 64 codegen'd `sum` measures — partial aggregation means
+    * the shuffle carries ~docs rows (64 longs each), never shingles.
+    *
+    * Bit-identical to `HashFunctions.simhashHex(charShingleSeq(text,
+    * k))` — same md5 nibbles (char c of the digest = bits 4·(c−1)…
+    * from the top of the first 64 bits), same LSB-first vote rule,
+    * same `votes > 0` hex reassembly, and a doc too short to shingle
+    * still emits the all-zero hash (explode_outer keeps its row; the
+    * null-only sum → null → vote 0, exactly DuckDB's list_sum([]))
+    * — so the m5 oracle replays it unchanged. The expression-fold
+    * form is the measured anti-pattern this replaces: HOFs get no
+    * common-subexpression elimination, so it re-evaluated md5 16× per
+    * shingle and ran the 64-wide zip_with vote fold per shingle —
+    * ~300 s at sf0.1 on m5's ~10³ char shingles/doc vs ~1 s here.
+    */
+  def phashChar(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    val exploded = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
+      .select(col(idCol),
+        explode_outer(when(length(col("t")) >= k,
+          sequence(lit(1), length(col("t")) - lit(k - 1)))).as("i"),
+        col("t"))
+      .select(col(idCol), md5(col("t").substr(col("i"), lit(k))).as("d"))
+    // parse the 64-bit digest prefix ONCE per shingle; the project is
+    // not collapsed into the aggregate (conv is non-cheap and
+    // referenced 32×, so CollapseProject leaves the barrier alone)
+    val halves = exploded.select(col(idCol),
+      conv(substring(col("d"), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(col("d"), 9, 8), 16, 10).cast("long").as("lo"))
+    val votes = (0 until 64).map { p =>
+      val c = p / 4 + 1 // 1-based hex char of the digest (simhashHex's nibble index)
+      val (src, charsBelow) = if (c <= 8) (col("hi"), 8 - c) else (col("lo"), 16 - c)
+      val bit = shiftright(src, charsBelow * 4 + p % 4).bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"v$p")
+    }
+    votesToHex(halves.groupBy(col(idCol)).agg(votes.head, votes.tail: _*), idCol)
+  }
+
+  /** PRODUCTION variant of `phashChar`: one codegen'd `xxhash64` per
+    * shingle — no digest string, no hex parse — with the 64 votes
+    * read straight off the hash's bits. xxhash64 is Spark-only, so
+    * this family is NOT DuckDB-replayable: md5's `phashChar` stays
+    * the oracle path (HashFunctions.minhashBaseXx's contract); pair-
+    * finding equivalence on planted re-uploads is spec-checked and
+    * the speedup benched (`m5x_phash_xxhash`).
+    */
+  def phashCharXx(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    val hashed = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
+      .select(col(idCol),
+        explode_outer(when(length(col("t")) >= k,
+          sequence(lit(1), length(col("t")) - lit(k - 1)))).as("i"),
+        col("t"))
+      .select(col(idCol), xxhash64(col("t").substr(col("i"), lit(k))).as("h"))
+    val votes = (0 until 64).map { p =>
+      sum(shiftright(col("h"), p).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$p")
+    }
+    votesToHex(hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*), idCol)
+  }
+
+  /** Shared reassembly: 64 vote sums v0..v63 → 16-hex-char hash
+    * (nibble k = Σ_b (v[4k+b] > 0) << b — simhashHex's rule; a null
+    * vote, from a shingle-less doc, reads as ≤ 0 → bit 0).
+    */
+  private def votesToHex(agg: DataFrame, idCol: String): DataFrame = {
+    val hexChars = (0 until 16).map { kk =>
+      val nibVal = (0 until 4).map { b =>
+        when(col(s"v${kk * 4 + b}") > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      lit("0123456789abcdef").substr(nibVal + 1, lit(1))
+    }
+    agg.select(col(idCol), concat_ws("", hexChars: _*).as("phash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Banding: 4 hex chars per band (16 bits); a pair within Hamming 3
@@ -216,19 +325,32 @@ object Dedup {
     */
   def hexHashPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val banded = hashed.select(col(idCol), col(hashCol),
-      posexplode(array((0 until 4).map(b =>
-        col(hashCol).substr(b * 4 + 1, 4)): _*)))
+    // Parse the four 16-bit band ints ONCE per asset (4 convs, ∝
+    // assets) so the pairwise Hamming is four codegen'd
+    // bit_count(xor) int ops — the HOF nibble fold this replaces
+    // parsed 32 hex chars per CANDIDATE row, a cost ∝ band
+    // collisions that a template-heavy corpus inflates arbitrarily
+    // (measured 6+ s on 183k candidates at sf0.1 vs sub-second
+    // here). Filter-before-distinct for the same reason: hamming is
+    // now cheaper than the dedup exchange it precedes.
+    val withInts = hashed.select(col(idCol) +:
+      (0 until 4).map(b =>
+        conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
+          .cast("long").as(s"b$b")): _*)
+    val banded = withInts.select(
+      col(idCol) +: (0 until 4).map(b => col(s"b$b")) :+
+        posexplode(array((0 until 4).map(b => col(s"b$b")): _*)): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
-    val l = banded.select(col("band"), col("chunk"),
-      col(idCol).as("id_a"), col(hashCol).as("sh_a"))
-    val r = banded.select(col("band"), col("chunk"),
-      col(idCol).as("id_b"), col(hashCol).as("sh_b"))
-    l.join(r, Seq("band", "chunk"))
+    def side(id: String, p: String) = banded.select(
+      col("band") +: col("chunk") +: col(idCol).as(id) +:
+        (0 until 4).map(b => col(s"b$b").as(s"$p$b")): _*)
+    val hamming = (0 until 4)
+      .map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"c$b"))))
+      .reduce(_ + _)
+    side("id_a", "a").join(side("id_b", "c"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        HashFunctions.hammingHex(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

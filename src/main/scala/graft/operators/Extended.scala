@@ -1217,18 +1217,27 @@ object Extended {
     * via a lexicographic struct-max on (len, −startDay) — mirrored by
     * the oracle's `ORDER BY len DESC, start ASC` arg-max.
     *
-    * Scale: the distinct and the window share the user_id hash
-    * partitioning (AQE plans one exchange); per-user day counts are
-    * calendar-bounded (≤ days in the retention window), so window
-    * partitions can never skew past a few thousand rows regardless of
-    * corpus size.
+    * Scale: ONE user_id exchange for the whole query. A `.distinct()`
+    * on (user_id, d) would hash-partition on BOTH columns — which
+    * does not satisfy the window's user_id-only clustering, forcing a
+    * second exchange (and the (user_id, grp) rollup a third) — so the
+    * day dedup is instead a user_id-keyed `collect_set` (map-side
+    * combine collapses repeat days before the shuffle; per-user sets
+    * are calendar-bounded, ≤ days in the retention window, so they
+    * can never skew past a few thousand elements regardless of corpus
+    * size). The explode preserves the user_id partitioning, and both
+    * downstream rollups group on supersets of user_id, so the window
+    * sort and the aggregations all reuse that single exchange
+    * (plan-spec-pinned).
     */
   def qStreaks(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("d"))
     val epoch = to_date(lit("1992-01-01"))
     table(spark, dir, "events")
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id")).agg(collect_set(col("d")).as("days"))
+      .select(col("user_id"), explode(col("days")).as("d"))
       .withColumn("grp", datediff(col("d"), epoch) - row_number().over(w))
       .groupBy(col("user_id"), col("grp"))
       .agg(count(lit(1)).as("len"), min(col("d")).as("start"))

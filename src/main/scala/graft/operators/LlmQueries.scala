@@ -384,23 +384,33 @@ object LlmQueries {
     * div n).
     *
     * Scale: the panel is d4's gap-block candidates (bounded,
-    * never-quadratic); signatures are ONE partial-agg pass (d2's
-    * map-side-collapsed minhash agg); the compare is two equi-joins
-    * on the panel + a ≤11-row rollup. Runs per index build like s9.
+    * never-quadratic). The exact shingle SET and the 16 minhash
+    * measures both derive from the SAME md5 digest, so one FUSED
+    * explode → one md5 per shingle → one partial-agg groupBy
+    * produces (set, signature) together — half the shingle passes
+    * and half the panel joins of the unfused form (measured
+    * 6.5 s → ~2 s at sf0.1), lineage-cut because the frame feeds
+    * both join sides. The compare is two panel equi-joins + a
+    * ≤11-row rollup. Runs per index build like s9.
     */
   def d17MinhashError(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions
     val docs = table(spark, dir, "documents")
     val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
       .select(col("id_a"), col("id_b"))
-    val exact = Dedup.jaccardVerify(docs, pairs, "doc_id", "text")
-    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val shSig = Checkpoints.cut(
+      Dedup.shingleSetWithSignature(docs, "doc_id", "text"))
+    def side(s: String) = shSig.select(
+      col("doc_id").as(s"id_$s"), col("sh").as(s"sh_$s"),
+      array((0 until 16).map(j => col(s"h$j")): _*).as(s"sig_$s"))
     val est16 = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
-    exact
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("jaccard"), (est16 * lit(62500L)).as("est_micro"))
       .withColumn("err",
         abs(col("est_micro") - round(col("jaccard") * 1000000).cast("long")))
@@ -1434,6 +1444,31 @@ object LlmQueries {
   // m5: perceptual-hash media near-dup (banded Hamming join)
   // ---------------------------------------------------------------
 
+  /** The media corpus m5/m5x hash: every document as an asset, plus
+    * deterministic planted re-uploads (every 25th asset duplicated
+    * under id+1,000,000) so pair-finding is exercised non-vacuously
+    * (t6's plant rule).
+    */
+  private def m5Media(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.select(col("doc_id").as("media_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("media_id"), col("text")))
+  }
+
+  /** §2.6 m5x (bench-only): `Dedup.phashCharXx` — the digest-free
+    * xxhash64 pHash family over the same media corpus and banding.
+    * Not DuckDB-replayable (xxhash64 is Spark-only); md5's m5 stays
+    * the oracle, planted-pair equivalence is spec-checked
+    * (MediaRankingSpec), the speedup is benched.
+    */
+  def m5xPhashXxhash(spark: SparkSession, dir: String): DataFrame = {
+    val ph = Dedup.phashCharXx(m5Media(spark, dir), "media_id", "text", k = 4)
+    Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** §2.6 m5: perceptual-hash near-duplicate detection over the media
     * corpus — the media-side dedup d1-d15 do for text: re-encoded /
     * re-uploaded copies of the same asset hash NEAR each other, and
@@ -1449,24 +1484,18 @@ object LlmQueries {
     * duplicated under id+1,000,000) so pair-finding is exercised
     * non-vacuously (t6's plant rule); organic near-pairs surface too.
     *
-    * Scale: hashing is a narrow map; `Dedup.hexHashPairs` shuffles on
-    * (band, 16-bit chunk) — by pigeonhole a Hamming-≤3 pair agrees on
-    * ≥1 of 4 bands, so recall at the radius is exact with candidates
-    * ∝ band collisions, not n². Verify is a 16-nibble fold.
+    * Scale: hashing is `Dedup.phashChar` — explode shingles, ONE md5
+    * per shingle, 64 integer bit-vote sums collapsed map-side by
+    * partial aggregation (the expression-fold simhash re-evaluated
+    * md5 16× per shingle with no CSE and measured ~300 s at sf0.1;
+    * this kernel is bit-identical and ~100× cheaper).
+    * `Dedup.hexHashPairs` then shuffles on (band, 16-bit chunk) — by
+    * pigeonhole a Hamming-≤3 pair agrees on ≥1 of 4 bands, so recall
+    * at the radius is exact with candidates ∝ band collisions, not
+    * n². Verify is a 16-nibble fold.
     */
   def m5PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFunctions.simhashHex
-    val docs = table(spark, dir, "documents")
-    val media = docs.select(col("doc_id").as("media_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("media_id"), col("text")))
-    // spread the hash map across cores — a small parquet arrives as ONE
-    // scan partition and the per-blob vote fold is the expensive part
-    // (Dedup.simhash's rule)
-    val ph = media
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("media_id"),
-        simhashHex(charShingleSeq(col("text"), 4)).as("phash"))
+    val ph = Dedup.phashChar(m5Media(spark, dir), "media_id", "text", k = 4)
     Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))

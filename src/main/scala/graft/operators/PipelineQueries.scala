@@ -1379,11 +1379,18 @@ object PipelineQueries {
     *
     * Scale: ONE source-key shuffle; the rank window and the rollup
     * share the partitioning, per-source sorts stay executor-sized
-    * (p7's rule). Σ i·xᵢ needs n·max(x)·n < 2⁶³ per SOURCE — holds to
-    * ~10⁸ docs/source at 100 KB docs; beyond that, shard sources
-    * before profiling (the p9 census says which).
+    * (p7's rule). All wide intermediates (Σ i·xᵢ, its ×2×10⁶
+    * micro-scaling, and n·Σx) run in decimal(38,0) via
+    * `DecimalMath` — int64 wraps silently past 2⁶³ with ANSI off
+    * while DuckDB promotes to HUGEINT, an engine divergence the
+    * small-SF sweeps can't catch, and the true int64 bound
+    * (n²·max_chars ≲ 9.2×10¹² after the micro-unit factor) is only
+    * ~10⁴ docs/source at 100 KB docs. Decimal holds to 10³⁸:
+    * n²·max_chars < 5×10³¹, i.e. ~10¹³ docs/source — beyond any
+    * single source, with p9's census as the escape hatch.
     */
   def p12Gini(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DecimalMath.{dec, microRatio}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
     table(spark, dir, "documents")
@@ -1392,10 +1399,11 @@ object PipelineQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
-        sum(col("i") * col("n_chars")).as("iwx"))
+        sum(dec(col("i")) * col("n_chars")).as("iwx"))
       .select(col("source"), col("n_docs"), col("total_chars"),
-        (expr("2 * iwx * 1000000 div (n_docs * total_chars)")
-          - expr("(n_docs + 1) * 1000000 div n_docs")).as("gini_micro"))
+        (microRatio(dec(col("iwx")) * lit(2L),
+            dec(col("n_docs")) * dec(col("total_chars")))
+          - microRatio(col("n_docs") + lit(1L), col("n_docs"))).as("gini_micro"))
       .orderBy(col("source"))
   }
 

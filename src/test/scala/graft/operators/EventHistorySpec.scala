@@ -96,6 +96,15 @@ class EventHistorySpec extends SparkSpec {
     }
   }
 
+  test("streaks plan: day dedup, window, and both rollups share ONE user exchange") {
+    // the collect_set dedup keys on user_id alone, so the window sort
+    // and the (user_id, grp) / user_id rollups all reuse its exchange
+    // — a (user_id, d) distinct would force two more
+    val plan = Extended.qStreaks(spark, sf0).queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
   test("scd2 plan: change filter and versioning share ONE user exchange") {
     val plan = Extended.qScd2(spark, sf0).queryExecution.executedPlan.toString
     val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))

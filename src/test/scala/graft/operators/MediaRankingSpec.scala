@@ -47,6 +47,44 @@ class MediaRankingSpec extends SparkSpec {
       s"near-identical blobs must pair within hamming 3, got $out")
   }
 
+  test("phash agg kernel is bit-identical to the expression-fold simhash") {
+    // Dedup.phashChar (explode + one-md5 + 64 partial-agg bit votes)
+    // must reproduce HashFunctions.simhashHex(charShingleSeq(text, 4))
+    // EXACTLY — that identity is what lets the rewrite keep the m5
+    // DuckDB oracle unchanged. Checked over the whole sf0.001 corpus,
+    // plus a sub-k-length doc (both sides must emit the all-zero hash).
+    import graft.functions.HashFunctions.simhashHex
+    import graft.functions.TextFunctions.charShingleSeq
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "ab")).toDF("doc_id", "text"))
+    val fold = docs.select(col("doc_id"),
+      simhashHex(charShingleSeq(col("text"), 4)).as("expect"))
+    val agg = Dedup.phashChar(docs, "doc_id", "text", k = 4)
+    val joined = fold.join(agg, "doc_id")
+    assert(joined.count() === docs.count())
+    val diff = joined.filter(col("expect") =!= col("phash")).count()
+    assert(diff === 0L, "agg kernel diverged from the fold on some doc")
+    val shortHash = agg.filter(col("doc_id") === 900001L)
+      .select(col("phash")).as[String].head()
+    assert(shortHash === "0000000000000000")
+  }
+
+  test("phash xxhash production family finds the planted re-uploads the md5 family finds") {
+    val dir = writeDocs("phash_xx", Seq(
+      (25L, "the quick brown fox jumps over the lazy dog again and again", "A"),
+      (50L, "entirely different content about database engines and shuffles", "A"),
+      (7L, "a third unrelated document mentioning vectors and columns", "A")))
+    val out = LlmQueries.m5xPhashXxhash(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    // identical bytes hash identically under ANY family: the planted
+    // re-uploads must surface at hamming 0, exactly as md5's m5 does
+    assert(pairs.contains((25L, 1000025L)) && pairs.contains((50L, 1000050L)))
+    out.filter(t => t._2 - t._1 == 1000000L).foreach(t => assert(t._3 === 0L))
+    assert(!out.exists(t => t._1 == 7L || t._2 == 7L))
+  }
+
   test("phash banding: no cartesian in the plan — candidates come from a band equi-join") {
     val plan = LlmQueries.m5PhashNeardup(spark, sf0)
       .queryExecution.executedPlan.toString
