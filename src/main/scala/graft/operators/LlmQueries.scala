@@ -504,6 +504,82 @@ object LlmQueries {
       |WHERE a.vec_id < c.vec_id AND list_cosine_similarity(a.v, c.v) > 0.42
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.3 d21: EMBEDDING-space benchmark contamination — the check d8
+    * structurally cannot make: d8 catches verbatim token-trigram
+    * overlap, but a PARAPHRASED benchmark item shares almost no
+    * trigrams while its embedding stays nearly collinear. Held-out
+    * panel = every 50th vector (d8's convention); the corpus is SRP-
+    * bucketed once, the small panel explodes into its Hamming-≤2
+    * probe buckets (`Similarity.multiProbeCrossPairs` — recall-first,
+    * affordable because the panel is tiny), and exact cosine verifies
+    * inside matched buckets at the d5 near-dup threshold. Output is
+    * the contamination report a scrub pass consumes: (corpus_id,
+    * bench_id) flagged pairs, ids only (float-free, d5's parity
+    * rule).
+    *
+    * The synthetic embeddings are near-orthogonal, so the entry
+    * PLANTS the leak deterministically (d11's plant rule): every
+    * panel item re-enters the corpus under id+2,000,000 with
+    * odd-index components scaled ×0.8 — a "paraphrase" at cosine
+    * ≈ 0.99 that shares no byte-level representation. Organic
+    * threshold-crossers surface too; the oracle replays plant,
+    * planes, and probes verbatim (d6's recipe).
+    *
+    * Scale: one bucket-key shuffle of corpus + 37·panel rows; cosine
+    * only inside buckets — never corpus×panel.
+    */
+  def d21EmbedContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDouble
+    val ed = table(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val panel = ed.filter(col("vec_id") % 50 === 0)
+    val paraphrased = panel.select(
+      (col("vec_id") + lit(2000000L)).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"))
+    val corpus = ed.filter(col("vec_id") % 50 =!= 0).unionByName(paraphrased)
+    Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v", 0.42)
+      .select(col("corpus_id"), col("bench_id"))
+      .orderBy(col("corpus_id"), col("bench_id"))
+  }
+
+  /** DuckDB list of the Hamming-≤2 probe buckets — mirrors
+    * Similarity.probeSet2 (home + 8 single flips + 28 double flips).
+    */
+  private def srpProbe2ListSql(bucketExpr: String): String = {
+    def flipChar(k: Int, of: String): String =
+      s"(CASE WHEN substr($of, $k, 1) = '1' THEN '0' ELSE '1' END)"
+    def flip1(i: Int, of: String): String =
+      s"substr($of, 1, ${i - 1}) || ${flipChar(i, of)} || substr($of, ${i + 1}, ${8 - i})"
+    val singles = (1 to 8).map(i => flip1(i, bucketExpr))
+    // flip i and j (i<j) directly on the original string
+    val doubles = for (i <- 1 to 8; j <- i + 1 to 8) yield
+      s"substr($bucketExpr, 1, ${i - 1}) || ${flipChar(i, bucketExpr)} || " +
+        s"substr($bucketExpr, ${i + 1}, ${j - i - 1}) || ${flipChar(j, bucketExpr)} || " +
+        s"substr($bucketExpr, ${j + 1}, ${8 - j})"
+    (Seq(bucketExpr) ++ singles ++ doubles).mkString("[", ", ", "]")
+  }
+
+  val d21EmbedContaminationSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |par AS (SELECT vec_id + 2000000 AS vec_id,
+      |    [v[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE 0.8 END)
+      |     for i in generate_series(1, len(v))] AS v
+      |  FROM e WHERE vec_id % 50 = 0),
+      |corpus0 AS (
+      |  SELECT vec_id, v FROM e WHERE vec_id % 50 != 0
+      |  UNION ALL SELECT vec_id, v FROM par),
+      |corpus AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM corpus0),
+      |bench0 AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
+      |           FROM e WHERE vec_id % 50 = 0),
+      |bench AS (SELECT vec_id, v,
+      |    unnest(list_distinct(${srpProbe2ListSql("bucket")})) AS bucket
+      |  FROM bench0)
+      |SELECT c.vec_id AS corpus_id, q.vec_id AS bench_id
+      |FROM corpus c JOIN bench q USING (bucket)
+      |WHERE list_cosine_similarity(c.v, q.v) > 0.42
+      |ORDER BY corpus_id, bench_id""".stripMargin
+
   /** §2.4 s1: brute-force cosine top-5 for queries vec_id < 8. */
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")

@@ -87,6 +87,50 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Hamming-≤2 probe buckets: the home bucket, all single-bit flips,
+    * and all double-bit flips — 1 + n + n(n−1)/2 probes (37 for 8
+    * bits). Affordable only for a side that is SMALL (d21's held-out
+    * panel); the corpus side never explodes.
+    */
+  private def probeSet2(bucket: Column, nBits: Int): Column = {
+    def flip(b: Column, i: Int): Column = concat(
+      b.substr(lit(1), lit(i)),
+      when(b.substr(i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      b.substr(lit(i + 2), lit(nBits - i - 1)))
+    val singles = (0 until nBits).map(i => flip(bucket, i))
+    val doubles = for (i <- 0 until nBits; j <- i + 1 until nBits)
+      yield flip(flip(bucket, i), j)
+    array_distinct(array((Seq(bucket) ++ singles ++ doubles): _*))
+  }
+
+  /** Cross-SET multi-probe pairs: corpus × panel candidates whose SRP
+    * buckets are within Hamming ≤ 2, exact-cosine verified — the
+    * embedding-space contamination kernel (d21): the PANEL (held-out
+    * benchmark, small) explodes into its 1+n+n(n−1)/2 probe buckets,
+    * the corpus keeps its home bucket, so shuffle cardinality is
+    * corpus + 37·panel on the bucket key and pairwise cosine runs
+    * only inside matched buckets — never corpus×panel. The wider
+    * radius than multiProbeCosinePairs (≤ 1) is the operating point
+    * a contamination gate wants — recall-first, and the panel is
+    * tiny relative to the corpus, so the extra probes are free. A
+    * pair within the radius matches on exactly one probe row, so no
+    * distinct pass.
+    */
+  def multiProbeCrossPairs(corpus: DataFrame, panel: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", srpBucket(col("cv"), nBits, dims))
+    val q = panel.select(col(idCol).as("bench_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), nBits, dims))
+      .select(col("bench_id"), col("qv"),
+        explode(probeSet2(col("bucket"), nBits)).as("bucket"))
+    c.join(q, Seq("bucket"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .filter(col("sim") > threshold)
+      .select(col("corpus_id"), col("bench_id"), col("sim"))
+  }
+
   /** SRP-bucketed near-dup pairs — the 100 TB form of `cosinePairs`:
     * candidates are pairs sharing an LSH bucket (one shuffle on the
     * bucket id), exact cosine verifies only inside buckets. Recall

@@ -51,6 +51,66 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 20, s"only $hits/25 planted neighbors found")
   }
 
+  test("d21 embedding contamination: planted paraphrase flagged, unrelated item clean") {
+    // a "paraphrased benchmark item" in embedding space: collinear
+    // with a corpus vector (scaled copy → cosine 1, same SRP bucket)
+    // but sharing no tokens — the case d8's trigram check misses by
+    // construction. bench ids are the %50 == 0 lane.
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
+    val dir = tmpDir("d21_fixture")
+    Seq(
+      (1L, v.toSeq),                         // corpus: the leaked source
+      (2L, far.toSeq),                       // corpus: unrelated
+      (50L, v.map(x => x * 0.93f).toSeq),    // bench: paraphrase of 1
+      (100L, far.map(x => -x).toSeq))        // bench: anti-collinear to 2 only
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val out = LlmQueries.d21EmbedContamination(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    // exactly: the collinear leak (1,50), plus the entry's own
+    // deterministic paraphrase plants of each bench item — and
+    // nothing else (2 stays clean against both bench items; the
+    // anti-collinear (2,100) pair scores cosine −1)
+    assert(out === Set((1L, 50L), (2000050L, 50L), (2000100L, 100L)),
+      s"unexpected contamination set: $out")
+  }
+
+  test("d21 embedding contamination: flagged ⊆ brute-force truth with solid recall") {
+    // precision is 1.0 by construction (exact cosine verifies every
+    // candidate); recall is what the Hamming-≤1 probing buys — check
+    // both against the full corpus×panel brute compare at sf0.001
+    import graft.functions.VectorFunctions.{cosine, toDouble}
+    val ed = emb.select($"vec_id", toDouble($"embedding").as("v"))
+    val bench = ed.filter($"vec_id" % 50 === 0)
+    val planted = bench.select(($"vec_id" + 2000000L).as("vec_id"),
+      transform($"v", (x, i) =>
+        x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"))
+    val corpus = ed.filter($"vec_id" % 50 =!= 0).unionByName(planted)
+    val truth = corpus.select($"vec_id".as("corpus_id"), $"v".as("cv"))
+      .crossJoin(bench.select($"vec_id".as("bench_id"), $"v".as("bv")))
+      .withColumn("sim", cosine($"cv", $"bv"))
+      .filter($"sim" > 0.42)
+      .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
+    val flagged = LlmQueries.d21EmbedContamination(spark, sf0)
+      .as[(Long, Long)].collect().toSet
+    val nPanel = bench.count()
+    assert(truth.size >= nPanel.toInt, "plant must exercise the check non-vacuously")
+    assert(flagged.subsetOf(truth), s"false positives: ${flagged -- truth}")
+    // every planted paraphrase sits at cosine ≈ 0.99 — Hamming-≤2
+    // probing must find them all (deterministic planes, no flake)
+    val plantedPairs = truth.filter { case (c, b) => c == b + 2000000L }
+    assert(plantedPairs.subsetOf(flagged),
+      s"planted paraphrases missed: ${plantedPairs -- flagged}")
+    assert(flagged.size * 10 >= truth.size * 6,
+      s"recall ${flagged.size}/${truth.size} below 0.6")
+    // and the plan is the bucket equi-join, never corpus×panel
+    val plan = LlmQueries.d21EmbedContamination(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"contamination check must never plan a cartesian:\n$plan")
+  }
+
   test("IVF ANN: learned index matches or beats SRP recall on planted neighbors") {
     val src = emb.filter($"vec_id" < 25)
       .as[(Long, Seq[Float], Int)].collect()
