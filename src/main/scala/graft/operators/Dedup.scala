@@ -324,7 +324,7 @@ object Dedup {
     * ≥1 band, so recall at the ≤3 radius is exact with no O(n²) stage.
     */
   def hexHashPairs(hashed: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     // Parse the four 16-bit band ints ONCE per asset (4 convs, ∝
     // assets) so the pairwise Hamming is four codegen'd
     // bit_count(xor) int ops — the HOF nibble fold this replaces
@@ -337,10 +337,25 @@ object Dedup {
       (0 until 4).map(b =>
         conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
           .cast("long").as(s"b$b")): _*)
-    val banded = withInts.select(
+    val banded0 = withInts.select(
       col(idCol) +: (0 until 4).map(b => col(s"b$b")) :+
         posexplode(array((0 until 4).map(b => col(s"b$b")): _*)): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    // Skew cap (minhashCandidates' guard, same rationale): a (band,
+    // chunk) bucket of B assets contributes B² candidate rows, and a
+    // template-degenerate chunk — the all-zero pHash of trivial
+    // assets is the canonical case — goes quadratic at corpus scale.
+    // Oversized buckets carry no usable near-dup signal and are
+    // exactly the hot keys that would skew the join, so they are
+    // found with a tiny partial-agg groupBy and removed via a
+    // broadcast anti-join (no window, no sort). The m5 oracle
+    // replays the cap; at test SFs no bucket comes near it.
+    val oversized = banded0.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("chunk"))
+    val banded = banded0.join(broadcast(oversized),
+      Seq("band", "chunk"), "left_anti")
     def side(id: String, p: String) = banded.select(
       col("band") +: col("chunk") +: col(idCol).as(id) +:
         (0 until 4).map(b => col(s"b$b").as(s"$p$b")): _*)

@@ -1614,9 +1614,13 @@ object LlmQueries {
       |           + (CASE WHEN votes[k * 4 + 4] > 0 THEN 8 ELSE 0 END), 1)
       |       for k in generate_series(0, 15)], 'string_agg', '') AS phash
       |  FROM v
-      |), bands AS (
+      |), bands0 AS (
       |  SELECT media_id, phash, g.b, substr(phash, g.b * 4 + 1, 4) AS chunk
       |  FROM ph, generate_series(0, 3) g(b)
+      |), keep AS (
+      |  SELECT b, chunk FROM bands0 GROUP BY b, chunk HAVING count(*) <= 10000
+      |), bands AS (
+      |  SELECT bands0.* FROM bands0 JOIN keep USING (b, chunk)
       |), cand AS (
       |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
       |    a.phash AS pa, c.phash AS pb

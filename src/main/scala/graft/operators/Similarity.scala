@@ -116,16 +116,26 @@ object Similarity {
     * pair within the radius matches on exactly one probe row, so no
     * distinct pass.
     */
+  /** The held-out panel exploded into its Hamming-≤2 probe buckets —
+    * the static index a contamination gate probes: batch (d21 joins
+    * the bucketed corpus against it) and streaming (the ingest gate
+    * joins each arriving vector's HOME bucket against it, so the
+    * stream side needs no explode and no state). Columns: (bucket,
+    * bench_id, qv).
+    */
+  def panelProbeIndex(panel: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 8, dims: Int = 64): DataFrame =
+    panel.select(col(idCol).as("bench_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), nBits, dims))
+      .select(col("bench_id"), col("qv"),
+        explode(probeSet2(col("bucket"), nBits)).as("bucket"))
+
   def multiProbeCrossPairs(corpus: DataFrame, panel: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       nBits: Int = 8, dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), nBits, dims))
-    val q = panel.select(col(idCol).as("bench_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), nBits, dims))
-      .select(col("bench_id"), col("qv"),
-        explode(probeSet2(col("bucket"), nBits)).as("bucket"))
-    c.join(q, Seq("bucket"))
+    c.join(panelProbeIndex(panel, idCol, vecCol, nBits, dims), Seq("bucket"))
       .withColumn("sim", cosine(col("cv"), col("qv")))
       .filter(col("sim") > threshold)
       .select(col("corpus_id"), col("bench_id"), col("sim"))

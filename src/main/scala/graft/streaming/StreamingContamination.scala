@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import graft.functions.VectorFunctions.{cosine, srpBucket, toDouble}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming front door of the embedding-contamination check
+  * (SURVEY.md §2.7) — d21's verdict logic applied at INGESTION time:
+  * each arriving vector is flagged against the held-out benchmark
+  * panel BEFORE it enters the training corpus, instead of by a batch
+  * sweep after the fact.
+  *
+  * Shape mirrors StreamingDedup's two-sided split, pushed further:
+  *   - the STATIC side carries all the fan-out — the panel is
+  *     pre-exploded into its Hamming-≤2 probe buckets
+  *     (`Similarity.panelProbeIndex`, 37 rows per benchmark item),
+  *     re-resolved every micro-batch so a panel refresh (new
+  *     benchmark release) is picked up without restarting the query;
+  *   - the STREAM side is a narrow map (one SRP bucket per vector)
+  *     plus a stream-static equi-join on the HOME bucket — no
+  *     explode, no watermark, and ZERO streaming state: a
+  *     stream-static inner join keeps nothing across batches, so the
+  *     gate's memory footprint is the broadcast panel index alone,
+  *     whatever the stream length.
+  *
+  * Exact cosine verifies inside matched buckets (the same verify-
+  * after-candidates contract as d21), so flags have no false
+  * positives at the threshold; recall is the probe radius's, same as
+  * batch — spec-checked batch ≡ stream on identical data.
+  */
+object StreamingContamination {
+
+  /** Flag arriving vectors within `threshold` cosine of any panel
+    * item. `panelIdx` is `Similarity.panelProbeIndex(panel, ...)`.
+    * Output: one row per (arriving vector, matched panel item).
+    */
+  def flagAgainstPanel(stream: DataFrame, panelIdx: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.42,
+      nBits: Int = 8, dims: Int = 64): DataFrame =
+    stream
+      .withColumn("cv", toDouble(col(vecCol)))
+      .withColumn("bucket", srpBucket(col("cv"), nBits, dims))
+      .join(broadcast(panelIdx), Seq("bucket"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .filter(col("sim") > threshold)
+      .select(col(idCol).as("corpus_id"), col("bench_id"))
+
+  /** Convenience: the index from a raw panel frame. */
+  def panelIndex(panel: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 8, dims: Int = 64): DataFrame =
+    Similarity.panelProbeIndex(panel, idCol, vecCol, nBits, dims)
+}

@@ -85,6 +85,26 @@ class MediaRankingSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == 7L || t._2 == 7L))
   }
 
+  test("phash banding: oversized buckets are dropped by the skew cap, healthy pairs survive") {
+    // five identical assets make every band bucket size 5 — over a
+    // cap of 3 they must pair ZERO times, while a separate healthy
+    // duplicate pair (bucket size 2) still surfaces
+    val degenerate = (1L to 5L).map(i => (i, "template template template template"))
+    val healthy = Seq((100L, "a genuinely unique document body here"),
+      (101L, "a genuinely unique document body here"))
+    val df = (degenerate ++ healthy).toDF("doc_id", "text")
+    val hashed = Dedup.phashChar(df, "doc_id", "text", 4)
+    val capped = Dedup.hexHashPairs(hashed, "doc_id", "phash",
+        maxHamming = 3, maxBucket = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(capped.map(t => (t._1, t._2)).toSet === Set((100L, 101L)),
+      s"cap must drop the degenerate bucket only, got $capped")
+    // and with the default cap the degenerate pairs are all present
+    val uncapped = Dedup.hexHashPairs(hashed, "doc_id", "phash")
+      .as[(Long, Long, Int)].collect()
+    assert(uncapped.count(t => t._1 <= 5 && t._2 <= 5) === 10)
+  }
+
   test("phash banding: no cartesian in the plan — candidates come from a band equi-join") {
     val plan = LlmQueries.m5PhashNeardup(spark, sf0)
       .queryExecution.executedPlan.toString
