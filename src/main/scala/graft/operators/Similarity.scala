@@ -135,7 +135,14 @@ object Similarity {
       nBits: Int = 8, dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), nBits, dims))
-    c.join(panelProbeIndex(panel, idCol, vecCol, nBits, dims), Seq("bucket"))
+    // the panel is small BY CONTRACT (a benchmark suite), so force
+    // the broadcast instead of leaving it to stats: the corpus side
+    // then never exchanges AT ALL — one narrow map (bucket) + a
+    // broadcast hash join, zero shuffles over 100 TB of vectors
+    // (plan-spec-pinned). The streaming gate gets the same plan for
+    // free (stream-static joins broadcast the static side).
+    c.join(broadcast(panelProbeIndex(panel, idCol, vecCol, nBits, dims)),
+        Seq("bucket"))
       .withColumn("sim", cosine(col("cv"), col("qv")))
       .filter(col("sim") > threshold)
       .select(col("corpus_id"), col("bench_id"), col("sim"))

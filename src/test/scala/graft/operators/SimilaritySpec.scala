@@ -104,11 +104,18 @@ class SimilaritySpec extends SparkSpec {
       s"planted paraphrases missed: ${plantedPairs -- flagged}")
     assert(flagged.size * 10 >= truth.size * 6,
       s"recall ${flagged.size}/${truth.size} below 0.6")
-    // and the plan is the bucket equi-join, never corpus×panel
+    // and the plan is a BROADCAST bucket equi-join: the corpus side
+    // never exchanges at all (the panel is small by contract), so
+    // the whole check is one narrow map over the corpus — zero hash
+    // shuffles, never a cartesian
     val plan = LlmQueries.d21EmbedContamination(spark, sf0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"contamination check must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"panel must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for the contamination check:\n$plan")
   }
 
   test("IVF ANN: learned index matches or beats SRP recall on planted neighbors") {
