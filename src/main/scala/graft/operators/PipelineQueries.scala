@@ -206,6 +206,88 @@ object PipelineQueries {
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // t26: intra-document block dedup (self-repetition SCRUB)
+  // ---------------------------------------------------------------
+
+  /** §2.5 t26: intra-document block dedup — the SCRUB t8 only
+    * measures: t8 reports a doc's duplicate-trigram ratio, d19
+    * scrubs spans repeated ACROSS documents, but a doc that repeats
+    * ITSELF (retry loops in crawls, templated listings, chat echo)
+    * needs its own pass. The doc's tokens are cut into consecutive
+    * non-overlapping 3-token blocks; only the FIRST occurrence of
+    * each distinct block survives, in original order. Output per doc:
+    * block census + md5 of the scrubbed text (hash, not text — the
+    * driver compare stays drift-free and the corpus never ships
+    * twice).
+    *
+    * The synthetic corpus has almost no organic self-repetition, so
+    * the entry PLANTS it (d11's rule): tokens are first truncated to
+    * whole blocks (trailing partials were never in a block anyway),
+    * then the doc's own first 6 tokens are appended — two exact,
+    * block-ALIGNED repeats of its opening blocks, so every doc with
+    * ≥ 6 tokens carries the plant — replayed verbatim by the oracle;
+    * organic duplicate blocks surface too.
+    *
+    * Scale: explode blocks (narrow), ONE (doc, block) window for the
+    * first-occurrence mark, one doc rollup — both exchanges carry
+    * ~blocks rows (= tokens/3), per-doc state is bounded by doc
+    * size, nothing is quadratic (an expression-space `filter` +
+    * `array_position` dedup would be O(blocks²) per doc — the
+    * array_distinct trap, measured on shingles).
+    */
+  def t26BlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("blk"))
+    val docs = table(spark, dir, "documents")
+    val planted = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), wsTokens(col("text")).as("tk0"))
+      .select(col("doc_id"), expr("slice(tk0, 1, 3 * (size(tk0) div 3))").as("base"))
+      .select(col("doc_id"),
+        concat(col("base"), slice(col("base"), 1, 6)).as("tk"))
+    planted
+      .select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= 3,
+          sequence(lit(0), (size(col("tk")) / lit(3)).cast("int") - 1))).as("b"))
+      .select(col("doc_id"), col("b").cast("long").as("pos"),
+        array_join(slice(col("tk"), col("b") * 3 + 1, lit(3)), " ").as("blk"))
+      .withColumn("fp", min(col("pos")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(when(col("pos") === col("fp"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("pos") === col("fp"),
+            struct(col("pos"), col("blk"))))),
+          s => s.getField("blk")), " ")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t26BlockDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS tk0
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, list_concat(base, base[1:6]) AS tk FROM (
+      |    SELECT doc_id, tk0[1:3 * (len(tk0) // 3)] AS base FROM t)
+      |), b AS (
+      |  SELECT doc_id, u.pos, u.blk FROM (
+      |    SELECT doc_id,
+      |      unnest([{'pos': i, 'blk': array_to_string(tk[(i*3+1):(i*3+3)], ' ')}
+      |              for i in generate_series(0, len(tk)//3 - 1)]) AS u
+      |    FROM p WHERE len(tk) >= 3)
+      |), k AS (
+      |  SELECT doc_id, pos, blk,
+      |    min(pos) OVER (PARTITION BY doc_id, blk) AS fp
+      |  FROM b
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(count(*) FILTER (pos = fp) AS BIGINT) AS n_kept,
+      |  md5(string_agg(blk, ' ' ORDER BY pos) FILTER (pos = fp)) AS scrub_hash
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // d8: benchmark contamination
   // ---------------------------------------------------------------
 

@@ -26,6 +26,38 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!r.getAs[Double]("mse6").isNaN)
   }
 
+  test("t26 block dedup: hand-computed census, scrub hash, and short-doc drop") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val dir = tmpDir("t26_fixture")
+    Seq(
+      // 9 tokens: blocks [abc][def][ghi] + planted [abc][def] -> 5 blocks, 3 kept
+      (1L, "a b c d e f g h i", "en", "A", 17L),
+      // self-repeating doc: [x y z] x4 (2 organic + 2 planted) -> 1 kept
+      (2L, "x y z x y z", "en", "A", 11L),
+      // 2 tokens: zero whole blocks -> no output row
+      (3L, "a b", "en", "A", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = PipelineQueries.t26BlockDedup(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 3L, md5hex("a b c d e f g h i")),
+      (2L, 4L, 1L, md5hex("x y z"))))
+  }
+
+  test("t26 block dedup: corpus — every doc planted, kept <= blocks, order preserved") {
+    val out = PipelineQueries.t26BlockDedup(spark, sf0)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, blocks, kept, h) =>
+      // the aligned plant guarantees >= 2 duplicate blocks per doc
+      assert(kept <= blocks - 2, s"doc $id: plant must always drop")
+      assert(kept >= 1 && h.length === 32, s"doc $id")
+    }
+  }
+
   test("mixture epochs_micro: guarded BIGINT form is exact where the naive multiply wraps") {
     val cap = PipelineQueries.MixtureEpochCapMicro
     val cases = Seq[(Long, Long)](
