@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
   * recipe): each copy shifts doc_ids into a disjoint range (the
   * planted-re-upload id arithmetic, doc_id % 25, is preserved —
   * the shift is a multiple of 25), renames sources with a per-copy
-  * suffix (so shard windows never span copies), and rewrites text
-  * through a copy-specific alphabet rotation — a bijection on
-  * characters, so within-copy EXACT duplicates (the planted pairs
-  * and the hamming-0 organics) are reproduced copy-for-copy, while
-  * cross-copy hashes decorrelate and contribute no planted pairs.
-  * Hamming-0 pair counts must therefore be EXACTLY copies × the 1×
-  * counts (asserted); near-radius organic pairs vary per rotation
-  * and are only reported.
+  * suffix (so shard windows never span copies), appends a
+  * fixed-width per-copy text marker (so cross-copy texts differ BY
+  * CONSTRUCTION — an alphabet rotation alone is an identity on
+  * letter-free or sub-shingle-length docs, which would quietly
+  * reproduce byte-identical cross-copy assets), and rewrites text
+  * through a copy-specific alphabet rotation. The marker+rotation
+  * map is per-copy injective on whole documents, so within-copy
+  * EXACT duplicates (the planted pairs) are reproduced
+  * copy-for-copy while no cross-copy pair can be byte-identical.
+  * Planted pair counts must therefore be EXACTLY copies × the 1×
+  * counts (asserted); organic pairs vary per rotation and are only
+  * bounded (linear).
   */
 object MediaScalingBench {
 
@@ -61,7 +65,8 @@ object MediaScalingBench {
         docs0
           .withColumn("doc_id", col("doc_id") + lit(c.toLong * 10000000L))
           .withColumn("source", concat(col("source"), lit(s"_$c")))
-          .withColumn("text", translate(col("text"), alpha, rotated(c)))
+          .withColumn("text", translate(
+            concat(col("text"), lit(" mark%02d".format(c))), alpha, rotated(c)))
       }
       val path = s"$scratch/docs_$copies"
       perCopy.reduce(_ unionByName _)

@@ -647,7 +647,9 @@ object CorpusQueries {
     * single term with tf ≈ 3×10⁹ per source — plausible precisely
     * for the cross-document boilerplate this metric exists to flag —
     * where int64 wraps silently while DuckDB promotes to HUGEINT.
-    * Decimal is exact to Σtf² < 10³⁸, i.e. ~10¹⁹ tokens/source.
+    * Decimal is exact while Σtf(tf−1)·10⁶ < 10³⁸, i.e. Σtf² ≲ 10³²
+    * — ~10¹⁶ tokens/source in the worst (single-term) case; beyond
+    * that Spark yields NULL rather than a wrong value.
     *
     * Shape: one (source, term) partial-agg shuffle (map-side combine
     * collapses the token stream), then a source-key rollup —

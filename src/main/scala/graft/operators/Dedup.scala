@@ -242,22 +242,32 @@ object Dedup {
     * shingle and ran the 64-wide zip_with vote fold per shingle —
     * ~300 s at sf0.1 on m5's ~10³ char shingles/doc vs ~1 s here.
     */
-  def phashChar(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4): DataFrame = {
-    val exploded = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Exploded char k-shingle rows shared by both pHash families:
+    * (id, s) with ALL occurrences, and a doc too short to shingle
+    * KEPT as a single null-`s` row (explode_outer) — that row is what
+    * lets both families emit the all-zero hash for shingle-less docs
+    * (null hash → null votes → "0" nibbles, DuckDB's list_sum([])).
+    */
+  private def charShingleFrame(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
       .select(col(idCol),
         explode_outer(when(length(col("t")) >= k,
           sequence(lit(1), length(col("t")) - lit(k - 1)))).as("i"),
         col("t"))
-      .select(col(idCol), md5(col("t").substr(col("i"), lit(k))).as("d"))
+      .select(col(idCol), col("t").substr(col("i"), lit(k)).as("s"))
+
+  def phashChar(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
     // parse the 64-bit digest prefix ONCE per shingle; the project is
     // not collapsed into the aggregate (conv is non-cheap and
     // referenced 32×, so CollapseProject leaves the barrier alone)
-    val halves = exploded.select(col(idCol),
-      conv(substring(col("d"), 1, 8), 16, 10).cast("long").as("hi"),
-      conv(substring(col("d"), 9, 8), 16, 10).cast("long").as("lo"))
+    val halves = charShingleFrame(df, idCol, textCol, k)
+      .select(col(idCol), md5(col("s")).as("d"))
+      .select(col(idCol),
+        conv(substring(col("d"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("d"), 9, 8), 16, 10).cast("long").as("lo"))
     val votes = (0 until 64).map { p =>
       val c = p / 4 + 1 // 1-based hex char of the digest (simhashHex's nibble index)
       val (src, charsBelow) = if (c <= 8) (col("hi"), 8 - c) else (col("lo"), 16 - c)
@@ -273,18 +283,15 @@ object Dedup {
     * this family is NOT DuckDB-replayable: md5's `phashChar` stays
     * the oracle path (HashFunctions.minhashBaseXx's contract); pair-
     * finding equivalence on planted re-uploads is spec-checked and
-    * the speedup benched (`m5x_phash_xxhash`).
+    * the speedup benched (`m5x_phash_xxhash`). The null guard keeps
+    * the short-doc contract identical to the md5 family (bare
+    * xxhash64 would hash a NULL child to its seed, not null).
     */
   def phashCharXx(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4): DataFrame = {
-    val hashed = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
+    val hashed = charShingleFrame(df, idCol, textCol, k)
       .select(col(idCol),
-        explode_outer(when(length(col("t")) >= k,
-          sequence(lit(1), length(col("t")) - lit(k - 1)))).as("i"),
-        col("t"))
-      .select(col(idCol), xxhash64(col("t").substr(col("i"), lit(k))).as("h"))
+        when(col("s").isNotNull, xxhash64(col("s"))).as("h"))
     val votes = (0 until 64).map { p =>
       sum(shiftright(col("h"), p).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$p")
     }
@@ -333,10 +340,15 @@ object Dedup {
     // (measured 6+ s on 183k candidates at sf0.1 vs sub-second
     // here). Filter-before-distinct for the same reason: hamming is
     // now cheaper than the dedup exchange it precedes.
-    val withInts = hashed.select(col(idCol) +:
+    // Lineage-CUT the parsed hash frame (t15's rule): it fans out to
+    // THREE consumers — the oversized-bucket census and both join
+    // sides — and the upstream hash computation (m5's 64-vote
+    // aggregation over all shingles) is exactly the kind of producer
+    // that must not re-run per consumer.
+    val withInts = Checkpoints.cut(hashed.select(col(idCol) +:
       (0 until 4).map(b =>
         conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
-          .cast("long").as(s"b$b")): _*)
+          .cast("long").as(s"b$b")): _*))
     val banded0 = withInts.select(
       col(idCol) +: (0 until 4).map(b => col(s"b$b")) :+
         posexplode(array((0 until 4).map(b => col(s"b$b")): _*)): _*)

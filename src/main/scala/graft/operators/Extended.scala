@@ -1234,7 +1234,12 @@ object Extended {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("d"))
     val epoch = to_date(lit("1992-01-01"))
+    // null-day semantics are EXPLICIT on both engine sides: a null
+    // timestamp has no calendar day, so it contributes no streak row
+    // (collect_set would drop it silently on the Spark side only —
+    // the filter keeps the oracle honest if nulls ever appear)
     table(spark, dir, "events")
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy(col("user_id")).agg(collect_set(col("d")).as("days"))
       .select(col("user_id"), explode(col("days")).as("d"))
@@ -1257,7 +1262,7 @@ object Extended {
     """WITH ev AS (
       |  SELECT DISTINCT user_id,
       |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |r AS (
       |  SELECT user_id, d,
       |    date_diff('day', DATE '1992-01-01', d)

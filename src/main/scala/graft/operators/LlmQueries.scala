@@ -394,7 +394,6 @@ object LlmQueries {
     * ≤11-row rollup. Runs per index build like s9.
     */
   def d17MinhashError(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFunctions
     val docs = table(spark, dir, "documents")
     val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
       .select(col("id_a"), col("id_b"))

@@ -103,19 +103,6 @@ object Similarity {
     array_distinct(array((Seq(bucket) ++ singles ++ doubles): _*))
   }
 
-  /** Cross-SET multi-probe pairs: corpus × panel candidates whose SRP
-    * buckets are within Hamming ≤ 2, exact-cosine verified — the
-    * embedding-space contamination kernel (d21): the PANEL (held-out
-    * benchmark, small) explodes into its 1+n+n(n−1)/2 probe buckets,
-    * the corpus keeps its home bucket, so shuffle cardinality is
-    * corpus + 37·panel on the bucket key and pairwise cosine runs
-    * only inside matched buckets — never corpus×panel. The wider
-    * radius than multiProbeCosinePairs (≤ 1) is the operating point
-    * a contamination gate wants — recall-first, and the panel is
-    * tiny relative to the corpus, so the extra probes are free. A
-    * pair within the radius matches on exactly one probe row, so no
-    * distinct pass.
-    */
   /** The held-out panel exploded into its Hamming-≤2 probe buckets —
     * the static index a contamination gate probes: batch (d21 joins
     * the bucketed corpus against it) and streaming (the ingest gate
@@ -130,6 +117,19 @@ object Similarity {
       .select(col("bench_id"), col("qv"),
         explode(probeSet2(col("bucket"), nBits)).as("bucket"))
 
+  /** Cross-SET multi-probe pairs: corpus × panel candidates whose SRP
+    * buckets are within Hamming ≤ 2, exact-cosine verified — the
+    * embedding-space contamination kernel (d21): the PANEL (held-out
+    * benchmark, small) explodes into its 1+n+n(n−1)/2 probe buckets,
+    * the corpus keeps its home bucket, so candidate cardinality is
+    * ∝ bucket collisions and pairwise cosine runs only inside
+    * matched buckets — never corpus×panel. The wider radius than
+    * multiProbeCosinePairs (≤ 1) is the operating point a
+    * contamination gate wants — recall-first, and the panel is tiny
+    * relative to the corpus, so the extra probes are free. A pair
+    * within the radius matches on exactly one probe row, so no
+    * distinct pass.
+    */
   def multiProbeCrossPairs(corpus: DataFrame, panel: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       nBits: Int = 8, dims: Int = 64): DataFrame = {
