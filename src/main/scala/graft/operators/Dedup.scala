@@ -247,10 +247,20 @@ object Dedup {
     * KEPT as a single null-`s` row (explode_outer) — that row is what
     * lets both families emit the all-zero hash for shingle-less docs
     * (null hash → null votes → "0" nibbles, DuckDB's list_sum([])).
+    *
+    * NULL text is FILTERED, not hashed: the replaced expression-fold
+    * `simhashHex(charShingleSeq(text, k))` propagated NULL, so a
+    * NULL-text doc never entered pairing; keeping that contract here
+    * (rather than letting the null row fall into the all-zero-hash
+    * lane) stops every NULL-text doc from pairing with every other
+    * one — and with genuinely short docs — at Hamming 0. A NULL-text
+    * doc emits NO hash row (pinned by spec in MediaRankingSpec);
+    * empty/short NON-null text still emits the all-zero hash.
     */
   private def charShingleFrame(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), TextFunctions.normText(col(textCol)).as("t"))
       .select(col(idCol),
         explode_outer(when(length(col("t")) >= k,
@@ -328,7 +338,18 @@ object Dedup {
     * the shared kernel behind simhashPairs (text) and m5's perceptual-
     * hash media dedup: 4 bands of 16 bits each form the shuffle key,
     * and by pigeonhole any pair within Hamming 3 of 64 bits agrees on
-    * ≥1 band, so recall at the ≤3 radius is exact with no O(n²) stage.
+    * ≥1 band, with no O(n²) stage.
+    *
+    * Recall contract: exact at the ≤3 radius for pairs whose agreeing
+    * band lands OUTSIDE a capped bucket. A (band, chunk) bucket larger
+    * than `maxBucket` is dropped wholesale (skew guard below), so a
+    * pair whose ONLY agreeing bands all sit in oversized buckets is
+    * missed — at corpus scale the degenerate all-zero-hash bucket
+    * (trivial/short assets) is the realistic case. That is the
+    * deliberate trade (an uncapped degenerate bucket is quadratic);
+    * callers who need to see what was excluded get the census from
+    * `oversizedHashBuckets` — same inputs, tiny output — and can
+    * route those assets through exact d1-style hashing instead.
     */
   def hexHashPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
@@ -349,10 +370,7 @@ object Dedup {
       (0 until 4).map(b =>
         conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
           .cast("long").as(s"b$b")): _*))
-    val banded0 = withInts.select(
-      col(idCol) +: (0 until 4).map(b => col(s"b$b")) :+
-        posexplode(array((0 until 4).map(b => col(s"b$b")): _*)): _*)
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    val banded0 = bandedChunks(withInts, idCol)
     // Skew cap (minhashCandidates' guard, same rationale): a (band,
     // chunk) bucket of B assets contributes B² candidate rows, and a
     // template-degenerate chunk — the all-zero pHash of trivial
@@ -361,10 +379,11 @@ object Dedup {
     // exactly the hot keys that would skew the join, so they are
     // found with a tiny partial-agg groupBy and removed via a
     // broadcast anti-join (no window, no sort). The m5 oracle
-    // replays the cap; at test SFs no bucket comes near it.
-    val oversized = banded0.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
+    // replays the cap; at test SFs no bucket comes near it. The cap
+    // WEAKENS the pigeonhole recall guarantee for pairs inside the
+    // dropped buckets — see the Scaladoc contract above and
+    // `oversizedHashBuckets` for the census of what was excluded.
+    val oversized = oversizedFrom(banded0, maxBucket)
       .select(col("band"), col("chunk"))
     val banded = banded0.join(broadcast(oversized),
       Seq("band", "chunk"), "left_anti")
@@ -379,5 +398,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** (band, chunk) rows per asset — one of the 4 16-bit band ints as
+    * the chunk key, shared by the pairing join and the census.
+    */
+  private def bandedChunks(withInts: DataFrame, idCol: String): DataFrame =
+    withInts.select(
+      col(idCol) +: (0 until 4).map(b => col(s"b$b")) :+
+        posexplode(array((0 until 4).map(b => col(s"b$b")): _*)): _*)
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+
+  private def oversizedFrom(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** The buckets `hexHashPairs` DROPS under the same `maxBucket` cap —
+    * the visibility half of the skew guard's recall trade: each row is
+    * a (band, chunk) whose `bucket_n` members were excluded from
+    * pairing. Run it as a monitoring query next to the pairing job; a
+    * non-empty census means Hamming recall is no longer exact for
+    * pairs confined to these buckets (route those assets through
+    * exact fingerprint dedup instead). Same tiny partial-agg shape as
+    * the in-plan cap; output is bounded by the number of pathological
+    * buckets, not the corpus.
+    */
+  def oversizedHashBuckets(hashed: DataFrame, idCol: String,
+      hashCol: String, maxBucket: Int = 10000): DataFrame = {
+    val withInts = hashed.select(col(idCol) +:
+      (0 until 4).map(b =>
+        conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
+          .cast("long").as(s"b$b")): _*)
+    oversizedFrom(bandedChunks(withInts, idCol), maxBucket)
   }
 }

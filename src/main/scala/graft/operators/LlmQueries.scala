@@ -518,9 +518,13 @@ object LlmQueries {
     *
     * The synthetic embeddings are near-orthogonal, so the entry
     * PLANTS the leak deterministically (d11's plant rule): every
-    * panel item re-enters the corpus under id+2,000,000 with
-    * odd-index components scaled ×0.8 — a "paraphrase" at cosine
-    * ≈ 0.99 that shares no byte-level representation. Organic
+    * panel item re-enters the corpus under the NEGATED id −(id)−1
+    * with odd-index components scaled ×0.8 — a "paraphrase" at
+    * cosine ≈ 0.99 that shares no byte-level representation. The
+    * negative id space cannot collide with any genuine vec_id at any
+    * corpus size (a fixed positive offset like m5's +10⁶ would alias
+    * with real ids once the table grows past it — and unlike m5 the
+    * plant here re-enters the SAME table the query reads). Organic
     * threshold-crossers surface too; the oracle replays plant,
     * planes, and probes verbatim (d6's recipe).
     *
@@ -533,7 +537,7 @@ object LlmQueries {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val panel = ed.filter(col("vec_id") % 50 === 0)
     val paraphrased = panel.select(
-      (col("vec_id") + lit(2000000L)).as("vec_id"),
+      (-col("vec_id") - lit(1L)).as("vec_id"),
       transform(col("v"), (x, i) =>
         x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"))
     val corpus = ed.filter(col("vec_id") % 50 =!= 0).unionByName(paraphrased)
@@ -561,7 +565,7 @@ object LlmQueries {
 
   val d21EmbedContaminationSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |par AS (SELECT vec_id + 2000000 AS vec_id,
+      |par AS (SELECT -vec_id - 1 AS vec_id,
       |    [v[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE 0.8 END)
       |     for i in generate_series(1, len(v))] AS v
       |  FROM e WHERE vec_id % 50 = 0),
@@ -1566,8 +1570,10 @@ object LlmQueries {
     * this kernel is bit-identical and ~100× cheaper).
     * `Dedup.hexHashPairs` then shuffles on (band, 16-bit chunk) — by
     * pigeonhole a Hamming-≤3 pair agrees on ≥1 of 4 bands, so recall
-    * at the radius is exact with candidates ∝ band collisions, not
-    * n². Verify is a 16-nibble fold.
+    * at the radius is exact for pairs outside capped buckets (the
+    * oversized-bucket skew guard drops degenerate buckets; census via
+    * `Dedup.oversizedHashBuckets`) with candidates ∝ band collisions,
+    * not n². Verify is four bit_count(xor) int ops.
     */
   def m5PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val ph = Dedup.phashChar(m5Media(spark, dir), "media_id", "text", k = 4)

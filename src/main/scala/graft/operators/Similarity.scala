@@ -75,8 +75,15 @@ object Similarity {
     */
   def multiProbeCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame = {
-    val b = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", srpBucket(col("v"), nBits, dims))
+    // Lineage-CUT the bucketed frame (t15's rule): it feeds BOTH join
+    // sides, and without the cut each side re-runs the cast + nBits
+    // plane dot products over the whole corpus — the same
+    // two-consumer recompute that held d15/d17 2-3× above their warm
+    // numbers before their cuts (d5 measured 3.65 s median with 1.65 s
+    // warm-run headroom at sf0.1).
+    val b = Checkpoints.cut(
+      df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+        .withColumn("bucket", srpBucket(col("v"), nBits, dims)))
     val home = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val probes = b.select(col("id").as("id_b"), col("v").as("vb"),
       explode(probeSet(col("bucket"), nBits)).as("bucket"))
@@ -156,8 +163,10 @@ object Similarity {
     */
   def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame = {
-    val b = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", srpBucket(col("v"), nBits, dims))
+    // same two-consumer lineage cut as multiProbeCosinePairs
+    val b = Checkpoints.cut(
+      df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+        .withColumn("bucket", srpBucket(col("v"), nBits, dims)))
     val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     // each vector lives in exactly one bucket → every pair arises once

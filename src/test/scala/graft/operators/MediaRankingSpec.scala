@@ -105,6 +105,46 @@ class MediaRankingSpec extends SparkSpec {
     assert(uncapped.count(t => t._1 <= 5 && t._2 <= 5) === 10)
   }
 
+  test("phash NULL/empty text contract: NULL emits no hash row, empty emits all-zero") {
+    // NULL text must be EXCLUDED from hashing (the expression-fold
+    // simhash propagated NULL, so NULL-text docs never paired; the
+    // explode kernel keeps that contract by filtering) — otherwise
+    // every NULL-text doc pairs with every other one, and with every
+    // genuinely short doc, at hamming 0. Short-but-non-null text
+    // keeps the all-zero-hash lane.
+    val df = Seq((1L, null: String), (2L, ""), (3L, "ab"),
+      (4L, "a real document body with enough shingles to vote"))
+      .toDF("doc_id", "text")
+    Seq(Dedup.phashChar(df, "doc_id", "text", 4) -> "md5",
+        Dedup.phashCharXx(df, "doc_id", "text", 4) -> "xx").foreach {
+      case (hashed, fam) =>
+        val rows = hashed.as[(Long, String)].collect().toMap
+        assert(!rows.contains(1L), s"$fam: NULL text must emit no hash row")
+        assert(rows(2L) === "0000000000000000", fam)
+        assert(rows(3L) === "0000000000000000", fam)
+        assert(rows(4L) !== "0000000000000000", fam)
+    }
+  }
+
+  test("phash oversized-bucket census: dropped buckets are visible to callers") {
+    val degenerate = (1L to 5L).map(i => (i, "template template template template"))
+    val healthy = Seq((100L, "a genuinely unique document body here"),
+      (101L, "a genuinely unique document body here"))
+    val hashed = Dedup.phashChar(
+      (degenerate ++ healthy).toDF("doc_id", "text"), "doc_id", "text", 4)
+    // the five identical assets fill all four of their bands past a
+    // cap of 3 — the census must report exactly those four buckets
+    // with bucket_n = 5, and nothing from the healthy pair
+    val census = Dedup.oversizedHashBuckets(hashed, "doc_id", "phash",
+        maxBucket = 3)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(census.length === 4, s"got $census")
+    assert(census.map(_._1).sorted === (0 until 4))
+    assert(census.forall(_._3 === 5L))
+    // default cap: nothing oversized on this corpus — empty census
+    assert(Dedup.oversizedHashBuckets(hashed, "doc_id", "phash").count() === 0L)
+  }
+
   test("phash banding: no cartesian in the plan — candidates come from a band equi-join") {
     val plan = LlmQueries.m5PhashNeardup(spark, sf0)
       .queryExecution.executedPlan.toString

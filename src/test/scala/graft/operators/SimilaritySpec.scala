@@ -69,10 +69,11 @@ class SimilaritySpec extends SparkSpec {
     val out = LlmQueries.d21EmbedContamination(spark, dir)
       .as[(Long, Long)].collect().toSet
     // exactly: the collinear leak (1,50), plus the entry's own
-    // deterministic paraphrase plants of each bench item — and
-    // nothing else (2 stays clean against both bench items; the
-    // anti-collinear (2,100) pair scores cosine −1)
-    assert(out === Set((1L, 50L), (2000050L, 50L), (2000100L, 100L)),
+    // deterministic paraphrase plants of each bench item under the
+    // collision-proof NEGATED ids −(id)−1 — and nothing else (2 stays
+    // clean against both bench items; the anti-collinear (2,100) pair
+    // scores cosine −1)
+    assert(out === Set((1L, 50L), (-51L, 50L), (-101L, 100L)),
       s"unexpected contamination set: $out")
   }
 
@@ -83,7 +84,7 @@ class SimilaritySpec extends SparkSpec {
     import graft.functions.VectorFunctions.{cosine, toDouble}
     val ed = emb.select($"vec_id", toDouble($"embedding").as("v"))
     val bench = ed.filter($"vec_id" % 50 === 0)
-    val planted = bench.select(($"vec_id" + 2000000L).as("vec_id"),
+    val planted = bench.select((-$"vec_id" - 1L).as("vec_id"),
       transform($"v", (x, i) =>
         x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"))
     val corpus = ed.filter($"vec_id" % 50 =!= 0).unionByName(planted)
@@ -99,7 +100,7 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged.subsetOf(truth), s"false positives: ${flagged -- truth}")
     // every planted paraphrase sits at cosine ≈ 0.99 — Hamming-≤2
     // probing must find them all (deterministic planes, no flake)
-    val plantedPairs = truth.filter { case (c, b) => c == b + 2000000L }
+    val plantedPairs = truth.filter { case (c, b) => c == -b - 1L }
     assert(plantedPairs.subsetOf(flagged),
       s"planted paraphrases missed: ${plantedPairs -- flagged}")
     assert(flagged.size * 10 >= truth.size * 6,
