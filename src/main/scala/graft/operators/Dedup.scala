@@ -79,6 +79,9 @@ object Dedup {
       // md5 base = oracle-replayable (default); HashFunctions
       // .minhashBaseXx = faster production family, same API
       baseHash: Column => Column = HashFunctions.minhashBase): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently drop signature components from every band key")
     val rows = numHashes / bands
     val sig = minhashSigWide(df, idCol, textCol, shingleK, numHashes, baseHash)
     val bandCols = (0 until bands).map { b =>
@@ -398,6 +401,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ---------------------------------------------------------------
+  // LSH operating point: the (bands, rows) ↔ Jaccard-threshold map,
+  // and the loop back from d17's measured calibration curve.
+  // ---------------------------------------------------------------
+
+  /** The Jaccard threshold an LSH banding implicitly selects for: the
+    * candidate probability S-curve 1 − (1 − s^r)^b has its steepest
+    * rise at s* ≈ (1/b)^(1/r) (the standard MMDS approximation of the
+    * 50% crossover). Pairs well above s* are almost always candidates,
+    * pairs well below almost never — so choosing (b, r) IS choosing a
+    * dedup threshold, and at 10⁹+ docs the right point moves (more
+    * rows per band → higher s* → fewer false-positive candidates from
+    * sheer corpus size).
+    */
+  def lshOperatingPoint(bands: Int, rowsPerBand: Int): Double = {
+    require(bands > 0 && rowsPerBand > 0)
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+  }
+
+  /** Pick the (bands, rowsPerBand) factorization of a signature width
+    * whose operating point lands closest to `targetJaccard` —
+    * deterministic (ties resolve to more bands = recall-first). This
+    * is how a pipeline retunes its index for corpus growth without
+    * changing the signature kernel: same `numHashes` minhashes, new
+    * banding, new effective threshold.
+    */
+  def chooseBanding(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(numHashes > 0 && targetJaccard > 0.0 && targetJaccard < 1.0)
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    options.minBy { case (b, r) =>
+      (math.abs(lshOperatingPoint(b, r) - targetJaccard), -b)
+    }
+  }
+
+  /** A fully resolved LSH operating point: the banding, its implied
+    * Jaccard threshold, and — when a d17-style calibration curve is
+    * supplied — the MEASURED mean absolute estimator error (micro
+    * units) in the threshold's Jaccard decile on the caller's own
+    * corpus. The error is what the threshold is worth in practice: an
+    * operating point of 0.7 with ±0.15 measured estimator error is a
+    * very different index than one with ±0.02.
+    */
+  final case class LshOperatingPoint(bands: Int, rowsPerBand: Int,
+      threshold: Double, measuredAbsErrMicro: Option[Long])
+
+  /** Close the loop from d17's calibration: choose the banding for
+    * `targetJaccard` and annotate it with the measured estimator
+    * error at that threshold's decile from `calibrationCurve` —
+    * d17's output shape (bucket = Jaccard decile 0-10, n_pairs,
+    * mean_abs_err_micro). The curve is ≤ 11 rows by construction
+    * (one per decile), so the collect is a bounded-artifact read,
+    * never a corpus action.
+    */
+  def calibratedOperatingPoint(calibrationCurve: DataFrame,
+      numHashes: Int, targetJaccard: Double): LshOperatingPoint = {
+    val (b, r) = chooseBanding(numHashes, targetJaccard)
+    val s = lshOperatingPoint(b, r)
+    val decile = math.min(10, (s * 10).toInt)
+    val err = calibrationCurve
+      .filter(col("bucket") === decile)
+      .select(col("mean_abs_err_micro").cast("long"))
+      .collect().headOption.map(_.getLong(0))
+    LshOperatingPoint(b, r, s, err)
   }
 
   /** (band, chunk) rows per asset — one of the 4 16-bit band ints as

@@ -97,14 +97,22 @@ object IncrementalDedup {
     * the index's partitioning (IncrementalDedupSpec pins it). The
     * write-time shuffle is paid once per corpus build, not per batch.
     */
+  /** `numHashes`/`bands` select the index's LSH operating point
+    * (`Dedup.lshOperatingPoint`; retune for corpus growth via
+    * `Dedup.chooseBanding`) — `probeBatch` must be called with the
+    * SAME banding the index was built with, or batch band keys can
+    * never match corpus postings.
+    */
   def buildIndexes(corpus: DataFrame, buckets: Int = 32,
-      prefix: String = "graft_dedup"): Unit = {
+      prefix: String = "graft_dedup",
+      numHashes: Int = 16, bands: Int = 4): Unit = {
     val fp = corpus.select(fingerprintMd5(col("text")).as("fp")).distinct()
     graft.sources.Bucketing.writeBucketed(fp, s"${prefix}_fp", "fp", buckets)
-    val bands = Dedup.minhashBands(corpus, "doc_id", "text")
+    val bandRows = Dedup.minhashBands(corpus, "doc_id", "text",
+        numHashes = numHashes, bands = bands)
       .select(col("doc_id").as("id_b"),
         concat_ws("|", col("band"), col("band_hash")).as("bkey"))
-    graft.sources.Bucketing.writeBucketed(bands, s"${prefix}_bands", "bkey", buckets)
+    graft.sources.Bucketing.writeBucketed(bandRows, s"${prefix}_bands", "bkey", buckets)
   }
 
   /** Dedup an incoming batch against the PERSISTED indexes
@@ -116,12 +124,14 @@ object IncrementalDedup {
     * re-index.
     */
   def probeBatch(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
-      maxBucket: Int = 1000, prefix: String = "graft_dedup"): DataFrame = {
+      maxBucket: Int = 1000, prefix: String = "graft_dedup",
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val fpC = spark.table(s"${prefix}_fp")
     val bandsC = spark.table(s"${prefix}_bands")
     val exactDup = batch.select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .join(fpC, "fp").select(col("doc_id")).distinct()
-    val bB = Dedup.minhashBands(batch, "doc_id", "text")
+    val bB = Dedup.minhashBands(batch, "doc_id", "text",
+        numHashes = numHashes, bands = bands)
       .select(col("doc_id").as("id_a"),
         concat_ws("|", col("band"), col("band_hash")).as("bkey"))
     val hot = bandsC.groupBy(col("bkey")).agg(count(lit(1)).as("n"))

@@ -39,12 +39,21 @@ object LlmQueries {
   // (HashFunctions.minhashA/B/P) — the universal-hash minhash is
   // oracle-exact by construction, like the salted-md5 family it
   // replaced, at 1/16th of the digest cost.
-  val d2MinhashLshSql: String = {
+  /** The d2 oracle, parameterized over the LSH operating point — the
+    * oracle generator and `Dedup.minhashBands` take the SAME
+    * (numHashes, bands), so a pipeline that retunes its banding for
+    * corpus growth (`Dedup.chooseBanding`) regenerates a matching
+    * oracle from the same universal-hash constants. The shipped d2
+    * entry runs the (16, 4) default.
+    */
+  def d2MinhashLshSqlFor(numHashes: Int, bands: Int): String = {
     import graft.functions.HashFunctions.{minhashA, minhashB, MinhashP => P}
-    val minCols = (0 until 16).map(j =>
+    require(bands > 0 && numHashes % bands == 0)
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes).map(j =>
       s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $P) AS h$j").mkString(", ")
-    val bandSelects = (0 until 4).map { b =>
-      val cols = (0 until 4).map(r => s"h${b * 4 + r}::VARCHAR").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"h${b * rows + r}::VARCHAR").mkString(", ")
       s"SELECT doc_id, $b::INT AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
     }.mkString(" UNION ALL ")
     s"""WITH norm AS (
@@ -62,6 +71,8 @@ object LlmQueries {
       |SELECT * FROM ($bandSelects)
       |ORDER BY doc_id, band""".stripMargin
   }
+
+  val d2MinhashLshSql: String = d2MinhashLshSqlFor(16, 4)
 
   /** §2.3 d3: 64-bit SimHash per document as hex. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -393,16 +404,31 @@ object LlmQueries {
     * both join sides. The compare is two panel equi-joins + a
     * ≤11-row rollup. Runs per index build like s9.
     */
-  def d17MinhashError(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+  def d17MinhashError(spark: SparkSession, dir: String): DataFrame =
+    minhashCalibration(table(spark, dir, "documents"))
+
+  /** The d17 kernel, parameterized over the signature width — the
+    * measurement half of `Dedup.calibratedOperatingPoint`'s loop: a
+    * pipeline that retunes (numHashes, banding) for corpus growth
+    * re-runs this curve at the new width to know what the new
+    * operating point's estimate is worth on its corpus. `numHashes`
+    * must divide 10⁶ so the per-match micro step stays an exact
+    * integer (the entry's 16 → 62 500; 8/20/25/32/40/50/64… also
+    * qualify — the micro-unit convention of SURVEY §5).
+    */
+  def minhashCalibration(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+    require(numHashes > 0 && 1000000 % numHashes == 0,
+      s"numHashes ($numHashes) must divide 1e6 for exact micro-unit estimates")
+    val microPerMatch = 1000000L / numHashes
     val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
       .select(col("id_a"), col("id_b"))
     val shSig = Checkpoints.cut(
-      Dedup.shingleSetWithSignature(docs, "doc_id", "text"))
+      Dedup.shingleSetWithSignature(docs, "doc_id", "text",
+        numHashes = numHashes))
     def side(s: String) = shSig.select(
       col("doc_id").as(s"id_$s"), col("sh").as(s"sh_$s"),
-      array((0 until 16).map(j => col(s"h$j")): _*).as(s"sig_$s"))
-    val est16 = aggregate(
+      array((0 until numHashes).map(j => col(s"h$j")): _*).as(s"sig_$s"))
+    val estMatches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
@@ -410,7 +436,7 @@ object LlmQueries {
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .select(col("jaccard"), (est16 * lit(62500L)).as("est_micro"))
+      .select(col("jaccard"), (estMatches * lit(microPerMatch)).as("est_micro"))
       .withColumn("err",
         abs(col("est_micro") - round(col("jaccard") * 1000000).cast("long")))
       .groupBy(floor(col("jaccard") * 10).cast("int").as("bucket"))
@@ -563,25 +589,93 @@ object LlmQueries {
     (Seq(bucketExpr) ++ singles ++ doubles).mkString("[", ", ", "]")
   }
 
-  val d21EmbedContaminationSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |par AS (SELECT -vec_id - 1 AS vec_id,
+  /** Shared CTE prefix for the d21/d22 pair: planted corpus (negated
+    * plant ids), SRP-bucketed corpus (label carried through for d22's
+    * census), and the panel exploded into its Hamming-≤2 probe
+    * buckets — the SQL replay of `Similarity.multiProbeCrossPairs`'
+    * inputs.
+    */
+  private val contaminationCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |par AS (SELECT -vec_id - 1 AS vec_id, label,
       |    [v[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE 0.8 END)
       |     for i in generate_series(1, len(v))] AS v
       |  FROM e WHERE vec_id % 50 = 0),
       |corpus0 AS (
-      |  SELECT vec_id, v FROM e WHERE vec_id % 50 != 0
-      |  UNION ALL SELECT vec_id, v FROM par),
-      |corpus AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM corpus0),
+      |  SELECT vec_id, label, v FROM e WHERE vec_id % 50 != 0
+      |  UNION ALL SELECT vec_id, label, v FROM par),
+      |corpus AS (SELECT vec_id, label, v, ${srpBucketSql("v")} AS bucket FROM corpus0),
       |bench0 AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
       |           FROM e WHERE vec_id % 50 = 0),
       |bench AS (SELECT vec_id, v,
       |    unnest(list_distinct(${srpProbe2ListSql("bucket")})) AS bucket
-      |  FROM bench0)
+      |  FROM bench0)""".stripMargin
+
+  val d21EmbedContaminationSql: String =
+    s"""WITH $contaminationCtes
       |SELECT c.vec_id AS corpus_id, q.vec_id AS bench_id
       |FROM corpus c JOIN bench q USING (bucket)
       |WHERE list_cosine_similarity(c.v, q.v) > 0.42
       |ORDER BY corpus_id, bench_id""".stripMargin
+
+  /** §2.3 d22: DECONTAMINATION — the action d21's report feeds, the
+    * same census→scrub pairing d18→d19 proves for duplicated spans:
+    * d21 lists the (corpus_id, bench_id) leak pairs; this entry
+    * actually REMOVES the flagged docs from the corpus and reports
+    * the per-label decontamination census (total / kept / dropped /
+    * kept id range) a corpus build signs off on. Retention policy is
+    * d14's hard-drop shape: any corpus vector cosine-near ANY
+    * benchmark item goes; everything else is kept untouched.
+    *
+    * Scale: the flag set comes from d21's kernel (corpus side never
+    * exchanges — the panel probe index is force-broadcast), collapses
+    * to DISTINCT flagged ids (an exchange carrying only flagged rows:
+    * map-side partial agg dedups before the shuffle, and
+    * contamination is rare by contract), and the drop decision is ONE
+    * BROADCAST left join against the corpus — the corpus never hash-
+    * shuffles anywhere in the plan; the census rollup is a label-
+    * cardinality partial agg. Same zero-corpus-exchange contract as
+    * d21, spec-pinned.
+    */
+  def d22Decontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDouble
+    val ed = table(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val panel = ed.filter(col("vec_id") % 50 === 0)
+    val paraphrased = panel.select(
+      (-col("vec_id") - lit(1L)).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"),
+      col("label"))
+    val corpus = ed.filter(col("vec_id") % 50 =!= 0).unionByName(paraphrased)
+    val flagged = Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v", 0.42)
+      .select(col("corpus_id").as("vec_id")).distinct()
+      .withColumn("flagged", lit(1))
+    corpus.join(broadcast(flagged), Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("flagged").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("flagged").isNull, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("flagged").isNull, col("vec_id"))).as("kept_min_id"),
+        max(when(col("flagged").isNull, col("vec_id"))).as("kept_max_id"))
+      .orderBy(col("label"))
+  }
+
+  val d22DecontamSql: String =
+    s"""WITH $contaminationCtes,
+      |flagged AS (
+      |  SELECT DISTINCT c.vec_id FROM corpus c JOIN bench q USING (bucket)
+      |  WHERE list_cosine_similarity(c.v, q.v) > 0.42)
+      |SELECT c.label, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN f.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  min(CASE WHEN f.vec_id IS NULL THEN c.vec_id END) AS kept_min_id,
+      |  max(CASE WHEN f.vec_id IS NULL THEN c.vec_id END) AS kept_max_id
+      |FROM corpus c LEFT JOIN flagged f ON f.vec_id = c.vec_id
+      |GROUP BY c.label ORDER BY c.label""".stripMargin
 
   /** §2.4 s1: brute-force cosine top-5 for queries vec_id < 8. */
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {

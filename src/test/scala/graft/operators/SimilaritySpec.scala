@@ -119,6 +119,57 @@ class SimilaritySpec extends SparkSpec {
       s"corpus must not shuffle for the contamination check:\n$plan")
   }
 
+  test("d22 decontam: planted paraphrases and the leaked source are dropped, nothing else") {
+    // same fixture as the d21 planted test, with labels: vector 1 is
+    // the leak (collinear with bench item 50), vector 2 is clean.
+    // d22 must DROP the leak and both of the entry's own paraphrase
+    // plants, and KEEP everything else — the census→scrub pairing.
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
+    val dir = tmpDir("d22_fixture")
+    Seq(
+      (1L, v.toSeq, 0),                       // corpus: leaked source → dropped
+      (2L, far.toSeq, 0),                     // corpus: clean → kept
+      (3L, far.map(x => x * 0.5f).toSeq, 1),  // corpus: collinear w/ 2 but NOT with any bench item → kept
+      (50L, v.map(x => x * 0.93f).toSeq, 1),  // bench: paraphrase of 1
+      (100L, far.map(x => -x).toSeq, 1))      // bench: anti-collinear to 2/3
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    // corpus after planting: {1, 2, 3} ∪ plants {-51, -101}
+    // flagged: 1 (leak), -51, -101 (plants are near their sources)
+    val out = LlmQueries.d22Decontam(spark, dir)
+      .as[(Int, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, tot0, drop0, kept0, mn0, mx0) = out(0)
+    assert((tot0, drop0, kept0) === (2L, 1L, 1L), s"label 0: ${out(0)}")
+    assert(mn0.contains(2L) && mx0.contains(2L), "label 0 keeps exactly vector 2")
+    val (_, tot1, drop1, kept1, mn1, mx1) = out(1)
+    assert((tot1, drop1, kept1) === (3L, 2L, 1L), s"label 1: ${out(1)}")
+    assert(mn1.contains(3L) && mx1.contains(3L), "label 1 keeps exactly vector 3")
+    // cross-check against d21's report: dropped count = distinct flagged ids
+    val flaggedIds = LlmQueries.d21EmbedContamination(spark, dir)
+      .select($"corpus_id").distinct().as[Long].collect().toSet
+    assert(flaggedIds === Set(1L, -51L, -101L))
+    assert(drop0 + drop1 === flaggedIds.size.toLong)
+  }
+
+  test("d22 decontam plan: corpus never hash-shuffles; drop decision is a broadcast join") {
+    val plan = LlmQueries.d22Decontam(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // two broadcast joins: the panel probe index (d21's kernel) and
+    // the flagged-id drop decision
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"both the probe and the drop must broadcast:\n$plan")
+    // the only hash exchanges are bounded: the flagged-id distinct
+    // (carries flagged rows only — partial agg dedups map-side) and
+    // the label-cardinality census rollup. The corpus itself — the
+    // 100 TB side — reaches both of its joins without exchanging.
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"corpus-side exchange crept in ($exchanges hash exchanges):\n$plan")
+  }
+
   test("IVF ANN: learned index matches or beats SRP recall on planted neighbors") {
     val src = emb.filter($"vec_id" < 25)
       .as[(Long, Seq[Float], Int)].collect()
