@@ -1676,12 +1676,18 @@ object LlmQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val m5PhashNeardupSql: String = {
-    // Hamming over 4 bands of 16 bits: xor the band ints, popcount.
-    def ham(k: Int) =
-      s"bit_count(xor(('0x' || substr(pa, ${k * 4 + 1}, 4))::BIGINT, ('0x' || substr(pb, ${k * 4 + 1}, 4))::BIGINT))"
-    val hamming = (0 until 4).map(ham).mkString(" + ")
-    s"""WITH media AS (
+  // Hamming over 4 bands of 16 bits: xor the band ints, popcount.
+  private def m5HamSql(k: Int) =
+    s"bit_count(xor(('0x' || substr(pa, ${k * 4 + 1}, 4))::BIGINT, ('0x' || substr(pb, ${k * 4 + 1}, 4))::BIGINT))"
+  private val m5HammingSql = (0 until 4).map(m5HamSql).mkString(" + ")
+
+  /** Shared CTE chain for the m5/e2e_media oracles: planted media
+    * corpus → per-shingle md5 nibbles → 64 bit votes → pHash → bands →
+    * skew cap → candidate pairs (id_a, id_b, pa, pb) — the SQL replay
+    * of `Dedup.phashChar` + `Dedup.hexHashPairs`' candidate stage.
+    */
+  private val m5PairCtes: String =
+    s"""media AS (
       |  SELECT doc_id AS media_id,
       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
       |  FROM documents
@@ -1725,11 +1731,110 @@ object LlmQueries {
       |    a.phash AS pa, c.phash AS pb
       |  FROM bands a JOIN bands c ON a.b = c.b AND a.chunk = c.chunk
       |    AND a.media_id < c.media_id
-      |)
-      |SELECT id_a, id_b, CAST($hamming AS BIGINT) AS hamming
-      |FROM cand WHERE $hamming <= 3
+      |)""".stripMargin
+
+  val m5PhashNeardupSql: String =
+    s"""WITH $m5PairCtes
+      |SELECT id_a, id_b, CAST($m5HammingSql AS BIGINT) AS hamming
+      |FROM cand WHERE $m5HammingSql <= 3
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.6 e2e_media: the MEDIA pipeline COMPOSED end-to-end — the
+    * multimodal mirror of `e2e_curation`'s proof that the text
+    * pipeline composes: m1's byte metadata → m5's pHash near-dup
+    * pairs → d9's connected-component clusters → d14's retention
+    * (keep the LARGEST asset per cluster, ties by min id — the
+    * keep-the-best-encode rule; singletons keep themselves) → m4's
+    * byte-budgeted shard manifest over the SURVIVORS. One plan, one
+    * oracle: what a media corpus build actually executes before a
+    * tar-shard writer runs.
+    *
+    * Scale: each stage keeps its own entry's shape — explode/partial-
+    * agg hashing, banded candidate join with the skew cap, O(log
+    * diameter) pointer-jumping components, a cluster-key window over
+    * cluster-sized partitions, and a per-source running-byte window
+    * (never a global sort). The planted re-uploads (m5's every-25th
+    * convention) make retention non-vacuous on every run: the copy
+    * loses the (bytes, id) tie to its original, so the manifest is
+    * plant-free by construction — the oracle replays all five stages
+    * and must agree on exactly that.
+    */
+  def e2eMedia(spark: SparkSession, dir: String): DataFrame = {
+    val media = m5Media(spark, dir)
+    val ph = Dedup.phashChar(media, "media_id", "text", k = 4)
+    val pairs = Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
+    val clusters = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    val docs = table(spark, dir, "documents")
+    val meta = docs
+      .select(col("doc_id").as("media_id"), col("source"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("media_id"), col("source"),
+          octet_length(col("text")).cast("long").as("n_bytes")))
+    val assigned = meta.join(clusters, meta("media_id") === clusters("node"), "left")
+      .select(col("media_id"), col("source"), col("n_bytes"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster"))
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n_bytes").desc, col("media_id"))
+    val kept = assigned.withColumn("rk", row_number().over(wKeep))
+      .filter(col("rk") === 1)
+      .select(col("media_id"), col("source"), col("n_bytes"))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    kept
+      .withColumn("byte_before", sum(col("n_bytes")).over(wShard) - col("n_bytes"))
+      .withColumn("shard_id",
+        floor(col("byte_before") / lit(ShardBudgetBytes)).cast("long"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).cast("long").as("shard_bytes"),
+        min(col("media_id")).as("min_id"), max(col("media_id")).as("max_id"))
+      .orderBy(col("source"), col("shard_id"))
   }
+
+  val e2eMediaSql: String =
+    s"""WITH RECURSIVE $m5PairCtes,
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand WHERE $m5HammingSql <= 3
+      |), pedges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), preach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM pedges
+      |  UNION
+      |  SELECT e.dst, r.label FROM preach r JOIN pedges e ON e.src = r.node
+      |  WHERE r.label < e.dst
+      |), clusters AS (
+      |  SELECT node, min(label) AS cluster_id FROM preach GROUP BY node
+      |), meta AS (
+      |  SELECT doc_id AS media_id, source, strlen(text) AS n_bytes FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, strlen(text)
+      |  FROM documents WHERE doc_id % 25 = 0
+      |), assigned AS (
+      |  SELECT m.media_id, m.source, m.n_bytes,
+      |    coalesce(c.cluster_id, m.media_id) AS cluster
+      |  FROM meta m LEFT JOIN clusters c ON c.node = m.media_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY n_bytes DESC, media_id) AS rk
+      |  FROM assigned
+      |), kept AS (
+      |  SELECT media_id, source, n_bytes FROM ranked WHERE rk = 1
+      |), running AS (
+      |  SELECT source, media_id, n_bytes,
+      |    sum(n_bytes) OVER (PARTITION BY source ORDER BY media_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+      |      AS byte_before
+      |  FROM kept
+      |)
+      |SELECT source, CAST(byte_before // $ShardBudgetBytes AS BIGINT) AS shard_id,
+      |  count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+      |  min(media_id) AS min_id, max(media_id) AS max_id
+      |FROM running GROUP BY source, byte_before // $ShardBudgetBytes
+      |ORDER BY source, shard_id""".stripMargin
 
   // ---------------------------------------------------------------
   // s12: graded ranking quality (NDCG) of the LSH index

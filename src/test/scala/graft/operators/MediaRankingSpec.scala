@@ -152,6 +152,55 @@ class MediaRankingSpec extends SparkSpec {
       s"banded pairing must never plan a cartesian:\n$plan")
   }
 
+  // -------------------------------------------------------------- e2e_media
+
+  test("e2e_media conservation: every asset kept or attributed to a kept representative") {
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+    // the media universe the pipeline runs on: corpus + every-25th plants
+    val assets = docs.select($"doc_id".as("media_id"),
+        octet_length($"text").cast("long").as("n_bytes"))
+      .unionByName(docs.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 1000000L).as("media_id"),
+          octet_length($"text").cast("long").as("n_bytes")))
+      .as[(Long, Long)].collect().toMap
+    // clusters from the ORACLED m5 pair table + the spec-tested
+    // component operator; retention = largest bytes, ties min id
+    val pairs = LlmQueries.m5PhashNeardup(spark, sf0)
+      .select($"id_a", $"id_b")
+    val clusters = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2).map { case (cid, ms) => cid -> ms.map(_._1) }
+    val inCluster = clusters.map(_._1).toSet
+    val expectedKept = assets.keySet.filterNot(inCluster.contains) ++
+      byCluster.values.map(ms => ms.maxBy(m => (assets(m), -m)))
+    val manifest = LlmQueries.e2eMedia(spark, sf0)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // conservation: manifest item count = kept assets; bytes conserved
+    assert(manifest.map(_._3).sum === expectedKept.size.toLong)
+    assert(manifest.map(_._4).sum === expectedKept.toSeq.map(assets).sum)
+    // every dropped asset's cluster keeps a DIFFERENT representative
+    val dropped = assets.keySet -- expectedKept
+    dropped.foreach { m =>
+      val cid = clusters.find(_._1 == m).get._2
+      val rep = byCluster(cid).maxBy(x => (assets(x), -x))
+      assert(rep != m && expectedKept.contains(rep), s"asset $m has no kept rep")
+    }
+    // plants are exact copies: they always lose the (bytes, id) tie to
+    // their original, so the shipped manifest is plant-free
+    assert(manifest.forall(_._6 < 1000000L),
+      "a planted re-upload survived retention")
+    assert(dropped.exists(_ >= 1000000L), "plants must be exercised")
+    // shard contiguity per source: ids ordered with shard ids
+    manifest.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) === (0L until sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$src: shard id ranges overlap")
+        case _ =>
+      }
+    }
+  }
+
   // -------------------------------------------------------------- s12
 
   test("ndcg: perfect ranking scores exactly 1, worse rankings strictly less") {
