@@ -12,8 +12,15 @@ object Verify {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // SPARK_GRAFT_ANSI=true: audit mode — strict ANSI evaluation makes
+    // any silent int64 wrap / cast truncation THROW instead of
+    // corrupting a result (the p12/t25 class of bug the SF sweeps
+    // cannot reach; SURVEY §5 integer-width rule). Run once per round
+    // over the full entry set; default off matches the driver.
+    val ansi = sys.env.get("SPARK_GRAFT_ANSI").contains("true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.ansi.enabled", ansi.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")

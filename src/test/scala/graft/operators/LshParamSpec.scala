@@ -15,42 +15,7 @@ import org.apache.spark.sql.functions._
   */
 class LshParamSpec extends SparkSpec {
   import spark.implicits._
-  import graft.functions.HashFunctions.{minhashA, minhashB, MinhashP => P}
-
-  // ---- JVM oracle: the identical byte-level pipeline -------------
-  // normText: regexp_replace(\s+ → ' ') then trim (Spark trims 0x20
-  // ONLY — Java's String.trim strips all chars ≤ 0x20, so replicate
-  // the space-only trim explicitly) then lower.
-  private def jvmNorm(s: String): String =
-    s.replaceAll("\\s+", " ").replaceAll("\\A +| +\\z", "")
-      .toLowerCase(java.util.Locale.ROOT)
-
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private def jvmShingles(text: String, k: Int): Seq[String] = {
-    val t = jvmNorm(text)
-    if (t.length < k) Nil
-    else (0 to t.length - k).map(i => t.substring(i, i + k)).distinct
-  }
-
-  private def jvmSignature(text: String, numHashes: Int): Option[Seq[Long]] = {
-    val sh = jvmShingles(text, 5)
-    if (sh.isEmpty) None
-    else Some {
-      val bases = sh.map(s => java.lang.Long.parseLong(md5hex(s).take(8), 16) % P)
-      (0 until numHashes).map(j =>
-        bases.map(h => (h * minhashA(j) + minhashB(j)) % P).min)
-    }
-  }
-
-  private def jvmBands(text: String, numHashes: Int, bands: Int): Option[Seq[(Int, String)]] =
-    jvmSignature(text, numHashes).map { sig =>
-      val rows = numHashes / bands
-      (0 until bands).map(b =>
-        b -> md5hex(sig.slice(b * rows, b * rows + rows).mkString("|")))
-    }
+  import graft.TestOracles.{jvmBands, jvmShingles, jvmSignature, md5hex}
 
   // BMP-only corpus (Spark substr counts code points, Java counts
   // UTF-16 units — identical on the basic plane), lowercase unicode
