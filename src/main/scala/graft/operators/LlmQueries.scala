@@ -1753,17 +1753,45 @@ object LlmQueries {
     * agg hashing, banded candidate join with the skew cap, O(log
     * diameter) pointer-jumping components, a cluster-key window over
     * cluster-sized partitions, and a per-source running-byte window
-    * (never a global sort). The planted re-uploads (m5's every-25th
+    * (never a global sort). Clusters come from the MATERIALIZED
+    * `mediaClusters` artifact (the d9/d14 pattern: the hash pipeline
+    * runs once per corpus version; serving the manifest is joins +
+    * windows with ZERO re-hashing — plan-spec-pinned Generate-free).
+    * The planted re-uploads (m5's every-25th
     * convention) make retention non-vacuous on every run: the copy
     * loses the (bytes, id) tie to its original, so the manifest is
     * plant-free by construction — the oracle replays all five stages
     * and must agree on exactly that.
     */
+  private val mediaClusterArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The materialized media near-dup cluster table — the media-side
+    * twin of `documentClusters`: the pHash → banded pairs →
+    * connected-components pipeline runs ONCE per corpus version and
+    * lands as parquet clustered on cluster_id; every consumer
+    * (e2e_media's retention today, ad-hoc joins tomorrow) reads the
+    * artifact instead of re-hashing the corpus. Same staleness stamp
+    * + single-flight discipline as the document artifact.
+    */
+  def mediaClusters(spark: SparkSession, dir: String): DataFrame = {
+    val stamp = Artifacts.corpusStamp(spark, s"$dir/documents.parquet")
+    val key = s"${spark.sparkContext.applicationId}|$dir|$stamp"
+    val path = mediaClusterArtifacts.synchronized(
+      mediaClusterArtifacts.getOrElseUpdate(key, {
+        val media = m5Media(spark, dir)
+        val ph = Dedup.phashChar(media, "media_id", "text", k = 4)
+        val pairs = Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
+        val clusters = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+        val out = Artifacts.path(spark, "mcc", key)
+        graft.sources.Layout.writeClustered(clusters, out, Seq("cluster_id"))
+        out
+      }))
+    spark.read.parquet(path)
+  }
+
   def e2eMedia(spark: SparkSession, dir: String): DataFrame = {
-    val media = m5Media(spark, dir)
-    val ph = Dedup.phashChar(media, "media_id", "text", k = 4)
-    val pairs = Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
-    val clusters = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    val clusters = mediaClusters(spark, dir)
     val docs = table(spark, dir, "documents")
     val meta = docs
       .select(col("doc_id").as("media_id"), col("source"),

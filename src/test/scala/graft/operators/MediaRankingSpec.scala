@@ -201,6 +201,23 @@ class MediaRankingSpec extends SparkSpec {
     }
   }
 
+  test("e2e_media serves from the materialized cluster artifact: no re-hashing in the plan") {
+    // the entry's plan must contain NO Generate (the shingle explode
+    // lives only in the artifact build, which runs once per corpus
+    // version) — serving the shard manifest is joins + windows over
+    // the artifact scan, the d9/d14 artifact contract
+    val plan = LlmQueries.e2eMedia(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"manifest serving must not re-run the hash pipeline:\n$plan")
+    // and the artifact is stable: two reads agree exactly
+    val a = LlmQueries.mediaClusters(spark, sf0)
+      .as[(Long, Long)].collect().toSet
+    val b = LlmQueries.mediaClusters(spark, sf0)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   // -------------------------------------------------------------- s12
 
   test("ndcg: perfect ranking scores exactly 1, worse rankings strictly less") {
