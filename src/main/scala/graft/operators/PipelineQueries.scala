@@ -373,7 +373,39 @@ object PipelineQueries {
       .select(col("doc_id"), concat(wsTokens(col("text")), col("ptoks")).as("tk"))
   }
 
-  def d11PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+  private val passagePairArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The materialized passage-pair table (doc_a, doc_b, n_shared ≥ 3)
+    * — d11's product and d20's input, landed once per corpus version
+    * as parquet clustered on doc_a (documentClusters'/mediaClusters'
+    * pattern): the window-hash pipeline is the expensive part, and
+    * BOTH consumers previously re-ran it per query (the two slowest
+    * bench entries after round 12's other fixes, 2.5 s each). Serving
+    * either entry warm is a scan + rollup with zero re-hashing.
+    */
+  def passagePairs(spark: SparkSession, dir: String): DataFrame = {
+    val stamp = graft.operators.Artifacts.corpusStamp(spark, s"$dir/documents.parquet")
+    val key = s"${spark.sparkContext.applicationId}|$dir|$stamp"
+    val path = passagePairArtifacts.synchronized(
+      passagePairArtifacts.getOrElseUpdate(key, {
+        val out = graft.operators.Artifacts.path(spark, "ppair", key)
+        graft.sources.Layout.writeClustered(
+          passagePairPipeline(spark, dir), out, Seq("doc_a"))
+        out
+      }))
+    spark.read.parquet(path)
+  }
+
+  def d11PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    passagePairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The full window-hash pipeline behind the artifact (one run per
+    * corpus version; package-visible so PlanSpec pins the BUILD
+    * plan's shape — the serving plan is pinned separately as
+    * Generate-free).
+    */
+  private[graft] def passagePairPipeline(spark: SparkSession, dir: String): DataFrame = {
     val planted = plantedSpanToks(spark, dir)
     // hash INSIDE a transform over the post-exchange `tk` attribute,
     // then explode only the resulting longs: the explode-over-positions
@@ -400,7 +432,6 @@ object PipelineQueries {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Shared CTE prefix for d11/d20: plant → windows → df cap →
@@ -441,14 +472,15 @@ object PipelineQueries {
     * doc pairs share passages and how many shared windows in total.
     * The corpus-governance view of duplication: "src3 keeps
     * republishing src1" is an acquisition/licensing decision, not a
-    * per-doc one, and no per-doc report surfaces it. Composes d11's
-    * pipeline (the pair table is the expensive part, one run) with
-    * two broadcast-sized dimension joins and a (source, source)
-    * partial agg — output bounded by #sources², input bounded by
-    * d11's pair cardinality. All integer counts.
+    * per-doc one, and no per-doc report surfaces it. Reads the
+    * MATERIALIZED `passagePairs` artifact (the pair table is the
+    * expensive part — one pipeline run per corpus version, shared
+    * with d11) + two dimension joins and a (source, source) partial
+    * agg — output bounded by #sources², input bounded by the pair
+    * cardinality. All integer counts.
     */
   def d20SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d11PassageDedup(spark, dir)
+    val pairs = passagePairs(spark, dir)
     val src = table(spark, dir, "documents").select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")

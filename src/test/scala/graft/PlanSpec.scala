@@ -185,11 +185,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d11 passage dedup: window-hash equi-join, no cartesian anywhere") {
-    val plan = executed(operators.PipelineQueries.d11PassageDedup(spark, sf0))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+    // the artifact BUILD (one run per corpus version) carries the
+    // pipeline contract...
+    val build = executed(operators.PipelineQueries.passagePairPipeline(spark, sf0))
+    assert(!build.contains("CartesianProduct") && !build.contains("NestedLoopJoin"),
       "doc pairs must come from the shared-window equi-join")
-    assert(plan.contains("partial_count"),
+    assert(build.contains("partial_count"),
       "shared-window counts must partial-aggregate map-side")
+    // ...and SERVING the entries re-hashes nothing: both plans read
+    // the materialized pair table (no Generate = no window explode)
+    Seq(operators.PipelineQueries.d11PassageDedup(spark, sf0),
+        operators.PipelineQueries.d20SourceOverlap(spark, sf0)).foreach { df =>
+      val serve = executed(df)
+      assert(!serve.contains("Generate"),
+        s"serving must read the passage-pair artifact:\n$serve")
+    }
   }
 
   test("sql entry: registered views answer spark.sql") {
