@@ -99,9 +99,12 @@ object IncrementalDedup {
     */
   /** `numHashes`/`bands` select the index's LSH operating point
     * (`Dedup.lshOperatingPoint`; retune for corpus growth via
-    * `Dedup.chooseBanding`) — `probeBatch` must be called with the
-    * SAME banding the index was built with, or batch band keys can
-    * never match corpus postings.
+    * `Dedup.chooseBanding`). The banding is STAMPED into the bands
+    * table's properties: a probe with a different banding would
+    * compute band keys over different signature slices and the bucket
+    * equi-join would silently match nothing — every near-dup labeled
+    * `kept` with no error — so `probeBatch` validates the stamp and
+    * fails loudly on mismatch instead.
     */
   def buildIndexes(corpus: DataFrame, buckets: Int = 32,
       prefix: String = "graft_dedup",
@@ -113,6 +116,23 @@ object IncrementalDedup {
       .select(col("doc_id").as("id_b"),
         concat_ws("|", col("band"), col("band_hash")).as("bkey"))
     graft.sources.Bucketing.writeBucketed(bandRows, s"${prefix}_bands", "bkey", buckets)
+    corpus.sparkSession.sql(
+      s"ALTER TABLE ${prefix}_bands SET TBLPROPERTIES " +
+        s"('graft.lsh.numHashes' = '$numHashes', 'graft.lsh.bands' = '$bands')")
+    ()
+  }
+
+  /** The (numHashes, bands) stamp `buildIndexes` wrote, or None for a
+    * pre-stamp index (accepted for compatibility — the caller's
+    * banding is then trusted as before).
+    */
+  private def indexBanding(spark: SparkSession, prefix: String): Option[(Int, Int)] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${prefix}_bands").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for {
+      nh <- props.get("graft.lsh.numHashes")
+      b <- props.get("graft.lsh.bands")
+    } yield (nh.toInt, b.toInt)
   }
 
   /** Dedup an incoming batch against the PERSISTED indexes
@@ -126,6 +146,12 @@ object IncrementalDedup {
   def probeBatch(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
       maxBucket: Int = 1000, prefix: String = "graft_dedup",
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    indexBanding(spark, prefix).foreach { case (nh, b) =>
+      require(nh == numHashes && b == bands,
+        s"probeBatch banding ($numHashes, $bands) != index '${prefix}_bands' " +
+          s"banding ($nh, $b) — band keys would never match; rebuild the index " +
+          "or probe with its stamped operating point")
+    }
     val fpC = spark.table(s"${prefix}_fp")
     val bandsC = spark.table(s"${prefix}_bands")
     val exactDup = batch.select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))

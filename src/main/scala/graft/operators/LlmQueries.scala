@@ -557,17 +557,36 @@ object LlmQueries {
     * Scale: one bucket-key shuffle of corpus + 37·panel rows; cosine
     * only inside buckets — never corpus×panel.
     */
-  def d21EmbedContamination(spark: SparkSession, dir: String): DataFrame = {
+  /** Cosine threshold for the d21/d22 contamination flag — d5's
+    * near-dup operating point.
+    */
+  private val ContaminationThreshold = 0.42
+
+  /** The planted contaminated universe d21 and d22 BOTH read —
+    * (corpus, panel), one construction so the plant rule (every 50th
+    * vector is the held-out panel; each panel item re-enters the
+    * corpus under the collision-proof NEGATED id −(id)−1 with odd
+    * components ×0.8) lives in exactly one Scala body next to its one
+    * SQL twin (`contaminationCtes`). Both frames carry `label` so
+    * d22's census needs no second derivation; d21 ignores it.
+    */
+  private def contaminationUniverse(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.toDouble
     val ed = table(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
     val panel = ed.filter(col("vec_id") % 50 === 0)
     val paraphrased = panel.select(
       (-col("vec_id") - lit(1L)).as("vec_id"),
       transform(col("v"), (x, i) =>
-        x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"))
+        x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"),
+      col("label"))
     val corpus = ed.filter(col("vec_id") % 50 =!= 0).unionByName(paraphrased)
-    Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v", 0.42)
+    (corpus, panel)
+  }
+
+  def d21EmbedContamination(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, panel) = contaminationUniverse(spark, dir)
+    Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v", ContaminationThreshold)
       .select(col("corpus_id"), col("bench_id"))
       .orderBy(col("corpus_id"), col("bench_id"))
   }
@@ -638,17 +657,9 @@ object LlmQueries {
     * d21, spec-pinned.
     */
   def d22Decontam(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.toDouble
-    val ed = table(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-    val panel = ed.filter(col("vec_id") % 50 === 0)
-    val paraphrased = panel.select(
-      (-col("vec_id") - lit(1L)).as("vec_id"),
-      transform(col("v"), (x, i) =>
-        x * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.8))).as("v"),
-      col("label"))
-    val corpus = ed.filter(col("vec_id") % 50 =!= 0).unionByName(paraphrased)
-    val flagged = Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v", 0.42)
+    val (corpus, panel) = contaminationUniverse(spark, dir)
+    val flagged = Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v",
+        ContaminationThreshold)
       .select(col("corpus_id").as("vec_id")).distinct()
       .withColumn("flagged", lit(1))
     corpus.join(broadcast(flagged), Seq("vec_id"), "left")
@@ -1617,16 +1628,21 @@ object LlmQueries {
   // m5: perceptual-hash media near-dup (banded Hamming join)
   // ---------------------------------------------------------------
 
-  /** The media corpus m5/m5x hash: every document as an asset, plus
-    * deterministic planted re-uploads (every 25th asset duplicated
-    * under id+1,000,000) so pair-finding is exercised non-vacuously
-    * (t6's plant rule).
+  /** The media corpus m5/m5x/e2e_media share: every document as an
+    * asset, plus deterministic planted re-uploads (every 25th asset
+    * duplicated under id+1,000,000) so pair-finding is exercised
+    * non-vacuously (t6's plant rule). ONE construction — carrying
+    * `source` so e2e_media's manifest meta derives from the same
+    * frame the cluster artifact hashes (a second inline copy of the
+    * plant rule could silently diverge from the artifact); the hash
+    * consumers project it away.
     */
   private def m5Media(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    docs.select(col("doc_id").as("media_id"), col("text"))
+    docs.select(col("doc_id").as("media_id"), col("source"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("media_id"), col("text")))
+        .select((col("doc_id") + lit(1000000L)).as("media_id"),
+          col("source"), col("text")))
   }
 
   /** §2.6 m5x (bench-only): `Dedup.phashCharXx` — the digest-free
@@ -1685,16 +1701,23 @@ object LlmQueries {
     * corpus → per-shingle md5 nibbles → 64 bit votes → pHash → bands →
     * skew cap → candidate pairs (id_a, id_b, pa, pb) — the SQL replay
     * of `Dedup.phashChar` + `Dedup.hexHashPairs`' candidate stage.
+    * The `text IS NOT NULL` filter mirrors `charShingleFrame`'s
+    * NULL-text contract (a NULL-text asset emits NO hash row — without
+    * the filter the SQL's NULL votes would fall to the all-zero pHash
+    * and pair with every empty/short asset, diverging from the
+    * engine); e2e_media's `meta` CTE reads `documents` unfiltered, so
+    * NULL-text assets still appear in the manifest as unpaired
+    * singletons on both sides.
     */
   private val m5PairCtes: String =
     s"""media AS (
       |  SELECT doc_id AS media_id,
       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL
       |  UNION ALL
       |  SELECT doc_id + 1000000,
       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
-      |  FROM documents WHERE doc_id % 25 = 0
+      |  FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL
       |), d AS (
       |  SELECT media_id,
       |    [substr(t, i, 4) for i in generate_series(1, length(t) - 3)] AS toks
@@ -1792,13 +1815,10 @@ object LlmQueries {
 
   def e2eMedia(spark: SparkSession, dir: String): DataFrame = {
     val clusters = mediaClusters(spark, dir)
-    val docs = table(spark, dir, "documents")
-    val meta = docs
-      .select(col("doc_id").as("media_id"), col("source"),
+    // meta derives from the SAME universe the cluster artifact hashed
+    val meta = m5Media(spark, dir)
+      .select(col("media_id"), col("source"),
         octet_length(col("text")).cast("long").as("n_bytes"))
-      .unionByName(docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("media_id"), col("source"),
-          octet_length(col("text")).cast("long").as("n_bytes")))
     val assigned = meta.join(clusters, meta("media_id") === clusters("node"), "left")
       .select(col("media_id"), col("source"), col("n_bytes"),
         coalesce(col("cluster_id"), col("media_id")).as("cluster"))

@@ -48,6 +48,26 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(probed === entry)
   }
 
+  test("probe with a different banding than the index was built with fails loudly") {
+    val docs = graft.GraftSession.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+    IncrementalDedup.buildIndexes(docs, buckets = 8, prefix = "d10_idx3",
+      numHashes = 24, bands = 8)
+    val batch = IncrementalDedup.plantBatch(docs)
+    // mismatched banding would compute band keys over different
+    // signature slices — the bucket join silently matches nothing and
+    // every near-dup reads "kept"; the stamp must turn that into an
+    // error instead
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.probeBatch(spark, docs, batch, prefix = "d10_idx3")
+    }
+    assert(e.getMessage.contains("banding"))
+    // the stamped operating point still probes fine
+    val ok = IncrementalDedup.probeBatch(spark, docs, batch, prefix = "d10_idx3",
+      numHashes = 24, bands = 8)
+    assert(ok.count() > 0)
+  }
+
   test("persisted indexes: corpus side of each probe join reads buckets, zero exchange") {
     val docs = graft.GraftSession.table(spark, sf0, "documents")
       .select(col("doc_id"), col("text"))

@@ -60,11 +60,11 @@ class SimilaritySpec extends SparkSpec {
     val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
     val dir = tmpDir("d21_fixture")
     Seq(
-      (1L, v.toSeq),                         // corpus: the leaked source
-      (2L, far.toSeq),                       // corpus: unrelated
-      (50L, v.map(x => x * 0.93f).toSeq),    // bench: paraphrase of 1
-      (100L, far.map(x => -x).toSeq))        // bench: anti-collinear to 2 only
-      .toDF("vec_id", "embedding")
+      (1L, v.toSeq, "a"),                       // corpus: the leaked source
+      (2L, far.toSeq, "a"),                     // corpus: unrelated
+      (50L, v.map(x => x * 0.93f).toSeq, "b"),  // bench: paraphrase of 1
+      (100L, far.map(x => -x).toSeq, "b"))      // bench: anti-collinear to 2 only
+      .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
     val out = LlmQueries.d21EmbedContamination(spark, dir)
       .as[(Long, Long)].collect().toSet
