@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the passage-pair artifact — SURVEY.md
+  * §2.3, the d11 counterpart of d9's `mergeBatch` and d10's bucketed
+  * probes.
+  *
+  * `PipelineQueries.passagePairs` materializes the (doc_a, doc_b,
+  * n_shared ≥ 3) table once per corpus version, but a growing corpus
+  * cannot re-run the window-hash pipeline over 100 TB per ingest
+  * batch. This module maintains the artifact EXACTLY with O(batch +
+  * bounded probes) work, exploiting that document frequency only
+  * GROWS as docs arrive:
+  *
+  *   - NEW pairs can only involve a batch doc (old docs' window sets
+  *     are immutable);
+  *   - EXISTING pairs can only LOSE shared windows — precisely those
+  *     whose df crosses the boilerplate cap because of the batch.
+  *
+  * So the merge is three bounded pieces over a persisted (doc_id, h)
+  * window index BUCKETED on h (`buildWindowIndex`, d10's layout —
+  * the census and every probe below run with ZERO corpus-side
+  * exchange):
+  *
+  *   1. df census: old df from the bucketed index (exchange-free
+  *      group-by on the bucket key) + batch df → the new hot set and
+  *      the CROSSING set (was ≤ cap, now > cap).
+  *   2. decrements: for each crossing window, the docs containing it
+  *      come from an index probe — at most `cap` docs by the
+  *      definition of crossing, so the per-window pair fan-out is
+  *      ≤ cap² and the whole stage is bounded by |crossing| · cap²,
+  *      never corpus-sized. Old pairs lose one shared count per
+  *      crossing window both sides contain; pairs falling below the
+  *      ≥ 3 floor drop out.
+  *   3. new pairs: batch windows (minus the new hot set) probe the
+  *      index for corpus partners and self-join for batch-batch
+  *      partners; shared counts ≥ 3 enter the table.
+  *
+  * `mergeBatch` returns the merged pair table; an equivalence spec
+  * (IncrementalPassagesSpec) pins merged ≡ full recompute over the
+  * union corpus, including a cap-crossing plant.
+  */
+object IncrementalPassages {
+
+  /** Distinct (doc_id, h) rolling-window hashes of whitespace-token
+    * text — the index row shape. Same kernel as d11's pipeline: 60-bit
+    * md5 prefix of each 8-token window, hashed over a plain post-
+    * exchange attribute so the lambda never re-derives the token
+    * array per element.
+    */
+  def windowHashes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8): DataFrame = {
+    val toks = graft.functions.TextFunctions.wsTokens(col(textCol))
+    val winHashes = transform(
+      sequence(lit(1), size(col("tk")) - lit(windowTokens - 1)),
+      i => conv(substring(md5(array_join(slice(col("tk"), i, lit(windowTokens)), " ")), 1, 15), 16, 10)
+        .cast("long"))
+    docs.select(col(idCol).as("doc_id"), toks.as("tk"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= windowTokens, winHashes)
+          .otherwise(array().cast("array<long>"))).as("h"))
+      .distinct()
+  }
+
+  /** Pair derivation shared by the full pipeline and the equivalence
+    * spec: df census → hot windows (df > cap) dropped via broadcast
+    * anti-join → shared-window self-join → counts ≥ minShared. The
+    * d11 contract, parameterized.
+    */
+  def pairsFromWindows(wins: DataFrame, cap: Int = 100,
+      minShared: Int = 3): DataFrame = {
+    val hot = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("h"))
+    val ok = wins.join(broadcast(hot), Seq("h"), "left_anti")
+    ok.select(col("h"), col("doc_id").as("doc_a"))
+      .join(ok.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Persist the corpus window index as a bucketed-on-h table — the
+    * write-time shuffle is paid once per corpus build; every merge
+    * reads its bucket layout directly (census and probes exchange-
+    * free on the corpus side).
+    */
+  def buildWindowIndex(wins: DataFrame, prefix: String = "graft_passages",
+      buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      wins.select(col("doc_id"), col("h")), s"${prefix}_win", "h", buckets)
+
+  /** Append a merged batch's windows to the index (bucket spec must
+    * match `buildWindowIndex`'s; Spark appends new per-bucket files
+    * under the existing layout).
+    */
+  def appendToIndex(batchWins: DataFrame, prefix: String = "graft_passages",
+      buckets: Int = 32): Unit =
+    batchWins.select(col("doc_id"), col("h"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${prefix}_win")
+
+  /** Merge an ingest batch into the passage-pair table EXACTLY —
+    * returns the pair table of the union corpus without re-windowing
+    * a single old doc. `oldPairs` is the current artifact
+    * (`pairsFromWindows` of the indexed corpus at the same `cap` /
+    * `minShared`); `batchWins` is `windowHashes` of the NEW docs only
+    * (batch doc_ids must be disjoint from the corpus').
+    */
+  def mergeBatch(spark: SparkSession, batchWins: DataFrame, oldPairs: DataFrame,
+      prefix: String = "graft_passages", cap: Int = 100,
+      minShared: Int = 3): DataFrame = {
+    val index = spark.table(s"${prefix}_win")
+    // 1. df census: corpus side reuses the bucket layout (no
+    // exchange); batch side is batch-sized
+    val dfC = index.groupBy(col("h")).agg(count(lit(1)).as("df_c"))
+    val dfB = batchWins.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
+    val census = dfC.join(dfB, Seq("h"), "full")
+      .select(col("h"),
+        coalesce(col("df_c"), lit(0L)).as("df_c"),
+        (coalesce(col("df_c"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df_new"))
+    // new hot set (drives both the decrement and the new-pair filter);
+    // size bounded by total windows / cap — same broadcast contract as
+    // the full pipeline's `hot`
+    val hotNew = census.filter(col("df_new") > cap).select(col("h"))
+    // crossing windows: were countable, now boilerplate — each has
+    // ≤ cap corpus docs by construction
+    val crossing = census.filter(col("df_c") <= cap && col("df_new") > cap)
+      .select(col("h"))
+    // 2. decrements: probe the index for the ≤ cap docs of each
+    // crossing window; fan-out bounded by |crossing| · cap²
+    val crossDocs = index.join(broadcast(crossing), Seq("h"))
+    val dec = crossDocs.select(col("h"), col("doc_id").as("doc_a"))
+      .join(crossDocs.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_lost"))
+    val adjusted = oldPairs.join(dec, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_shared") - coalesce(col("n_lost"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // 3. new pairs: batch windows (minus new hot) against indexed
+    // corpus partners + batch-batch partners; the corpus side joins
+    // on its bucket key, unshuffled
+    val bOk = batchWins.join(broadcast(hotNew), Seq("h"), "left_anti")
+    val cOk = index.join(broadcast(hotNew), Seq("h"), "left_anti")
+    val partners = cOk.unionByName(bOk)
+    val fresh = bOk.select(col("h"), col("doc_id").as("doc_new"))
+      .join(partners.select(col("h"), col("doc_id").as("doc_other")), "h")
+      .filter(col("doc_new") =!= col("doc_other"))
+      .select(least(col("doc_new"), col("doc_other")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_other")).as("doc_b"),
+        col("h"))
+      .distinct() // batch-batch pairs arrive once per side
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    adjusted.unionByName(fresh)
+  }
+}

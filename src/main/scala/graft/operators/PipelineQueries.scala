@@ -423,15 +423,7 @@ object PipelineQueries {
         explode(when(size(col("tk")) >= 8, winHashes)
           .otherwise(array().cast("array<long>"))).as("h"))
       .distinct()
-    val hot = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 100).select(col("h"))
-    val ok = wins.join(broadcast(hot), Seq("h"), "left_anti")
-    ok.select(col("h"), col("doc_id").as("doc_a"))
-      .join(ok.select(col("h"), col("doc_id").as("doc_b")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
+    IncrementalPassages.pairsFromWindows(wins)
   }
 
   /** Shared CTE prefix for d11/d20: plant → windows → df cap →

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental passage-pair maintenance (SURVEY §2.3 d11-incremental):
+  * `mergeBatch` must reproduce the full-recompute pair table of the
+  * union corpus EXACTLY — including the subtle case where the batch
+  * pushes a window's document frequency over the boilerplate cap,
+  * which retroactively removes that window's contribution from
+  * existing pairs.
+  */
+class IncrementalPassagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  // shared passages: 12 tokens → 5 rolling 8-windows; 10 tokens → 3.
+  // 8-token unique filler between passages keeps junction windows
+  // doc-private, so shared counts are exactly the in-passage windows.
+  private val P = toks("p", 12) // docs 1,2            → 5 windows
+  private val Q = toks("q", 10) // docs 3,4 + batch 10 → 3 windows
+  private val B = toks("b", 10) // docs 1,2,3 + batch 10: df crosses cap 3
+  private val R = toks("r", 10) // batch 10,11         → 3 windows
+
+  private def corpusDocs = Seq(
+    (1L, s"$P ${toks("ua", 8)} $B ${toks("ub", 8)}"),
+    (2L, s"$P ${toks("uc", 8)} $B ${toks("ud", 8)}"),
+    (3L, s"$Q ${toks("ue", 8)} $B ${toks("uf", 8)}"),
+    (4L, s"$Q ${toks("ug", 8)}")).toDF("doc_id", "text")
+
+  private def batchDocs = Seq(
+    (10L, s"$Q ${toks("uh", 8)} $B ${toks("ui", 8)} $R"),
+    (11L, s"$R ${toks("uj", 8)}")).toDF("doc_id", "text")
+
+  test("mergeBatch ≡ full recompute, including the cap-crossing decrement") {
+    val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
+    val batchWins = IncrementalPassages.windowHashes(batchDocs)
+    IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippt", buckets = 4)
+    val oldPairs = IncrementalPassages.pairsFromWindows(corpusWins, cap = 3)
+    // the fixture's ground truth before the batch: B (df 3 = cap) still
+    // counts, so (1,3)/(2,3) exist on B's 3 windows alone
+    val oldSet = oldPairs.as[(Long, Long, Long)].collect().toSet
+    assert(oldSet === Set((1L, 2L, 8L), (1L, 3L, 3L), (2L, 3L, 3L), (3L, 4L, 3L)))
+
+    val merged = IncrementalPassages.mergeBatch(spark, batchWins, oldPairs,
+        prefix = "ippt", cap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = IncrementalPassages.pairsFromWindows(
+        corpusWins.unionByName(batchWins), cap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full, s"merged $merged != full recompute $full")
+    // and the expected shape, spelled out: the batch pushes B over the
+    // cap, so (1,2) drops B's 3 windows (8→5) and the B-only pairs
+    // (1,3)/(2,3) vanish; Q stays countable (df 3 ≤ cap) and pairs the
+    // batch doc with 3 and 4; R pairs the two batch docs
+    assert(merged === Set(
+      (1L, 2L, 5L), (3L, 4L, 3L),
+      (3L, 10L, 3L), (4L, 10L, 3L), (10L, 11L, 3L)))
+  }
+
+  test("merge plan: corpus index read is bucketed, census reuses the layout") {
+    val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
+    val batchWins = IncrementalPassages.windowHashes(batchDocs)
+    IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippt2", buckets = 4)
+    val oldPairs = IncrementalPassages.pairsFromWindows(corpusWins, cap = 3)
+    val plan = IncrementalPassages.mergeBatch(spark, batchWins, oldPairs,
+      prefix = "ippt2", cap = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"corpus probes must read the bucketed index:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"every stage must be equi-join shaped:\n$plan")
+    // the df census alone: group-by on the bucket key, zero exchange
+    val censusPlan = spark.table("ippt2_win").groupBy(col("h"))
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!censusPlan.contains("Exchange hashpartitioning"),
+      s"bucket-key census must reuse the bucket layout:\n$censusPlan")
+  }
+
+  test("appendToIndex: merged batch joins the layout; recompute from the table agrees") {
+    val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
+    val batchWins = IncrementalPassages.windowHashes(batchDocs)
+    IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippt3", buckets = 4)
+    IncrementalPassages.appendToIndex(batchWins, prefix = "ippt3", buckets = 4)
+    val fromTable = IncrementalPassages.pairsFromWindows(
+        spark.table("ippt3_win"), cap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = IncrementalPassages.pairsFromWindows(
+        corpusWins.unionByName(batchWins), cap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromTable === full)
+  }
+
+  test("real corpus: incremental over a doc split ≡ d11's window kernel on the union") {
+    // windows from the sf0.001 documents (plain text, no plant): hold
+    // out every 7th doc as the "batch" and check the merge reproduces
+    // the union pair table at the production cap
+    val docs = graft.GraftSession.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+    val wins = IncrementalPassages.windowHashes(docs)
+    val corpusWins = wins.filter(col("doc_id") % 7 =!= 0)
+    val batchWins = wins.filter(col("doc_id") % 7 === 0)
+    IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippt4", buckets = 8)
+    val oldPairs = IncrementalPassages.pairsFromWindows(corpusWins)
+    val merged = IncrementalPassages.mergeBatch(spark, batchWins, oldPairs,
+        prefix = "ippt4")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = IncrementalPassages.pairsFromWindows(wins)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full)
+  }
+}
