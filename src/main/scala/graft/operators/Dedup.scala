@@ -369,10 +369,7 @@ object Dedup {
     // sides — and the upstream hash computation (m5's 64-vote
     // aggregation over all shingles) is exactly the kind of producer
     // that must not re-run per consumer.
-    val withInts = Checkpoints.cut(hashed.select(col(idCol) +:
-      (0 until 4).map(b =>
-        conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
-          .cast("long").as(s"b$b")): _*))
+    val withInts = Checkpoints.cut(parseBandInts(hashed, idCol, hashCol))
     val banded0 = bandedChunks(withInts, idCol)
     // Skew cap (minhashCandidates' guard, same rationale): a (band,
     // chunk) bucket of B assets contributes B² candidate rows, and a
@@ -472,13 +469,24 @@ object Dedup {
   /** (band, chunk) rows per asset — one of the 4 16-bit band ints as
     * the chunk key, shared by the pairing join and the census.
     */
-  private def bandedChunks(withInts: DataFrame, idCol: String): DataFrame =
+  /** The four 16-bit band ints of a 16-hex-char hash, parsed once per
+    * asset — shared by hexHashPairs, the oversized census, and the
+    * incremental media index (IncrementalMedia).
+    */
+  private[operators] def parseBandInts(hashed: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    hashed.select(col(idCol) +:
+      (0 until 4).map(b =>
+        conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
+          .cast("long").as(s"b$b")): _*)
+
+  private[operators] def bandedChunks(withInts: DataFrame, idCol: String): DataFrame =
     withInts.select(
       col(idCol) +: (0 until 4).map(b => col(s"b$b")) :+
         posexplode(array((0 until 4).map(b => col(s"b$b")): _*)): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
 
-  private def oversizedFrom(banded: DataFrame, maxBucket: Int): DataFrame =
+  private[operators] def oversizedFrom(banded: DataFrame, maxBucket: Int): DataFrame =
     banded.groupBy(col("band"), col("chunk"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
@@ -494,11 +502,7 @@ object Dedup {
     * buckets, not the corpus.
     */
   def oversizedHashBuckets(hashed: DataFrame, idCol: String,
-      hashCol: String, maxBucket: Int = 10000): DataFrame = {
-    val withInts = hashed.select(col(idCol) +:
-      (0 until 4).map(b =>
-        conv(col(hashCol).substr(b * 4 + 1, 4), 16, 10)
-          .cast("long").as(s"b$b")): _*)
-    oversizedFrom(bandedChunks(withInts, idCol), maxBucket)
-  }
+      hashCol: String, maxBucket: Int = 10000): DataFrame =
+    oversizedFrom(bandedChunks(parseBandInts(hashed, idCol, hashCol), idCol),
+      maxBucket)
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the pHash near-dup pair table —
+  * SURVEY.md §2.6, the media-side companion of `IncrementalPassages`
+  * (d11) and `IncrementalDedup` (d10): a media corpus ingesting new
+  * assets must not re-band 100 TB of existing hashes per batch.
+  *
+  * The persisted index is `Dedup.hexHashPairs`' banded form: one row
+  * per (asset, band) with the 16-bit chunk and all four parsed band
+  * ints, BUCKETED on the combined `bkey` (band '|' chunk) — census
+  * and probes run with zero corpus-side exchange (d10's layout).
+  *
+  * Bucket sizes only GROW, so (mirroring the passage df argument):
+  *   - NEW pairs must involve a batch asset — batch band rows probe
+  *     the index on bkey, plus the batch-batch self-join; the
+  *     oversized-bucket cap is evaluated at the COMBINED (post-batch)
+  *     counts, exactly what a full re-run would use;
+  *   - EXISTING pairs can only be LOST, and only when a bucket
+  *     CROSSES the cap: a pair drops iff every band it agrees on is
+  *     now oversized. Each crossing bucket has ≤ maxBucket corpus
+  *     rows by definition, so the recheck set is bounded by the old
+  *     pairs co-located in crossing buckets — never corpus-sized.
+  *     Survival needs no re-hash: the index rows carry each asset's
+  *     four band ints, and the pair's Hamming distance is immutable.
+  *
+  * `mergeBatch` returns the merged pair table; the spec pins merged ≡
+  * `hexHashPairs` full recompute over the union, including a
+  * cap-crossing bucket that kills a single-band pair while a
+  * multi-band pair survives.
+  */
+object IncrementalMedia {
+
+  private def bandedRows(hashed: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    Dedup.bandedChunks(Dedup.parseBandInts(hashed, idCol, hashCol), idCol)
+      .withColumn("bkey", concat_ws("|", col("band"), col("chunk")))
+
+  /** Persist the corpus band postings bucketed on bkey. */
+  def buildPhashIndex(hashed: DataFrame, idCol: String = "media_id",
+      hashCol: String = "phash", prefix: String = "graft_media",
+      buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      bandedRows(hashed, idCol, hashCol), s"${prefix}_band", "bkey", buckets)
+
+  /** Append a merged batch's band rows under the existing layout. */
+  def appendToIndex(batchHashed: DataFrame, idCol: String = "media_id",
+      hashCol: String = "phash", prefix: String = "graft_media",
+      buckets: Int = 32): Unit =
+    bandedRows(batchHashed, idCol, hashCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .saveAsTable(s"${prefix}_band")
+
+  /** Combined (corpus + batch) per-bucket census — corpus side
+    * exchange-free on the bucket key.
+    */
+  private def census(index: DataFrame, batchRows: DataFrame): DataFrame = {
+    val c = index.groupBy(col("bkey")).agg(count(lit(1)).as("n_c"))
+    val b = batchRows.groupBy(col("bkey")).agg(count(lit(1)).as("n_b"))
+    c.join(b, Seq("bkey"), "full")
+      .select(col("bkey"),
+        coalesce(col("n_c"), lit(0L)).as("n_c"),
+        (coalesce(col("n_c"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_new"))
+  }
+
+  private def hamming(a: String, c: String) = (0 until 4)
+    .map(b => bit_count(col(s"$a$b").bitwiseXOR(col(s"$c$b"))))
+    .reduce(_ + _)
+
+  /** New near-dup pairs the batch introduces, at the combined-count
+    * cap — exactly the batch-involving subset of a full re-run.
+    */
+  def probeBatch(spark: SparkSession, batchHashed: DataFrame,
+      idCol: String = "media_id", hashCol: String = "phash",
+      prefix: String = "graft_media", maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val index = spark.table(s"${prefix}_band")
+    val batchRows = bandedRows(batchHashed, idCol, hashCol)
+    val oversized = census(index, batchRows)
+      .filter(col("n_new") > maxBucket).select(col("bkey"))
+    def side(rows: DataFrame, id: String, p: String) =
+      rows.join(broadcast(oversized), Seq("bkey"), "left_anti").select(
+        col("bkey") +: col(idCol).as(id) +:
+          (0 until 4).map(b => col(s"b$b").as(s"$p$b")): _*)
+    val bOk = side(batchRows, "id_new", "a")
+    val partners = side(index, "id_other", "c")
+      .unionByName(side(batchRows, "id_other", "c"))
+    bOk.join(partners, Seq("bkey"))
+      .filter(col("id_new") =!= col("id_other"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"),
+        hamming("a", "c").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Fold a batch into the pair table exactly: `oldPairs` is the
+    * current artifact (`hexHashPairs` of the indexed corpus at the
+    * same cap); batch asset ids must be disjoint from the corpus'.
+    */
+  def mergeBatch(spark: SparkSession, batchHashed: DataFrame,
+      oldPairs: DataFrame, idCol: String = "media_id",
+      hashCol: String = "phash", prefix: String = "graft_media",
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val index = spark.table(s"${prefix}_band")
+    val batchRows = bandedRows(batchHashed, idCol, hashCol)
+    val cen = census(index, batchRows)
+    val oversizedNew = cen.filter(col("n_new") > maxBucket).select(col("bkey"))
+    // buckets the batch pushes over the cap — ≤ maxBucket corpus rows each
+    val crossing = cen.filter(col("n_c") <= maxBucket && col("n_new") > maxBucket)
+      .select(col("bkey"))
+    val crossRows = index.join(broadcast(crossing), Seq("bkey"))
+    // old pairs CO-LOCATED in a crossing bucket are the only ones at risk
+    val atRisk = crossRows.select(col("bkey"), col(idCol).as("id_a"))
+      .join(crossRows.select(col("bkey"), col(idCol).as("id_b")), "bkey")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(oldPairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+    // survival: the pair still agrees on SOME band whose bucket is not
+    // oversized at the new counts (Hamming is immutable — no re-hash)
+    val ints = index
+      .join(broadcast(atRisk.select(col("id_a").as(idCol))
+        .unionByName(atRisk.select(col("id_b").as(idCol))).distinct()), idCol)
+      .select(col(idCol) +: (0 until 4).map(b => col(s"b$b")): _*)
+      .distinct()
+    def intsAs(id: String, p: String) = ints.select(
+      col(idCol).as(id) +: (0 until 4).map(b => col(s"b$b").as(s"$p$b")): _*)
+    val withFlags = (0 until 4).foldLeft(
+      atRisk.join(intsAs("id_a", "a"), "id_a").join(intsAs("id_b", "c"), "id_b")) {
+      case (df, b) =>
+        df.join(broadcast(oversizedNew.select(col("bkey").as(s"ok$b"))),
+          concat_ws("|", lit(b), col(s"a$b")) === col(s"ok$b"), "left")
+    }
+    val survives = (0 until 4).map(b =>
+      col(s"a$b") === col(s"c$b") && col(s"ok$b").isNull).reduce(_ || _)
+    val dropped = withFlags.filter(!survives).select(col("id_a"), col("id_b"))
+    oldPairs.join(dropped, Seq("id_a", "id_b"), "left_anti")
+      .unionByName(probeBatch(spark, batchHashed, idCol, hashCol, prefix,
+        maxHamming, maxBucket))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental pHash pair maintenance (SURVEY §2.6 m5-incremental):
+  * `mergeBatch` must reproduce `Dedup.hexHashPairs`' full recompute
+  * over the union corpus — including the case where the batch pushes
+  * a (band, chunk) bucket over the skew cap, which retroactively
+  * removes pairs whose ONLY agreeing band sat in that bucket while
+  * multi-band pairs survive.
+  */
+class IncrementalMediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 16-hex pHashes with hand-controlled bands (4 hex chars each).
+  private def corpusHashed = Seq(
+    (1L, "aaaabbbb00000000"), // (1,2): hamming 1, agree on bands 0,1,2
+    (2L, "aaaabbbb00000001"),
+    (3L, "aaaacccc11112222"), // band0 'aaaa' bucket = {1,2,3}: at the cap
+    (4L, "eeee000000000000"), // (4,5): hamming 3, agree ONLY on band0 'eeee'
+    (5L, "eeee000100010001"),
+    (6L, "eeee777788889999"), // band0 'eeee' bucket = {4,5,6}: at the cap
+    (7L, "abcdef0123456789")).toDF("media_id", "phash")
+
+  private def batchHashed = Seq(
+    (10L, "aaaadddd33334444"), // pushes 'aaaa' over the cap: (1,2) must SURVIVE via band1
+    (11L, "eeee5432dcba8765"), // pushes 'eeee' over the cap: (4,5) must DROP
+    (12L, "abcdef012345678b"), // new batch-corpus pair with 7 (hamming 1)
+    (13L, "facefacecafe0000"), // new batch-batch pair (hamming 1)
+    (14L, "facefacecafe0001")).toDF("media_id", "phash")
+
+  test("mergeBatch ≡ hexHashPairs full recompute, incl. cap-crossing drop and survival") {
+    IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
+      maxHamming = 3, maxBucket = 3)
+    val oldSet = oldPairs.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oldSet === Set((1L, 2L, 1L), (4L, 5L, 3L)))
+
+    val merged = IncrementalMedia.mergeBatch(spark, batchHashed, oldPairs,
+        prefix = "imedia", maxBucket = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.hexHashPairs(corpusHashed.unionByName(batchHashed),
+        "media_id", "phash", maxHamming = 3, maxBucket = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full, s"merged $merged != full recompute $full")
+    // spelled out: (4,5)'s only band crossed the cap and the pair is
+    // gone; (1,2) lost band0 but survives on bands 1/2; the batch
+    // pairs with corpus doc 7 and within itself
+    assert(merged === Set((1L, 2L, 1L), (7L, 12L, 1L), (13L, 14L, 1L)))
+  }
+
+  test("real corpus: merge over an asset split ≡ full recompute at production caps") {
+    // pHashes of the sf0.001 documents; every 9th asset arrives as
+    // the batch
+    val hashed = Dedup.phashChar(
+      graft.GraftSession.table(spark, sf0, "documents")
+        .select(col("doc_id").as("media_id"), col("text")),
+      "media_id", "text", k = 4)
+    val corpus = hashed.filter(col("media_id") % 9 =!= 0)
+    val batch = hashed.filter(col("media_id") % 9 === 0)
+    IncrementalMedia.buildPhashIndex(corpus, prefix = "imedia2", buckets = 8)
+    val oldPairs = Dedup.hexHashPairs(corpus, "media_id", "phash")
+    val merged = IncrementalMedia.mergeBatch(spark, batch, oldPairs,
+        prefix = "imedia2")
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.hexHashPairs(hashed, "media_id", "phash")
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full)
+  }
+
+  test("merge plan: bucketed index read, census reuses the layout, no cartesian") {
+    IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia3", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
+      maxHamming = 3, maxBucket = 3)
+    val plan = IncrementalMedia.mergeBatch(spark, batchHashed, oldPairs,
+        prefix = "imedia3", maxBucket = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"corpus probes must read the bucketed index:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"every stage must be equi-join shaped:\n$plan")
+    val censusPlan = spark.table("imedia3_band").groupBy(col("bkey"))
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!censusPlan.contains("Exchange hashpartitioning"),
+      s"bucket-key census must reuse the bucket layout:\n$censusPlan")
+  }
+
+  test("merged clusters: DedupClusters.mergeBatch folds the new pairs into the artifact") {
+    // the downstream composition e2e_media serves from: pair merge →
+    // cluster merge, no corpus re-hash anywhere. The fold is sound
+    // when no bucket crossed the cap (edges only ADDED — star-edge
+    // merging is exact, d9-incremental's contract); a crossing drops
+    // EDGES, which star merging cannot unlink, so that path rebuilds
+    // clusters from the merged PAIR table (cheap relative to
+    // hashing). Here: the no-crossing fold at the production cap.
+    IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia4", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash")
+    val oldClusters = DedupClusters.connectedComponents(oldPairs, "id_a", "id_b")
+    val newPairs = IncrementalMedia.probeBatch(spark, batchHashed,
+      prefix = "imedia4")
+    val folded = DedupClusters.mergeBatch(oldClusters, newPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val truth = DedupClusters.connectedComponents(
+        Dedup.hexHashPairs(corpusHashed.unionByName(batchHashed),
+          "media_id", "phash"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(folded === truth, s"folded $folded != truth $truth")
+    assert(truth.nonEmpty)
+  }
+}
