@@ -49,10 +49,8 @@ object IncrementalMedia {
   def appendToIndex(batchHashed: DataFrame, idCol: String = "media_id",
       hashCol: String = "phash", prefix: String = "graft_media",
       buckets: Int = 32): Unit =
-    bandedRows(batchHashed, idCol, hashCol)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "bkey").sortBy("bkey")
-      .saveAsTable(s"${prefix}_band")
+    graft.sources.Bucketing.appendBucketed(
+      bandedRows(batchHashed, idCol, hashCol), s"${prefix}_band", "bkey", buckets)
 
   /** Combined (corpus + batch) per-bucket census — corpus side
     * exchange-free on the bucket key.
@@ -70,17 +68,22 @@ object IncrementalMedia {
     .map(b => bit_count(col(s"$a$b").bitwiseXOR(col(s"$c$b"))))
     .reduce(_ + _)
 
-  /** New near-dup pairs the batch introduces, at the combined-count
-    * cap — exactly the batch-involving subset of a full re-run.
+  /** The (band, chunk) buckets this batch would push over the cap —
+    * the decision surface for the DOWNSTREAM cluster artifact
+    * (`oversizedHashBuckets`' pattern): empty ⇒ the merge only ADDS
+    * pair edges and `DedupClusters.mergeBatch` folds them exactly;
+    * non-empty ⇒ edges were dropped, which star merging cannot
+    * unlink, so rebuild clusters from the merged PAIR table. Tiny
+    * output, corpus side exchange-free.
     */
-  def probeBatch(spark: SparkSession, batchHashed: DataFrame,
+  def crossingBuckets(spark: SparkSession, batchHashed: DataFrame,
       idCol: String = "media_id", hashCol: String = "phash",
-      prefix: String = "graft_media", maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    val index = spark.table(s"${prefix}_band")
-    val batchRows = bandedRows(batchHashed, idCol, hashCol)
-    val oversized = census(index, batchRows)
-      .filter(col("n_new") > maxBucket).select(col("bkey"))
+      prefix: String = "graft_media", maxBucket: Int = 10000): DataFrame =
+    census(spark.table(s"${prefix}_band"), bandedRows(batchHashed, idCol, hashCol))
+      .filter(col("n_c") <= maxBucket && col("n_new") > maxBucket)
+
+  private def probeFrom(index: DataFrame, batchRows: DataFrame,
+      oversized: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     def side(rows: DataFrame, id: String, p: String) =
       rows.join(broadcast(oversized), Seq("bkey"), "left_anti").select(
         col("bkey") +: col(idCol).as(id) +:
@@ -95,6 +98,20 @@ object IncrementalMedia {
         hamming("a", "c").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** New near-dup pairs the batch introduces, at the combined-count
+    * cap — exactly the batch-involving subset of a full re-run.
+    */
+  def probeBatch(spark: SparkSession, batchHashed: DataFrame,
+      idCol: String = "media_id", hashCol: String = "phash",
+      prefix: String = "graft_media", maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val index = spark.table(s"${prefix}_band")
+    val batchRows = bandedRows(batchHashed, idCol, hashCol)
+    val oversized = census(index, batchRows)
+      .filter(col("n_new") > maxBucket).select(col("bkey"))
+    probeFrom(index, batchRows, oversized, idCol, maxHamming)
   }
 
   /** Fold a batch into the pair table exactly: `oldPairs` is the
@@ -137,8 +154,9 @@ object IncrementalMedia {
     val survives = (0 until 4).map(b =>
       col(s"a$b") === col(s"c$b") && col(s"ok$b").isNull).reduce(_ || _)
     val dropped = withFlags.filter(!survives).select(col("id_a"), col("id_b"))
+    // the probe reuses THIS census/oversized set — the corpus-wide
+    // bucket count is the merge's dominant scan and must run once
     oldPairs.join(dropped, Seq("id_a", "id_b"), "left_anti")
-      .unionByName(probeBatch(spark, batchHashed, idCol, hashCol, prefix,
-        maxHamming, maxBucket))
+      .unionByName(probeFrom(index, batchRows, oversizedNew, idCol, maxHamming))
   }
 }

@@ -44,23 +44,32 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalPassages {
 
+  /** The family's ONE window-hash kernel: the array of 60-bit md5
+    * prefixes of each rolling `windowTokens`-token window of the
+    * token-array column `tk`. Batch pipeline (d11), incremental index,
+    * and streaming gate all hash through this expression — the
+    * incremental/stream ≡ batch guarantees rest on the kernel never
+    * diverging between them. `tk` must be a plain post-exchange
+    * attribute so the lambda doesn't re-derive the token array per
+    * element.
+    */
+  private[graft] def windowHashExpr(tk: org.apache.spark.sql.Column,
+      windowTokens: Int = 8): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(1), size(tk) - lit(windowTokens - 1)),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(windowTokens)), " ")), 1, 15), 16, 10)
+        .cast("long"))
+
   /** Distinct (doc_id, h) rolling-window hashes of whitespace-token
-    * text — the index row shape. Same kernel as d11's pipeline: 60-bit
-    * md5 prefix of each 8-token window, hashed over a plain post-
-    * exchange attribute so the lambda never re-derives the token
-    * array per element.
+    * text — the index row shape.
     */
   def windowHashes(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", windowTokens: Int = 8): DataFrame = {
     val toks = graft.functions.TextFunctions.wsTokens(col(textCol))
-    val winHashes = transform(
-      sequence(lit(1), size(col("tk")) - lit(windowTokens - 1)),
-      i => conv(substring(md5(array_join(slice(col("tk"), i, lit(windowTokens)), " ")), 1, 15), 16, 10)
-        .cast("long"))
     docs.select(col(idCol).as("doc_id"), toks.as("tk"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        explode(when(size(col("tk")) >= windowTokens, winHashes)
+        explode(when(size(col("tk")) >= windowTokens, windowHashExpr(col("tk"), windowTokens))
           .otherwise(array().cast("array<long>"))).as("h"))
       .distinct()
   }
@@ -94,15 +103,46 @@ object IncrementalPassages {
       wins.select(col("doc_id"), col("h")), s"${prefix}_win", "h", buckets)
 
   /** Append a merged batch's windows to the index (bucket spec must
-    * match `buildWindowIndex`'s; Spark appends new per-bucket files
-    * under the existing layout).
+    * match `buildWindowIndex`'s).
     */
   def appendToIndex(batchWins: DataFrame, prefix: String = "graft_passages",
       buckets: Int = 32): Unit =
-    batchWins.select(col("doc_id"), col("h"))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "h").sortBy("h")
-      .saveAsTable(s"${prefix}_win")
+    graft.sources.Bucketing.appendBucketed(
+      batchWins.select(col("doc_id"), col("h")), s"${prefix}_win", "h", buckets)
+
+  /** The hot-window set at the CURRENT index contents — the df > cap
+    * census, exchange-free on the bucketed key. Maintained as a tiny
+    * `<prefix>_hot` table (`refreshHotWindows`) so consumers that
+    * must exclude boilerplate (the streaming gate) read a maintained
+    * exclusion instead of re-counting the corpus per micro-batch.
+    * Refresh after each index append: a window crossing the cap
+    * retroactively is thereby picked up at batch cadence — the same
+    * retroactivity `mergeBatch` repairs exactly for the pair table.
+    */
+  def hotWindows(spark: SparkSession, prefix: String = "graft_passages",
+      cap: Int = 100): DataFrame =
+    spark.table(s"${prefix}_win").groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("h"))
+
+  /** Land the hot census as `<prefix>_hot` (one linear, exchange-free
+    * scan per batch — never per micro-batch).
+    */
+  def refreshHotWindows(spark: SparkSession, prefix: String = "graft_passages",
+      cap: Int = 100, buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      hotWindows(spark, prefix, cap), s"${prefix}_hot", "h", buckets)
+
+  /** The index a SERVING consumer probes: full index minus the
+    * maintained hot set — boilerplate windows carry no passage signal
+    * and would fan a probe out to every doc containing them.
+    * `mergeBatch` must keep reading the FULL `<prefix>_win` table
+    * (its df census needs true counts); this is the one split surface
+    * between the two contracts.
+    */
+  def servableIndex(spark: SparkSession,
+      prefix: String = "graft_passages"): DataFrame =
+    spark.table(s"${prefix}_win")
+      .join(broadcast(spark.table(s"${prefix}_hot")), Seq("h"), "left_anti")
 
   /** Merge an ingest batch into the passage-pair table EXACTLY —
     * returns the pair table of the union corpus without re-windowing

@@ -412,11 +412,9 @@ object PipelineQueries {
     // form carried the full token array on every window row (~windows×
     // array bytes of Generate traffic — measured 3× slower than DuckDB
     // at sf0.1); `tk` is a plain attribute here (the repartition is the
-    // barrier), so the lambda does NOT re-derive it per element
-    val winHashes = transform(
-      sequence(lit(1), size(col("tk")) - lit(7)),
-      i => conv(substring(md5(array_join(slice(col("tk"), i, lit(8)), " ")), 1, 15), 16, 10)
-        .cast("long"))
+    // barrier), so the lambda does NOT re-derive it per element.
+    // ONE kernel for the whole family (batch/incremental/stream):
+    val winHashes = IncrementalPassages.windowHashExpr(col("tk"))
     val wins = planted
       .repartition(planted.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),

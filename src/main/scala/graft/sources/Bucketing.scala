@@ -39,6 +39,20 @@ object Bucketing {
       .saveAsTable(t)
   }
 
+  /** Append rows to an EXISTING bucketed table under the same layout
+    * (Spark writes new per-bucket files; the catalog's bucket spec
+    * keeps reads exchange-free). Same name validation as the write —
+    * one owner for the bucketing convention.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    require(table.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"invalid table name: '$table' (expected [A-Za-z][A-Za-z0-9_]*)")
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table.toLowerCase(java.util.Locale.ROOT))
+  }
+
   /** Join two same-bucketed tables on their bucket key — shuffle-free
     * when both sides were written with the same bucket count.
     */

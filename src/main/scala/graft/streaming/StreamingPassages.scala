@@ -26,29 +26,33 @@ import org.apache.spark.sql.functions._
   *     the watermark passes — never grows with the corpus or the
   *     stream length.
   *
-  * Boilerplate (df > cap) windows are the CALLER's concern, matching
-  * `StreamingDedup`'s contract: pass an index with hot windows
-  * dropped (the batch pipeline's `hot` census, maintained as part of
-  * the index build) — a maintained exclusion is one narrow filter at
-  * build time, not a per-micro-batch census over the corpus.
+  * Boilerplate (df > cap) windows must NOT reach the probe join — a
+  * license-header window with df 10⁵ would fan every arriving doc
+  * containing it out to 10⁵ corpus docs (the quadratic blowup the
+  * batch pipeline's cap exists to prevent) and falsely flag any doc
+  * sharing ≥ minShared boilerplate windows. Pass
+  * `IncrementalPassages.servableIndex` as `index`: the full window
+  * table minus the MAINTAINED `<prefix>_hot` census
+  * (`refreshHotWindows`, refreshed at batch-append cadence — one
+  * exchange-free linear scan per batch, never a census per
+  * micro-batch; the incremental merge keeps reading the full table,
+  * whose df census needs true counts).
   */
 object StreamingPassages {
 
   /** Flag arriving docs sharing ≥ `minShared` distinct 8-token
     * windows with any indexed corpus doc. `index` must have (doc_id,
-    * h) columns — `IncrementalPassages.buildWindowIndex`'s layout.
-    * Output: one row per (window, arriving doc, corpus doc) with the
-    * shared-window count.
+    * h) columns — `IncrementalPassages.servableIndex` (hot windows
+    * excluded). Output: one row per (window, arriving doc, corpus
+    * doc) with the shared-window count.
     */
   def flagAgainstCorpus(stream: DataFrame, index: DataFrame,
       tsCol: String, watermark: String = "10 minutes",
       timeWindow: String = "1 minute", minShared: Int = 3,
       windowTokens: Int = 8): DataFrame = {
     val toks = graft.functions.TextFunctions.wsTokens(col("text"))
-    val winHashes = transform(
-      sequence(lit(1), size(col("tk")) - lit(windowTokens - 1)),
-      i => conv(substring(md5(array_join(slice(col("tk"), i, lit(windowTokens)), " ")), 1, 15), 16, 10)
-        .cast("long"))
+    val winHashes = graft.operators.IncrementalPassages
+      .windowHashExpr(col("tk"), windowTokens)
     stream
       // watermark attaches BEFORE the window explode: event-time
       // progress must be tracked from every arriving doc, including

@@ -74,6 +74,22 @@ class IncrementalMediaSpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("crossingBuckets: the cluster-maintenance decision surface") {
+    IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia5", buckets = 4)
+    // at cap 3 the batch crosses exactly band0's 'aaaa' and 'eeee'
+    // buckets (chunk = the parsed int of the 4-hex band value)
+    val crossed = IncrementalMedia.crossingBuckets(spark, batchHashed,
+        prefix = "imedia5", maxBucket = 3)
+      .select($"bkey").as[String].collect().toSet
+    assert(crossed === Set(
+      s"0|${java.lang.Long.parseLong("aaaa", 16)}",
+      s"0|${java.lang.Long.parseLong("eeee", 16)}"), s"crossed: $crossed")
+    // at the production cap nothing crosses → the cluster artifact
+    // may fold (DedupClusters.mergeBatch) instead of rebuilding
+    assert(IncrementalMedia.crossingBuckets(spark, batchHashed,
+      prefix = "imedia5").isEmpty)
+  }
+
   test("merge plan: bucketed index read, census reuses the layout, no cartesian") {
     IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia3", buckets = 4)
     val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",

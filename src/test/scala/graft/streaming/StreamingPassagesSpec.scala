@@ -19,6 +19,7 @@ class StreamingPassagesSpec extends SparkSpec {
       (2L, s"${toks("q", 10)} ${toks("ub", 8)}")).toDF("doc_id", "text")
     val corpusWins = IncrementalPassages.windowHashes(corpus)
     IncrementalPassages.buildWindowIndex(corpusWins, prefix = "spass", buckets = 4)
+    IncrementalPassages.refreshHotWindows(spark, prefix = "spass")
 
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
@@ -32,7 +33,7 @@ class StreamingPassagesSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema).parquet(dir)
 
     val out = StreamingPassages.flagAgainstCorpus(
-      stream, spark.table("spass_win"), "ts")
+      stream, IncrementalPassages.servableIndex(spark, "spass"), "ts")
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("spass").start()
     try {
@@ -51,6 +52,39 @@ class StreamingPassagesSpec extends SparkSpec {
     assert(flags === Set((10L, 1L, 5L)), s"unexpected flags: $flags")
   }
 
+  test("hot windows excluded: a boilerplate passage cannot flag arriving docs") {
+    // 5 corpus docs share a boilerplate passage W (license-header
+    // shape); at cap 3 its windows are hot and the maintained
+    // exclusion keeps them out of the servable index — an arriving
+    // doc built ONLY from W must come out clean instead of fanning
+    // out to all 5 docs
+    val W = toks("w", 12)
+    val corpus = (1 to 5).map(i => (i.toLong, s"$W ${toks(s"u$i", 8)}"))
+      .toDF("doc_id", "text")
+    IncrementalPassages.buildWindowIndex(
+      IncrementalPassages.windowHashes(corpus), prefix = "spass3", buckets = 4)
+    IncrementalPassages.refreshHotWindows(spark, prefix = "spass3", cap = 3)
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 00:00:00")
+    val dir = tmpDir("spass3_in")
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    Seq((30L, t0, s"$W ${toks("uz", 8)}"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamingPassages.flagAgainstCorpus(
+      stream, IncrementalPassages.servableIndex(spark, "spass3"), "ts")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("spass3").start()
+    try {
+      q.processAllAvailable()
+      Seq((-1L, new java.sql.Timestamp(t0.getTime + 24 * 3600 * 1000L), "flush"))
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("spass3").isEmpty,
+      "boilerplate-only doc must not be flagged against any corpus doc")
+  }
+
   test("stream ≡ batch: shared-window counts match the batch kernel on identical data") {
     val P = toks("pp", 12)
     val Q = toks("qq", 10)
@@ -59,6 +93,7 @@ class StreamingPassagesSpec extends SparkSpec {
       (2L, s"$Q ${toks("ue", 8)}")).toDF("doc_id", "text")
     val corpusWins = IncrementalPassages.windowHashes(corpus)
     IncrementalPassages.buildWindowIndex(corpusWins, prefix = "spass2", buckets = 4)
+    IncrementalPassages.refreshHotWindows(spark, prefix = "spass2")
 
     val arrivals = Seq(
       (20L, s"$P ${toks("uf", 8)}"),
@@ -66,7 +101,8 @@ class StreamingPassagesSpec extends SparkSpec {
     // batch truth: the arriving docs' windows joined to the same index
     val batchTruth = IncrementalPassages
       .windowHashes(arrivals.toDF("doc_id", "text"))
-      .join(spark.table("spass2_win").select(col("h"), col("doc_id").as("corpus_doc")), "h")
+      .join(IncrementalPassages.servableIndex(spark, "spass2")
+        .select(col("h"), col("doc_id").as("corpus_doc")), "h")
       .groupBy(col("doc_id"), col("corpus_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
@@ -81,7 +117,7 @@ class StreamingPassagesSpec extends SparkSpec {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val out = StreamingPassages.flagAgainstCorpus(
-      stream, spark.table("spass2_win"), "ts")
+      stream, IncrementalPassages.servableIndex(spark, "spass2"), "ts")
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("spass2").start()
     try {
