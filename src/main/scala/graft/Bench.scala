@@ -15,7 +15,14 @@ object Bench {
         .orderBy(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("band"))),
     // xxhash64 pHash family vs m5's md5 family — same banding/verify
-    "m5x_phash_xxhash" -> ((s, dir) => operators.LlmQueries.m5xPhashXxhash(s, dir)))
+    "m5x_phash_xxhash" -> ((s, dir) => operators.LlmQueries.m5xPhashXxhash(s, dir)),
+    // per-ingest cost of the incremental artifact merges vs their
+    // full-pipeline entries (d11 / m5); index + old pairs are the
+    // standing artifacts, timed runs pay only the per-batch work
+    "d11x_incremental_merge" -> ((s, dir) =>
+      operators.IncrementalPassages.benchIncrementalMerge(s, dir)),
+    "m5y_incremental_merge" -> ((s, dir) =>
+      operators.IncrementalMedia.benchIncrementalMerge(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);

@@ -155,20 +155,34 @@ object IncrementalPassages {
       prefix: String = "graft_passages", cap: Int = 100,
       minShared: Int = 3): DataFrame = {
     val index = spark.table(s"${prefix}_win")
-    // 1. df census: corpus side reuses the bucket layout (no
-    // exchange); batch side is batch-sized
-    val dfC = index.groupBy(col("h")).agg(count(lit(1)).as("df_c"))
-    val dfB = batchWins.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
-    val census = dfC.join(dfB, Seq("h"), "full")
+    // lineage-cut the batch window frame (t15's rule): it feeds the
+    // census AND both new-pair sides, and its producer is the batch's
+    // whole tokenize→window→hash pipeline
+    val bw = Checkpoints.cut(batchWins)
+    // 1. df census — BATCH-SCOPED, never a corpus scan: a window can
+    // only cross the cap (and only then disturb anything) if the
+    // batch CONTAINS it, and windows absent from the batch can never
+    // reach the new-pair join either (they'd have nothing to match).
+    // So df is counted only for the batch's window hashes: a
+    // broadcast semi-probe of the bucketed index (corpus side
+    // unshuffled, rows ∝ postings of batch windows) + an exchange-
+    // free group-by on the bucket key. The merge's total cost is
+    // O(batch + postings of batch windows) — a per-ingest cost that
+    // does NOT grow with corpus size.
+    val dfB = bw.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
+    val dfC = index.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("df_c"))
+    val census = Checkpoints.cut(dfB.join(dfC, Seq("h"), "left")
       .select(col("h"),
         coalesce(col("df_c"), lit(0L)).as("df_c"),
-        (coalesce(col("df_c"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df_new"))
-    // new hot set (drives both the decrement and the new-pair filter);
-    // size bounded by total windows / cap — same broadcast contract as
-    // the full pipeline's `hot`
+        (coalesce(col("df_c"), lit(0L)) + col("df_b")).as("df_new")))
+    // new-hot set over the batch's windows (all that the new-pair
+    // filter can ever meet; a window hot BEFORE the batch is hot here
+    // too, since df only grows) — broadcast-sized like the full
+    // pipeline's `hot`
     val hotNew = census.filter(col("df_new") > cap).select(col("h"))
     // crossing windows: were countable, now boilerplate — each has
-    // ≤ cap corpus docs by construction
+    // ≤ cap corpus docs by construction, and all are batch windows
     val crossing = census.filter(col("df_c") <= cap && col("df_new") > cap)
       .select(col("h"))
     // 2. decrements: probe the index for the ≤ cap docs of each
@@ -186,7 +200,7 @@ object IncrementalPassages {
     // 3. new pairs: batch windows (minus new hot) against indexed
     // corpus partners + batch-batch partners; the corpus side joins
     // on its bucket key, unshuffled
-    val bOk = batchWins.join(broadcast(hotNew), Seq("h"), "left_anti")
+    val bOk = bw.join(broadcast(hotNew), Seq("h"), "left_anti")
     val cOk = index.join(broadcast(hotNew), Seq("h"), "left_anti")
     val partners = cOk.unionByName(bOk)
     val fresh = bOk.select(col("h"), col("doc_id").as("doc_new"))
@@ -200,5 +214,37 @@ object IncrementalPassages {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
     adjusted.unionByName(fresh)
+  }
+
+  // ---------------------------------------------------------------
+  // Bench fixture: the per-batch cost of keeping the artifact fresh
+  // ---------------------------------------------------------------
+
+  private val benchFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Bench entry (`d11x_incremental_merge`): the incremental cost of
+    * folding an every-7th-doc batch into the passage-pair table —
+    * what a corpus build pays PER INGEST vs `passagePairPipeline`'s
+    * full re-run. The corpus index and old pair table are the
+    * standing artifacts (built once per session here, as in
+    * production they're built once per corpus version); each timed
+    * run pays only the real per-batch work: window-hash the batch,
+    * census, probes, merge.
+    */
+  def benchIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}|$dir"
+    val oldPairs = benchFixtures.synchronized(benchFixtures.getOrElseUpdate(key, {
+      val docs = graft.GraftSession.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpusWins = windowHashes(docs.filter(col("doc_id") % 7 =!= 0))
+      buildWindowIndex(corpusWins, prefix = "bench_ipass")
+      val out = Artifacts.path(spark, "ipass_old", key)
+      pairsFromWindows(corpusWins).write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }))
+    val batch = graft.GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 7 === 0)
+    mergeBatch(spark, windowHashes(batch), oldPairs, prefix = "bench_ipass")
   }
 }
