@@ -122,6 +122,35 @@ object IncrementalDedup {
     ()
   }
 
+  /** Fold a probed batch's ADMITTED docs (status `kept`) into the
+    * persisted indexes so the next batch dedups against them — the
+    * maintenance step that completes the ingest loop
+    * (probe → admit → append; `IncrementalPassages`/`IncrementalMedia`
+    * are the pair-table analogues). Appends under the existing bucket
+    * layout with the index's stamped banding: O(kept docs), no corpus
+    * rewrite.
+    */
+  def admitBatch(spark: SparkSession, batch: DataFrame, verdicts: DataFrame,
+      buckets: Int = 32, prefix: String = "graft_dedup",
+      numHashes: Int = 16, bands: Int = 4): Unit = {
+    indexBanding(spark, prefix).foreach { case (nh, b) =>
+      require(nh == numHashes && b == bands,
+        s"admitBatch banding ($numHashes, $bands) != index '${prefix}_bands' " +
+          s"banding ($nh, $b)")
+    }
+    val kept = batch.join(
+      verdicts.filter(col("status") === "kept").select(col("doc_id")), "doc_id")
+    graft.sources.Bucketing.appendBucketed(
+      kept.select(fingerprintMd5(col("text")).as("fp")).distinct(),
+      s"${prefix}_fp", "fp", buckets)
+    graft.sources.Bucketing.appendBucketed(
+      Dedup.minhashBands(kept, "doc_id", "text",
+          numHashes = numHashes, bands = bands)
+        .select(col("doc_id").as("id_b"),
+          concat_ws("|", col("band"), col("band_hash")).as("bkey")),
+      s"${prefix}_bands", "bkey", buckets)
+  }
+
   /** The (numHashes, bands) stamp `buildIndexes` wrote, or None for a
     * pre-stamp index (accepted for compatibility — the caller's
     * banding is then trusted as before).

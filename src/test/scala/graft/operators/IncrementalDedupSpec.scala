@@ -48,6 +48,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(probed === entry)
   }
 
+  test("admitBatch: kept docs join the indexes; their re-uploads then dedup against them") {
+    import spark.implicits._
+    val docs = graft.GraftSession.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+    IncrementalDedup.buildIndexes(docs, buckets = 8, prefix = "d10_idx4")
+    val batch = IncrementalDedup.plantBatch(docs)
+    val verdicts = IncrementalDedup.probeBatch(spark, docs, batch, prefix = "d10_idx4")
+    val keptIds = verdicts.filter(col("status") === "kept")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    IncrementalDedup.admitBatch(spark, batch, verdicts, buckets = 8,
+      prefix = "d10_idx4")
+    // a second batch re-uploading the ADMITTED docs byte-for-byte
+    // must now come back exact_dup — the loop closes without any
+    // corpus rewrite
+    val reupload = batch.filter(col("doc_id").isin(keptIds.toSeq: _*))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val universe = docs.unionByName(batch)
+    val second = IncrementalDedup.probeBatch(spark, universe, reupload,
+        prefix = "d10_idx4")
+      .as[(Long, String)].collect()
+    assert(second.nonEmpty && second.forall(_._2 == "exact_dup"),
+      s"re-uploads of admitted docs must be exact dups: ${second.filter(_._2 != "exact_dup").take(5).toSeq}")
+  }
+
   test("probe with a different banding than the index was built with fails loudly") {
     val docs = graft.GraftSession.table(spark, sf0, "documents")
       .select(col("doc_id"), col("text"))
