@@ -58,4 +58,26 @@ object TestOracles {
       (0 until bands).map(b =>
         b -> md5hex(sig.slice(b * rows, b * rows + rows).mkString("|")))
     }
+
+  /** Whitespace tokens under `TextFunctions.wsTokens`' exact rule:
+    * trim SPACES only (Spark trim strips 0x20, not \t\n), lower,
+    * split on runs of literal spaces, drop empties — so tokens can
+    * contain tabs/newlines, faithfully.
+    */
+  def jvmWsTokens(s: String): Seq[String] = {
+    val t = s.replaceAll("\\A +| +\\z", "").toLowerCase(java.util.Locale.ROOT)
+    t.split(" +", -1).filter(_.nonEmpty).toSeq
+  }
+
+  /** The passage family's DISTINCT rolling-window hash set
+    * (`IncrementalPassages.windowHashExpr` ≡ d11's kernel): 60-bit
+    * md5 prefix of each `k`-token window joined by single spaces.
+    */
+  def jvmWindowHashes(text: String, k: Int = 8): Set[Long] = {
+    val tk = jvmWsTokens(text)
+    if (tk.length < k) Set.empty
+    else (0 to tk.length - k).map(i =>
+      java.lang.Long.parseLong(
+        md5hex(tk.slice(i, i + k).mkString(" ")).take(15), 16)).toSet
+  }
 }

@@ -123,6 +123,33 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("window hashes ≡ JVM oracle on arbitrary strings (the passage family's kernel)") {
+    import graft.TestOracles.jvmWindowHashes
+    // the shared textGen rarely clears 8 tokens, so mix in token-list
+    // docs long enough to produce windows — including tab/newline-
+    // bearing tokens (wsTokens splits on SPACES only; the oracle must
+    // agree on exactly that)
+    val wordGen = Gen.oneOf("alpha", "Beta", "γάμμα", "x1", "a\tb", "c\nd", "wort")
+    val docGen = Gen.oneOf(
+      textGen,
+      Gen.chooseNum(6, 20).flatMap(n =>
+        Gen.listOfN(n, wordGen).map(_.mkString(" "))))
+    val samples = Gen.listOfN(120, docGen).sample.get.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val got = graft.operators.IncrementalPassages
+      .windowHashes(samples.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    var windowed = 0
+    samples.foreach { case (id, text) =>
+      val expect = jvmWindowHashes(text)
+      assert(got.getOrElse(id, Set.empty[Long]) === expect,
+        s"window kernel diverged on ${text.take(60).toList}")
+      if (expect.nonEmpty) windowed += 1
+    }
+    assert(windowed > 20, s"fixture must exercise real windows (got $windowed)")
+  }
+
   test("floorDivExact ≡ BigInt floor division on random wide operands") {
     val genA = Gen.chooseNum(0L, Long.MaxValue)
       .flatMap(hi => Gen.chooseNum(0L, 999999999L).map(lo =>
