@@ -202,46 +202,25 @@ object LlmQueries {
         when(col("node") === col("cluster_id"), 1).otherwise(0).as("is_rep"))
       .orderBy(col("doc_id"))
 
-  private val clusterArtifacts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** The materialized near-dup cluster table for the documents corpus
     * at `dir` — the cluster-table-as-artifact pattern every real
     * curation pipeline uses: the candidate → verify → connected-
-    * components pipeline runs ONCE per corpus and lands as a parquet
-    * table clustered on cluster_id (Layout.writeClustered, so
-    * downstream per-cluster scans hit tight row groups); every
-    * consumer (d9's diagnostic view, d14's retention decision, ad-hoc
-    * joins) reads the artifact instead of re-running the pipeline.
-    * Keyed by (application, dir, input mtime): a new session — or a
-    * rewritten corpus — recomputes, so results can never go stale
-    * against the driver's correctness gate or planted spec fixtures.
-    * Artifacts land under `spark.graft.artifactDir` (any
-    * Hadoop-writable path on a cluster; a local scratch default
-    * here).
+    * components pipeline runs ONCE per corpus version
+    * (`Artifacts.materializedClustered` — the stamp/single-flight/
+    * clustered-landing discipline all corpus artifacts share) and
+    * every consumer (d9's diagnostic view, d14's retention decision,
+    * ad-hoc joins) reads the artifact instead of re-running the
+    * pipeline.
     */
-  def documentClusters(spark: SparkSession, dir: String): DataFrame = {
-    // staleness key via the shared Artifacts stamp (Hadoop FS mtime +
-    // content summary — works on hdfs://, s3a://, catches in-place
-    // rewrites a directory mtime would miss)
-    val stamp = Artifacts.corpusStamp(spark, s"$dir/documents.parquet")
-    val key = s"${spark.sparkContext.applicationId}|$dir|$stamp"
-    // single-flight: TrieMap.getOrElseUpdate may evaluate the update
-    // concurrently, and two threads would overwrite the SAME
-    // deterministic output path mid-write (parallel test suites
-    // share the session; Spark jobs inside the lock still run fine)
-    val path = clusterArtifacts.synchronized(clusterArtifacts.getOrElseUpdate(key, {
+  def documentClusters(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.materializedClustered(spark, "cc", dir, "documents.parquet",
+      Seq("cluster_id")) {
       val docs = table(spark, dir, "documents")
       val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
         .select(col("id_a"), col("id_b"))
       val edges = Dedup.jaccardVerify(docs, pairs, "doc_id", "text", threshold = 0.2)
-      val clusters = DedupClusters.connectedComponents(edges, "id_a", "id_b")
-      val out = Artifacts.path(spark, "cc", key)
-      graft.sources.Layout.writeClustered(clusters, out, Seq("cluster_id"))
-      out
-    }))
-    spark.read.parquet(path)
-  }
+      DedupClusters.connectedComponents(edges, "id_a", "id_b")
+    }
 
   // Min-label reachability as a recursive CTE. `r.label < e.dst`
   // prunes the propagation without changing the fixpoint: the
@@ -1786,32 +1765,21 @@ object LlmQueries {
     * plant-free by construction — the oracle replays all five stages
     * and must agree on exactly that.
     */
-  private val mediaClusterArtifacts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** The materialized media near-dup cluster table — the media-side
     * twin of `documentClusters`: the pHash → banded pairs →
-    * connected-components pipeline runs ONCE per corpus version and
-    * lands as parquet clustered on cluster_id; every consumer
-    * (e2e_media's retention today, ad-hoc joins tomorrow) reads the
-    * artifact instead of re-hashing the corpus. Same staleness stamp
-    * + single-flight discipline as the document artifact.
+    * connected-components pipeline runs ONCE per corpus version
+    * (`Artifacts.materializedClustered`); every consumer (e2e_media's
+    * retention today, ad-hoc joins tomorrow) reads the artifact
+    * instead of re-hashing the corpus.
     */
-  def mediaClusters(spark: SparkSession, dir: String): DataFrame = {
-    val stamp = Artifacts.corpusStamp(spark, s"$dir/documents.parquet")
-    val key = s"${spark.sparkContext.applicationId}|$dir|$stamp"
-    val path = mediaClusterArtifacts.synchronized(
-      mediaClusterArtifacts.getOrElseUpdate(key, {
-        val media = m5Media(spark, dir)
-        val ph = Dedup.phashChar(media, "media_id", "text", k = 4)
-        val pairs = Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
-        val clusters = DedupClusters.connectedComponents(pairs, "id_a", "id_b")
-        val out = Artifacts.path(spark, "mcc", key)
-        graft.sources.Layout.writeClustered(clusters, out, Seq("cluster_id"))
-        out
-      }))
-    spark.read.parquet(path)
-  }
+  def mediaClusters(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.materializedClustered(spark, "mcc", dir, "documents.parquet",
+      Seq("cluster_id")) {
+      val media = m5Media(spark, dir)
+      val ph = Dedup.phashChar(media, "media_id", "text", k = 4)
+      val pairs = Dedup.hexHashPairs(ph, "media_id", "phash", maxHamming = 3)
+      DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    }
 
   def e2eMedia(spark: SparkSession, dir: String): DataFrame = {
     val clusters = mediaClusters(spark, dir)

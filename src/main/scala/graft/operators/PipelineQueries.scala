@@ -373,29 +373,18 @@ object PipelineQueries {
       .select(col("doc_id"), concat(wsTokens(col("text")), col("ptoks")).as("tk"))
   }
 
-  private val passagePairArtifacts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** The materialized passage-pair table (doc_a, doc_b, n_shared ≥ 3)
     * — d11's product and d20's input, landed once per corpus version
-    * as parquet clustered on doc_a (documentClusters'/mediaClusters'
-    * pattern): the window-hash pipeline is the expensive part, and
+    * as parquet clustered on doc_a (`Artifacts.materializedClustered`
+    * — the discipline shared with the document/media cluster
+    * artifacts): the window-hash pipeline is the expensive part, and
     * BOTH consumers previously re-ran it per query (the two slowest
     * bench entries after round 12's other fixes, 2.5 s each). Serving
     * either entry warm is a scan + rollup with zero re-hashing.
     */
-  def passagePairs(spark: SparkSession, dir: String): DataFrame = {
-    val stamp = graft.operators.Artifacts.corpusStamp(spark, s"$dir/documents.parquet")
-    val key = s"${spark.sparkContext.applicationId}|$dir|$stamp"
-    val path = passagePairArtifacts.synchronized(
-      passagePairArtifacts.getOrElseUpdate(key, {
-        val out = graft.operators.Artifacts.path(spark, "ppair", key)
-        graft.sources.Layout.writeClustered(
-          passagePairPipeline(spark, dir), out, Seq("doc_a"))
-        out
-      }))
-    spark.read.parquet(path)
-  }
+  def passagePairs(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.materializedClustered(spark, "ppair", dir, "documents.parquet",
+      Seq("doc_a"))(passagePairPipeline(spark, dir))
 
   def d11PassageDedup(spark: SparkSession, dir: String): DataFrame =
     passagePairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
