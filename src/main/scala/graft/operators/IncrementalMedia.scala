@@ -172,6 +172,35 @@ object IncrementalMedia {
       .unionByName(probeFrom(index, batchRows, oversizedNew, idCol, maxHamming))
   }
 
+  /** Oversized (band, chunk) buckets at the CURRENT index contents —
+    * the bkey-keyed census, exchange-free. Maintained as
+    * `<prefix>_hot` (`refreshHotBuckets`) for serving consumers,
+    * mirroring `IncrementalPassages.hotWindows`.
+    */
+  def hotBuckets(spark: SparkSession, prefix: String = "graft_media",
+      maxBucket: Int = 10000): DataFrame =
+    spark.table(s"${prefix}_band").groupBy(col("bkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket).select(col("bkey"))
+
+  /** Land the hot-bucket census as `<prefix>_hot` (one exchange-free
+    * scan per batch append — never per micro-batch).
+    */
+  def refreshHotBuckets(spark: SparkSession, prefix: String = "graft_media",
+      maxBucket: Int = 10000, buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      hotBuckets(spark, prefix, maxBucket), s"${prefix}_hot", "bkey", buckets)
+
+  /** The index a SERVING consumer (the streaming gate) probes: full
+    * postings minus the maintained hot set — a degenerate bucket
+    * (all-zero pHash of trivial assets) would fan every arriving
+    * asset in it out to the whole bucket. The merge keeps reading the
+    * FULL `<prefix>_band` table (its census needs true counts).
+    */
+  def servableIndex(spark: SparkSession,
+      prefix: String = "graft_media"): DataFrame =
+    spark.table(s"${prefix}_band")
+      .join(broadcast(spark.table(s"${prefix}_hot")), Seq("bkey"), "left_anti")
+
   // ---------------------------------------------------------------
   // Bench fixture: the per-batch cost of keeping the pairs fresh
   // ---------------------------------------------------------------
