@@ -383,8 +383,17 @@ object LlmQueries {
     * both join sides. The compare is two panel equi-joins + a
     * ≤11-row rollup. Runs per index build like s9.
     */
-  def d17MinhashError(spark: SparkSession, dir: String): DataFrame =
-    minhashCalibration(table(spark, dir, "documents"))
+  def d17MinhashError(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    // the fused corpus pass (ONE md5 per shingle → set + 16 minhash
+    // measures together) is the entry's dominant cost and is stable
+    // per corpus version — serve it from the materialized artifact;
+    // the panel joins + ≤11-row rollup run per query
+    val shSig = Artifacts.materializedClustered(spark, "shsig16", dir,
+      "documents.parquet", Seq("doc_id"))(
+      Dedup.shingleSetWithSignature(docs, "doc_id", "text", numHashes = 16))
+    calibrationFrom(docs, shSig, 16)
+  }
 
   /** The d17 kernel, parameterized over the signature width — the
     * measurement half of `Dedup.calibratedOperatingPoint`'s loop: a
@@ -395,15 +404,26 @@ object LlmQueries {
     * integer (the entry's 16 → 62 500; 8/20/25/32/40/50/64… also
     * qualify — the micro-unit convention of SURVEY §5).
     */
-  def minhashCalibration(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+  def minhashCalibration(docs: DataFrame, numHashes: Int = 16): DataFrame =
+    calibrationFrom(docs,
+      Checkpoints.cut(Dedup.shingleSetWithSignature(docs, "doc_id", "text",
+        numHashes = numHashes)),
+      numHashes)
+
+  /** The calibration compare/rollup over a prepared (doc_id, sh,
+    * h0..h{n−1}) frame — split out so the d17 ENTRY can serve the
+    * corpus pass from a materialized artifact (the fused shingle-set
+    * + signature frame is the expensive part and is corpus-version
+    * stable; d11/d20's rule) while the width-parameterized kernel
+    * stays self-contained for retuning runs.
+    */
+  private def calibrationFrom(docs: DataFrame, shSig: DataFrame,
+      numHashes: Int): DataFrame = {
     require(numHashes > 0 && 1000000 % numHashes == 0,
       s"numHashes ($numHashes) must divide 1e6 for exact micro-unit estimates")
     val microPerMatch = 1000000L / numHashes
     val pairs = CandidatePairs.idGapJoin(docs, "doc_id", "source", 60)
       .select(col("id_a"), col("id_b"))
-    val shSig = Checkpoints.cut(
-      Dedup.shingleSetWithSignature(docs, "doc_id", "text",
-        numHashes = numHashes))
     def side(s: String) = shSig.select(
       col("doc_id").as(s"id_$s"), col("sh").as(s"sh_$s"),
       array((0 until numHashes).map(j => col(s"h$j")): _*).as(s"sig_$s"))
