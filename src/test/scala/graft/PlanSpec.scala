@@ -202,6 +202,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d17 serves its fused corpus pass from the materialized artifact") {
+    // warm the artifact, then the serving plan must scan it (path
+    // prefix `shsig16_`) instead of re-running the shingle + minhash
+    // aggregation over the corpus
+    operators.LlmQueries.d17MinhashError(spark, sf0).count()
+    val serve = executed(operators.LlmQueries.d17MinhashError(spark, sf0))
+    assert(serve.contains("shsig16_"),
+      s"d17 must read the shingle/signature artifact:\n${serve.take(2000)}")
+  }
+
   test("sql entry: registered views answer spark.sql") {
     GraftSession.registerTables(spark, sf0)
     val n = spark.sql(
