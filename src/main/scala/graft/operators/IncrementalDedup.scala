@@ -106,16 +106,22 @@ object IncrementalDedup {
     * `kept` with no error — so `probeBatch` validates the stamp and
     * fails loudly on mismatch instead.
     */
+  /** The band-posting row shape both index writes share: (id_b, bkey
+    * = band '|' band_hash).
+    */
+  private def bandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    Dedup.minhashBands(docs, "doc_id", "text",
+        numHashes = numHashes, bands = bands)
+      .select(col("doc_id").as("id_b"),
+        concat_ws("|", col("band"), col("band_hash")).as("bkey"))
+
   def buildIndexes(corpus: DataFrame, buckets: Int = 32,
       prefix: String = "graft_dedup",
       numHashes: Int = 16, bands: Int = 4): Unit = {
     val fp = corpus.select(fingerprintMd5(col("text")).as("fp")).distinct()
     graft.sources.Bucketing.writeBucketed(fp, s"${prefix}_fp", "fp", buckets)
-    val bandRows = Dedup.minhashBands(corpus, "doc_id", "text",
-        numHashes = numHashes, bands = bands)
-      .select(col("doc_id").as("id_b"),
-        concat_ws("|", col("band"), col("band_hash")).as("bkey"))
-    graft.sources.Bucketing.writeBucketed(bandRows, s"${prefix}_bands", "bkey", buckets)
+    graft.sources.Bucketing.writeBucketed(
+      bandRows(corpus, numHashes, bands), s"${prefix}_bands", "bkey", buckets)
     corpus.sparkSession.sql(
       s"ALTER TABLE ${prefix}_bands SET TBLPROPERTIES " +
         s"('graft.lsh.numHashes' = '$numHashes', 'graft.lsh.bands' = '$bands')")
@@ -138,17 +144,15 @@ object IncrementalDedup {
         s"admitBatch banding ($numHashes, $bands) != index '${prefix}_bands' " +
           s"banding ($nh, $b)")
     }
-    val kept = batch.join(
-      verdicts.filter(col("status") === "kept").select(col("doc_id")), "doc_id")
+    // lineage-cut: `verdicts` is typically the whole probeBatch plan,
+    // and both appends below would otherwise re-run it
+    val kept = Checkpoints.cut(batch.join(
+      verdicts.filter(col("status") === "kept").select(col("doc_id")), "doc_id"))
     graft.sources.Bucketing.appendBucketed(
       kept.select(fingerprintMd5(col("text")).as("fp")).distinct(),
       s"${prefix}_fp", "fp", buckets)
     graft.sources.Bucketing.appendBucketed(
-      Dedup.minhashBands(kept, "doc_id", "text",
-          numHashes = numHashes, bands = bands)
-        .select(col("doc_id").as("id_b"),
-          concat_ws("|", col("band"), col("band_hash")).as("bkey")),
-      s"${prefix}_bands", "bkey", buckets)
+      bandRows(kept, numHashes, bands), s"${prefix}_bands", "bkey", buckets)
   }
 
   /** The (numHashes, bands) stamp `buildIndexes` wrote, or None for a

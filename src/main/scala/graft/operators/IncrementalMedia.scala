@@ -179,8 +179,7 @@ object IncrementalMedia {
     */
   def hotBuckets(spark: SparkSession, prefix: String = "graft_media",
       maxBucket: Int = 10000): DataFrame =
-    spark.table(s"${prefix}_band").groupBy(col("bkey"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket).select(col("bkey"))
+    graft.sources.Bucketing.overCapKeys(spark, s"${prefix}_band", "bkey", maxBucket)
 
   /** Land the hot-bucket census as `<prefix>_hot` (one exchange-free
     * scan per batch append — never per micro-batch).
@@ -198,8 +197,7 @@ object IncrementalMedia {
     */
   def servableIndex(spark: SparkSession,
       prefix: String = "graft_media"): DataFrame =
-    spark.table(s"${prefix}_band")
-      .join(broadcast(spark.table(s"${prefix}_hot")), Seq("bkey"), "left_anti")
+    graft.sources.Bucketing.minusHot(spark, s"${prefix}_band", s"${prefix}_hot", "bkey")
 
   // ---------------------------------------------------------------
   // Bench fixture: the per-batch cost of keeping the pairs fresh

@@ -121,8 +121,7 @@ object IncrementalPassages {
     */
   def hotWindows(spark: SparkSession, prefix: String = "graft_passages",
       cap: Int = 100): DataFrame =
-    spark.table(s"${prefix}_win").groupBy(col("h"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("h"))
+    graft.sources.Bucketing.overCapKeys(spark, s"${prefix}_win", "h", cap)
 
   /** Land the hot census as `<prefix>_hot` (one linear, exchange-free
     * scan per batch — never per micro-batch).
@@ -141,8 +140,7 @@ object IncrementalPassages {
     */
   def servableIndex(spark: SparkSession,
       prefix: String = "graft_passages"): DataFrame =
-    spark.table(s"${prefix}_win")
-      .join(broadcast(spark.table(s"${prefix}_hot")), Seq("h"), "left_anti")
+    graft.sources.Bucketing.minusHot(spark, s"${prefix}_win", s"${prefix}_hot", "h")
 
   /** Merge an ingest batch into the passage-pair table EXACTLY —
     * returns the pair table of the union corpus without re-windowing
