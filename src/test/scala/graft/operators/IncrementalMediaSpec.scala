@@ -74,6 +74,24 @@ class IncrementalMediaSpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("ANSI mode: the merge evaluates clean (no silent wrap to throw)") {
+    // the entry-level ANSI sweep covers SparkEntry.queries only; the
+    // incremental merges' conv/bit_count/arithmetic paths get the
+    // same audit here (SURVEY §5 integer-width rule)
+    val saved = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia6", buckets = 4)
+      val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
+        maxHamming = 3, maxBucket = 3)
+      val merged = IncrementalMedia.mergeBatch(spark, batchHashed, oldPairs,
+          prefix = "imedia6", maxBucket = 3)
+        .select($"id_a", $"id_b", $"hamming".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged === Set((1L, 2L, 1L), (7L, 12L, 1L), (13L, 14L, 1L)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+  }
+
   test("crossingBuckets: the cluster-maintenance decision surface") {
     IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia5", buckets = 4)
     // at cap 3 the batch crosses exactly band0's 'aaaa' and 'eeee'

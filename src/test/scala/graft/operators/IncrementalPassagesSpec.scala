@@ -60,6 +60,23 @@ class IncrementalPassagesSpec extends SparkSpec {
       (3L, 10L, 3L), (4L, 10L, 3L), (10L, 11L, 3L)))
   }
 
+  test("ANSI mode: the merge evaluates clean (no silent wrap to throw)") {
+    val saved = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
+      val batchWins = IncrementalPassages.windowHashes(batchDocs)
+      IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippt5", buckets = 4)
+      val oldPairs = IncrementalPassages.pairsFromWindows(corpusWins, cap = 3)
+      val merged = IncrementalPassages.mergeBatch(spark, batchWins, oldPairs,
+          prefix = "ippt5", cap = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(merged === Set(
+        (1L, 2L, 5L), (3L, 4L, 3L),
+        (3L, 10L, 3L), (4L, 10L, 3L), (10L, 11L, 3L)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+  }
+
   test("merge plan: corpus index read is bucketed, census reuses the layout") {
     val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
     val batchWins = IncrementalPassages.windowHashes(batchDocs)
