@@ -149,25 +149,42 @@ object IncrementalMedia {
       .select(col("id_a"), col("id_b")).distinct()
       .join(oldPairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
     // survival: the pair still agrees on SOME band whose bucket is not
-    // oversized at the new counts (Hamming is immutable — no re-hash)
-    val ints = index
+    // oversized at the new counts (Hamming is immutable — no re-hash).
+    // The batch-scoped census can only certify buckets the batch
+    // TOUCHES; a bucket already over the cap BEFORE the batch and
+    // receiving no batch rows is equally oversized at new counts
+    // (untouched ⇒ new = old) yet absent from `oversizedNew` — so the
+    // survival predicate needs one more bounded probe: the corpus
+    // counts of the at-risk assets' OWN band keys (≤ 4 per asset, and
+    // at-risk assets are capped by |crossing| · maxBucket). Cut the
+    // parsed-ints frame: it feeds both pair sides AND the bkey probe.
+    val ints = Checkpoints.cut(index
       .join(broadcast(atRisk.select(col("id_a").as(idCol))
         .unionByName(atRisk.select(col("id_b").as(idCol))).distinct()), idCol)
       .select(col(idCol) +: (0 until 4).map(b => col(s"b$b")): _*)
-      .distinct()
+      .distinct())
+    val riskBkeys = ints.select(explode(array((0 until 4).map(b =>
+      concat_ws("|", lit(b), col(s"b$b"))): _*)).as("bkey")).distinct()
+    val oversizedOld = index
+      .join(broadcast(riskBkeys), Seq("bkey"), "left_semi")
+      .groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bkey"))
+    val oversizedEff = Checkpoints.cut(
+      oversizedNew.unionByName(oversizedOld).distinct())
     def intsAs(id: String, p: String) = ints.select(
       col(idCol).as(id) +: (0 until 4).map(b => col(s"b$b").as(s"$p$b")): _*)
     val withFlags = (0 until 4).foldLeft(
       atRisk.join(intsAs("id_a", "a"), "id_a").join(intsAs("id_b", "c"), "id_b")) {
       case (df, b) =>
-        df.join(broadcast(oversizedNew.select(col("bkey").as(s"ok$b"))),
+        df.join(broadcast(oversizedEff.select(col("bkey").as(s"ok$b"))),
           concat_ws("|", lit(b), col(s"a$b")) === col(s"ok$b"), "left")
     }
     val survives = (0 until 4).map(b =>
       col(s"a$b") === col(s"c$b") && col(s"ok$b").isNull).reduce(_ || _)
     val dropped = withFlags.filter(!survives).select(col("id_a"), col("id_b"))
-    // the probe reuses THIS census/oversized set — the corpus-wide
-    // bucket count is the merge's dominant scan and must run once
+    // the probe reuses the BATCH-scoped oversized set, which is exact
+    // for NEW pairs: a new pair's agreeing bucket contains a batch row
+    // by construction, so its bucket is always in the census
     oldPairs.join(dropped, Seq("id_a", "id_b"), "left_anti")
       .unionByName(probeFrom(index, batchRows, oversizedNew, idCol, maxHamming))
   }

@@ -53,6 +53,45 @@ class IncrementalMediaSpec extends SparkSpec {
     assert(merged === Set((1L, 2L, 1L), (7L, 12L, 1L), (13L, 14L, 1L)))
   }
 
+  test("pre-existing oversized bucket UNTOUCHED by the batch still voids survival") {
+    // the r12 advisory case: the survival disjunction must evaluate
+    // the oversized predicate at new counts for EVERY band bucket an
+    // at-risk pair sits in — a bucket over the cap BEFORE the batch
+    // and receiving no batch rows (new = old > cap) is invisible to
+    // the batch-scoped census, and consulting only that census keeps
+    // pairs a full recompute drops.
+    val corpus = Seq(
+      (1L, "aaaabbbb00000000"), // (1,2): hamming 2, agree on bands 0 AND 1
+      (2L, "aaaabbbb00010002"),
+      (3L, "aaa8bbbb00010002"), // (2,3): h1, agree on bands 1,2,3; (1,3): h3, band1 ONLY
+      (4L, "aaaa111122223333"), // fillers: band0 'aaaa' bucket = {1,2,4,5,6},
+      (5L, "aaaa444455556666"), //   5 > cap 3 — oversized BEFORE the batch,
+      (6L, "aaaa777788889999")  //   and the batch never lands a row in it
+    ).toDF("media_id", "phash")
+    // one batch asset in band1 'bbbb' (3 corpus rows → 4 > 3: crossing),
+    // too far in hamming from everything to pair
+    val batch = Seq((10L, "ffffbbbb12345678")).toDF("media_id", "phash")
+    IncrementalMedia.buildPhashIndex(corpus, prefix = "imedia7", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(corpus, "media_id", "phash",
+      maxHamming = 3, maxBucket = 3)
+    val oldSet = oldPairs.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oldSet === Set((1L, 2L, 2L), (2L, 3L, 1L), (1L, 3L, 3L)))
+    val merged = IncrementalMedia.mergeBatch(spark, batch, oldPairs,
+        prefix = "imedia7", maxBucket = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.hexHashPairs(corpus.unionByName(batch),
+        "media_id", "phash", maxHamming = 3, maxBucket = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full, s"merged $merged != full recompute $full")
+    // spelled out: (1,2)'s bands are the pre-oversized 'aaaa' bucket +
+    // the crossing 'bbbb' bucket → dropped; (1,3) agreed on 'bbbb'
+    // alone → dropped; (2,3) survives via bands 2/3 (small buckets)
+    assert(merged === Set((2L, 3L, 1L)))
+  }
+
   test("real corpus: merge over an asset split ≡ full recompute at production caps") {
     // pHashes of the sf0.001 documents; every 9th asset arrives as
     // the batch
