@@ -53,6 +53,16 @@ object Bench {
     spark.read.option("header", "true").csv(s"$warmDir/csv")
       .write.mode("overwrite").parquet(s"$warmDir/pq")
     spark.read.parquet(s"$warmDir/pq").count()
+    // standing artifacts of the incremental-merge entries (bucketed
+    // index + old-pair table): in production they're built once per
+    // corpus version, so the timed runs must price only the per-batch
+    // merge — building them inside the first timed run made the
+    // round-12 d11x driver median (8.3 s, 30 s worst) measure fixture
+    // construction, not the merge
+    if ("d11x_incremental_merge".matches(nameFilter))
+      operators.IncrementalPassages.warmBenchFixture(spark, sfDir)
+    if ("m5y_incremental_merge".matches(nameFilter))
+      operators.IncrementalMedia.warmBenchFixture(spark, sfDir)
     // median-of-3 (first run may absorb one-time codegen/datasource
     // init; single-run numbers at this scale carry ±seconds of
     // environment noise, which has manufactured phantom regressions

@@ -223,33 +223,59 @@ object IncrementalMedia {
   private val benchFixtures =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Bench entry (`m5y_incremental_merge`): the incremental cost of
-    * folding an every-9th-asset batch into the pHash pair table —
-    * what a media ingest pays vs m5's full corpus re-hash + re-band.
-    * The band index and old pair table are standing artifacts (built
-    * once per session; per corpus version in production); each timed
-    * run pays the real per-batch work: pHash the batch, census,
-    * probes, merge.
+  /** Dir-keyed index table prefix — same rationale as
+    * `IncrementalPassages.benchPrefix`: the memoized old-pair frame
+    * and the bucketed band table must share a key, or benching two sf
+    * dirs in one session pairs one dir's memo with the other's
+    * rebuilt table.
     */
-  def benchIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+  private def benchPrefix(key: String): String =
+    "bench_imedia_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+
+  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) = {
     val key = s"${spark.sparkContext.applicationId}|$dir"
+    val prefix = benchPrefix(key)
     val oldPairs = benchFixtures.synchronized(benchFixtures.getOrElseUpdate(key, {
       val corpus = Dedup.phashChar(
         graft.GraftSession.table(spark, dir, "documents")
           .select(col("doc_id").as("media_id"), col("text"))
           .filter(col("media_id") % 9 =!= 0),
         "media_id", "text", k = 4)
-      buildPhashIndex(corpus, prefix = "bench_imedia")
+      buildPhashIndex(corpus, prefix = prefix)
       val out = Artifacts.path(spark, "imedia_old", key)
       Dedup.hexHashPairs(corpus, "media_id", "phash")
         .write.mode("overwrite").parquet(out)
-      spark.read.parquet(out)
+      val back = spark.read.parquet(out)
+      back.count() // pay file listing + footer reads here, not in a timed run
+      back
     }))
+    (prefix, oldPairs)
+  }
+
+  /** Build the standing artifacts without running a merge — Bench's
+    * warmup calls this so timed `m5y` runs price only per-batch work
+    * (see `IncrementalPassages.warmBenchFixture`).
+    */
+  def warmBenchFixture(spark: SparkSession, dir: String): Unit = {
+    benchFixture(spark, dir); ()
+  }
+
+  /** Bench entry (`m5y_incremental_merge`): the incremental cost of
+    * folding an every-9th-asset batch into the pHash pair table —
+    * what a media ingest pays vs m5's full corpus re-hash + re-band.
+    * The band index and old pair table are standing artifacts (built
+    * in Bench's warmup via `warmBenchFixture`; per corpus version in
+    * production); each timed run pays the real per-batch work: pHash
+    * the batch, census, probes, merge.
+    */
+  def benchIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, oldPairs) = benchFixture(spark, dir)
     val batch = Dedup.phashChar(
       graft.GraftSession.table(spark, dir, "documents")
         .select(col("doc_id").as("media_id"), col("text"))
         .filter(col("media_id") % 9 === 0),
       "media_id", "text", k = 4)
-    mergeBatch(spark, batch, oldPairs, prefix = "bench_imedia")
+    mergeBatch(spark, batch, oldPairs, prefix = prefix)
   }
 }

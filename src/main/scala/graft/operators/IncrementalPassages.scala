@@ -221,28 +221,56 @@ object IncrementalPassages {
   private val benchFixtures =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Bench entry (`d11x_incremental_merge`): the incremental cost of
-    * folding an every-7th-doc batch into the passage-pair table —
-    * what a corpus build pays PER INGEST vs `passagePairPipeline`'s
-    * full re-run. The corpus index and old pair table are the
-    * standing artifacts (built once per session here, as in
-    * production they're built once per corpus version); each timed
-    * run pays only the real per-batch work: window-hash the batch,
-    * census, probes, merge.
+  /** The bench fixture's index table prefix is derived from the SAME
+    * key as the memoized old-pair frame — benching two sf dirs in one
+    * session gives each its own bucketed table, so a memo hit can
+    * never pair with the other dir's rebuilt index.
     */
-  def benchIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+  private def benchPrefix(key: String): String =
+    "bench_ipass_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+
+  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) = {
     val key = s"${spark.sparkContext.applicationId}|$dir"
+    val prefix = benchPrefix(key)
     val oldPairs = benchFixtures.synchronized(benchFixtures.getOrElseUpdate(key, {
       val docs = graft.GraftSession.table(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
       val corpusWins = windowHashes(docs.filter(col("doc_id") % 7 =!= 0))
-      buildWindowIndex(corpusWins, prefix = "bench_ipass")
+      buildWindowIndex(corpusWins, prefix = prefix)
       val out = Artifacts.path(spark, "ipass_old", key)
       pairsFromWindows(corpusWins).write.mode("overwrite").parquet(out)
-      spark.read.parquet(out)
+      val back = spark.read.parquet(out)
+      back.count() // pay file listing + footer reads here, not in a timed run
+      back
     }))
+    (prefix, oldPairs)
+  }
+
+  /** Build the standing artifacts (bucketed window index + old-pair
+    * table) WITHOUT running a merge — called from Bench's warmup
+    * phase so the timed `d11x` runs price only per-batch work. In
+    * production these are built once per corpus version; a bench run
+    * that priced their construction into the first timed run measured
+    * fixture setup, not the merge (the round-12 driver medians did).
+    */
+  def warmBenchFixture(spark: SparkSession, dir: String): Unit = {
+    benchFixture(spark, dir); ()
+  }
+
+  /** Bench entry (`d11x_incremental_merge`): the incremental cost of
+    * folding an every-7th-doc batch into the passage-pair table —
+    * what a corpus build pays PER INGEST vs `passagePairPipeline`'s
+    * full re-run. The corpus index and old pair table are the
+    * standing artifacts (built in Bench's warmup via
+    * `warmBenchFixture`; per corpus version in production); each
+    * timed run pays only the real per-batch work: window-hash the
+    * batch, census, probes, merge.
+    */
+  def benchIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, oldPairs) = benchFixture(spark, dir)
     val batch = graft.GraftSession.table(spark, dir, "documents")
       .select(col("doc_id"), col("text")).filter(col("doc_id") % 7 === 0)
-    mergeBatch(spark, windowHashes(batch), oldPairs, prefix = "bench_ipass")
+    mergeBatch(spark, windowHashes(batch), oldPairs, prefix = prefix)
   }
 }
