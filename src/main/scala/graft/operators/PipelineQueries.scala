@@ -301,7 +301,16 @@ object PipelineQueries {
     * are exactly the hot keys that would skew it.
     */
   def d8Contamination(spark: SparkSession, dir: String,
-      maxDf: Int = 50, minShared: Int = 1): DataFrame = {
+      maxDf: Int = 50, minShared: Int = 1): DataFrame =
+    d8ContaminationPairs(spark, dir, maxDf, minShared)
+      .orderBy(col("doc_id"), col("bench_id"))
+
+  /** The (train doc, bench doc, n_shared) kernel behind d8 and d23 —
+    * unsorted, so d23's flagged-id collapse doesn't inherit d8's
+    * presentation range exchange.
+    */
+  private def d8ContaminationPairs(spark: SparkSession, dir: String,
+      maxDf: Int, minShared: Int): DataFrame = {
     val docs = table(spark, dir, "documents")
     val bench = triShingles(docs.filter(col("doc_id") % 50 === 0), "doc_id")
       .withColumnRenamed("doc_id", "bench_id").distinct()
@@ -314,11 +323,14 @@ object PipelineQueries {
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy(col("doc_id"), col("bench_id"))
   }
 
-  val d8ContaminationSql: String =
-    """WITH t AS (
+  /** The CTE prefix d8's and d23's oracles share — both replay the
+    * same shingle→hash→hot-cap→join kernel, so the report and its
+    * action can never drift apart in the oracle either.
+    */
+  private val d8Ctes: String =
+    """t AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS tk
       |  FROM documents
@@ -331,13 +343,71 @@ object PipelineQueries {
       |    FROM t) u
       |), corpus AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 != 0),
       |bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 50 = 0),
-      |hot AS (SELECT h FROM corpus GROUP BY h HAVING count(*) > 50)
+      |hot AS (SELECT h FROM corpus GROUP BY h HAVING count(*) > 50)""".stripMargin
+
+  val d8ContaminationSql: String =
+    s"""WITH $d8Ctes
       |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
       |FROM corpus c JOIN bench b USING (h)
       |WHERE c.h NOT IN (SELECT h FROM hot)
       |GROUP BY c.doc_id, b.bench_id
       |HAVING count(*) >= 1
       |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** §2.3 d23: trigram DECONTAMINATION — the action d8's report
+    * feeds, closing the last report/action pairing (d18→d19 spans,
+    * d21→d22 embeddings, now d8→d23 trigrams): d8 lists the
+    * (train doc, bench doc) trigram-overlap pairs; this entry DROPS
+    * every flagged train doc from the corpus and reports the
+    * per-source decontamination census (total / dropped / kept /
+    * kept id range) a corpus build signs off on.
+    *
+    * Scale: the flag set comes from d8's kernel (shuffle ∝ shingles,
+    * never docs²), collapses to DISTINCT flagged ids — an exchange
+    * carrying only flagged rows, map-side partial agg dedups before
+    * the shuffle, and contamination is rare by contract — and the
+    * drop decision is ONE BROADCAST left join against `documents`:
+    * the 100 TB corpus never hash-shuffles for the drop or the
+    * census (per-source rollup is a partial agg over source
+    * cardinality). Same report→action contract as d22, spec-pinned.
+    */
+  def d23TrigramDecontam(spark: SparkSession, dir: String,
+      maxDf: Int = 50, minShared: Int = 1): DataFrame = {
+    val flagged = d8ContaminationPairs(spark, dir, maxDf, minShared)
+      .select(col("doc_id")).distinct()
+      .withColumn("flagged", lit(1))
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("flagged").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("flagged").isNull, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("flagged").isNull, col("doc_id"))).as("kept_min_id"),
+        max(when(col("flagged").isNull, col("doc_id"))).as("kept_max_id"))
+      .orderBy(col("source"))
+  }
+
+  val d23TrigramDecontamSql: String =
+    s"""WITH $d8Ctes,
+      |pairs AS (
+      |  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      |  FROM corpus c JOIN bench b USING (h)
+      |  WHERE c.h NOT IN (SELECT h FROM hot)
+      |  GROUP BY c.doc_id, b.bench_id
+      |  HAVING count(*) >= 1
+      |), flagged AS (SELECT DISTINCT doc_id FROM pairs)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  min(CASE WHEN f.doc_id IS NULL THEN d.doc_id END) AS kept_min_id,
+      |  max(CASE WHEN f.doc_id IS NULL THEN d.doc_id END) AS kept_max_id
+      |FROM documents d LEFT JOIN flagged f USING (doc_id)
+      |WHERE d.doc_id % 50 != 0
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   // ---------------------------------------------------------------
   // d11: span-level (passage) dedup

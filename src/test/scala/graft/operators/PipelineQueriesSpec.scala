@@ -139,6 +139,53 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(top._3 > 10, "a full copy shares nearly all trigrams")
   }
 
+  test("d23 decontam: planted benchmark copies dropped, clean docs kept, per source") {
+    // bench = doc_id % 50 == 0; doc 1 copies bench doc 50's text
+    // (shares all its trigrams → flagged), docs 2/3 are clean
+    val stage = tmpDir(s"d23_stage_${System.nanoTime()}")
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (50L, benchText, "en", "bench", 8L),
+      (1L, benchText, "en", "web", 8L),                          // leak → dropped
+      (2L, "one two three four five six seven", "en", "web", 7L), // clean → kept
+      (3L, "lorem ipsum dolor sit amet consectetur", "en", "books", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.coalesce(1).write.mode("overwrite").parquet(stage + "/raw")
+    val part = new java.io.File(stage + "/raw").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(stage, "documents.parquet"))
+    val out = PipelineQueries.d23TrigramDecontam(spark, stage)
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("web", "books"), "bench docs are not corpus rows")
+    assert(out("web") === (("web", 2L, 1L, 1L, Some(2L), Some(2L))),
+      s"web must drop the leak and keep doc 2: ${out("web")}")
+    assert(out("books") === (("books", 1L, 0L, 1L, Some(3L), Some(3L))),
+      s"books is untouched: ${out("books")}")
+    // conservation against the report: total dropped = d8's distinct
+    // flagged train docs (the action removes exactly what the report
+    // lists, nothing else)
+    val flagged = PipelineQueries.d8Contamination(spark, stage)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(flagged === Set(1L))
+    assert(out.values.map(_._3).sum === flagged.size.toLong)
+  }
+
+  test("d23 decontam plan: the corpus drop decision is a broadcast left join") {
+    val plan = PipelineQueries.d23TrigramDecontam(spark, sf0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the drop join is the plan's only outer join — documents must
+    // reach it without exchanging (flagged ids broadcast), so at
+    // 100 TB the corpus is scanned once and never shuffled for the
+    // drop or the per-source census (partial agg on source)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"flagged-id drop must be a broadcast outer join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge anywhere — every join side is shingle/flag-bounded:\n$plan")
+  }
+
   test("repetition: a doc of one repeated token has dup_ratio ~1, distinct doc ~0") {
     val df = Seq(
       (1L, Seq.fill(30)("spam").mkString(" ")),
