@@ -216,6 +216,54 @@ object IncrementalMedia {
       prefix: String = "graft_media"): DataFrame =
     graft.sources.Bucketing.minusHot(spark, s"${prefix}_band", s"${prefix}_hot", "bkey")
 
+  /** One-owner ingest step — d10-`admitBatch` parity for the media
+    * family, including the CLUSTER artifact the pair table feeds:
+    *
+    *   1. `crossingBuckets` is evaluated against the PRE-append index
+    *      (an eager count — the fold-vs-rebuild decision must read
+    *      pre-batch bucket sizes);
+    *   2. `mergeBatch`, materialized EAGERLY before the append (the
+    *      plan reads `<prefix>_band` by name; deferring it past
+    *      step 3 would double-count the batch in the census);
+    *   3. `appendToIndex` + `refreshHotBuckets` — the NEXT probe or
+    *      stream micro-batch sees the admitted assets and any
+    *      newly-hot bucket's exclusion;
+    *   4. clusters: no crossing ⇒ the merge only ADDED edges, fold
+    *      the new pairs into the standing labels
+    *      (`DedupClusters.mergeBatch` — star-edge merge, exact);
+    *      crossing ⇒ edges were DROPPED, which star merging cannot
+    *      unlink, so rebuild labels from the merged pair table
+    *      (cheap relative to re-hashing the corpus).
+    *
+    * Returns (merged pair table, new cluster labels), both
+    * lineage-cut. Batch asset ids must be disjoint from the corpus'.
+    */
+  def admitBatch(spark: SparkSession, batchHashed: DataFrame,
+      oldPairs: DataFrame, clusters: DataFrame,
+      idCol: String = "media_id", hashCol: String = "phash",
+      prefix: String = "graft_media", maxHamming: Int = 3,
+      maxBucket: Int = 10000, buckets: Int = 32,
+      hotBuckets: Int = 8): (DataFrame, DataFrame) = {
+    val batch = Checkpoints.cut(batchHashed) // feeds decision, merge, append
+    val crossed = crossingBuckets(spark, batch, idCol, hashCol, prefix,
+      maxBucket).limit(1).count() > 0
+    val op = Checkpoints.cut(oldPairs) // feeds the merge AND the new-edge anti-join
+    val merged = Checkpoints.cut(
+      mergeBatch(spark, batch, op, idCol, hashCol, prefix, maxHamming, maxBucket),
+      eager = true)
+    appendToIndex(batch, idCol, hashCol, prefix, buckets)
+    refreshHotBuckets(spark, prefix, maxBucket, hotBuckets)
+    val labels =
+      if (crossed)
+        DedupClusters.connectedComponents(merged, "id_a", "id_b")
+      else {
+        val newEdges = merged.join(op.select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_anti")
+        DedupClusters.mergeBatch(clusters, newEdges, "id_a", "id_b")
+      }
+    (merged, Checkpoints.cut(labels))
+  }
+
   // ---------------------------------------------------------------
   // Bench fixture: the per-batch cost of keeping the pairs fresh
   // ---------------------------------------------------------------

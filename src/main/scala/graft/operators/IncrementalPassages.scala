@@ -214,6 +214,38 @@ object IncrementalPassages {
     adjusted.unionByName(fresh)
   }
 
+  /** One-owner ingest step — the d10 `admitBatch` analogue for the
+    * passage family, composing the lifecycle the caller previously
+    * had to order by hand (and could order WRONG: an append before
+    * the merge double-counts the batch in the census):
+    *
+    *   1. `mergeBatch` against the PRE-append index — materialized
+    *      EAGERLY, because the merge plan reads `<prefix>_win` by
+    *      name and a lazy consumer evaluating it after step 2 would
+    *      see the batch twice (once from the batch frame, once from
+    *      the appended table);
+    *   2. `appendToIndex` lands the batch windows under the bucket
+    *      layout;
+    *   3. `refreshHotWindows` re-censuses, so the NEXT probe or
+    *      stream micro-batch reads a `servableIndex` that both
+    *      CONTAINS the admitted docs and EXCLUDES any window the
+    *      batch pushed over the cap.
+    *
+    * Returns the merged pair table (lineage-cut — the caller lands
+    * it as the new artifact). Batch doc ids must be disjoint from
+    * the corpus' (`mergeBatch`'s contract).
+    */
+  def admitBatch(spark: SparkSession, batchWins: DataFrame, oldPairs: DataFrame,
+      prefix: String = "graft_passages", cap: Int = 100, minShared: Int = 3,
+      buckets: Int = 32, hotBuckets: Int = 8): DataFrame = {
+    val bw = Checkpoints.cut(batchWins) // feeds the merge AND the append
+    val merged = Checkpoints.cut(
+      mergeBatch(spark, bw, oldPairs, prefix, cap, minShared), eager = true)
+    appendToIndex(bw, prefix, buckets)
+    refreshHotWindows(spark, prefix, cap, hotBuckets)
+    merged
+  }
+
   // ---------------------------------------------------------------
   // Bench fixture: the per-batch cost of keeping the artifact fresh
   // ---------------------------------------------------------------

@@ -164,6 +164,60 @@ class IncrementalMediaSpec extends SparkSpec {
       s"bucket-key census must reuse the bucket layout:\n$censusPlan")
   }
 
+  test("admitBatch: crossing rebuilds clusters; the NEXT probe sees the admitted assets") {
+    IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia8", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
+      maxHamming = 3, maxBucket = 3)
+    val oldClusters = DedupClusters.connectedComponents(oldPairs, "id_a", "id_b")
+    val (merged, labels) = IncrementalMedia.admitBatch(spark, batchHashed,
+      oldPairs, oldClusters, prefix = "imedia8", maxBucket = 3, buckets = 4)
+    assert(merged.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 1L), (7L, 12L, 1L), (13L, 14L, 1L)))
+    // 'aaaa'/'eeee' crossed → the fold is unsound ((4,5) lost its only
+    // edge) and admitBatch must have REBUILT labels from merged pairs
+    val truth = DedupClusters.connectedComponents(
+        Dedup.hexHashPairs(corpusHashed.unionByName(batchHashed),
+          "media_id", "phash", maxHamming = 3, maxBucket = 3),
+        "id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(labels.as[(Long, Long)].collect().toSet === truth)
+    // the NEXT probe runs against the post-admit index: asset 20 is
+    // hamming-1 from ADMITTED asset 14 — invisible before the admit
+    val flags = IncrementalMedia.probeBatch(spark,
+        Seq((20L, "facefacecafe0003")).toDF("media_id", "phash"),
+        prefix = "imedia8", maxBucket = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(flags === Set((13L, 20L, 2L), (14L, 20L, 1L)),
+      s"post-admit probe must pair with the admitted assets: $flags")
+    // and the hot exclusion was refreshed post-append: the crossed
+    // buckets are out of the servable index, the admitted rows are in
+    val servable = IncrementalMedia.servableIndex(spark, "imedia8")
+    assert(servable.filter(
+      $"bkey" === s"0|${java.lang.Long.parseLong("aaaa", 16)}").isEmpty,
+      "crossed bucket must be excluded from the servable index")
+    assert(servable.filter($"media_id" === 12L).count() > 0,
+      "admitted asset must be servable")
+  }
+
+  test("admitBatch: no crossing folds clusters exactly (star merge ≡ rebuild)") {
+    IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia9", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash")
+    val oldClusters = DedupClusters.connectedComponents(oldPairs, "id_a", "id_b")
+    val (merged, labels) = IncrementalMedia.admitBatch(spark, batchHashed,
+      oldPairs, oldClusters, prefix = "imedia9", buckets = 4)
+    val truthPairs = Dedup.hexHashPairs(
+      corpusHashed.unionByName(batchHashed), "media_id", "phash")
+    assert(merged.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet ===
+      truthPairs.select($"id_a", $"id_b", $"hamming".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet)
+    assert(labels.as[(Long, Long)].collect().toSet ===
+      DedupClusters.connectedComponents(truthPairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSet,
+      "folded labels must equal a rebuild when no bucket crossed")
+  }
+
   test("merged clusters: DedupClusters.mergeBatch folds the new pairs into the artifact") {
     // the downstream composition e2e_media serves from: pair merge →
     // cluster merge, no corpus re-hash anywhere. The fold is sound

@@ -60,6 +60,46 @@ class IncrementalPassagesSpec extends SparkSpec {
       (3L, 10L, 3L), (4L, 10L, 3L), (10L, 11L, 3L)))
   }
 
+  test("admitBatch: one owner — the NEXT probe sees the batch and the refreshed hot set") {
+    val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
+    IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippt6", buckets = 4)
+    IncrementalPassages.refreshHotWindows(spark, prefix = "ippt6", cap = 3)
+    val oldPairs = IncrementalPassages.pairsFromWindows(corpusWins, cap = 3)
+    val merged = IncrementalPassages.admitBatch(spark,
+      IncrementalPassages.windowHashes(batchDocs), oldPairs,
+      prefix = "ippt6", cap = 3, buckets = 4)
+    assert(merged.as[(Long, Long, Long)].collect().toSet === Set(
+      (1L, 2L, 5L), (3L, 4L, 3L), (3L, 10L, 3L), (4L, 10L, 3L), (10L, 11L, 3L)))
+    // the NEXT micro-batch probes the post-admit servable index:
+    // doc 20 copies admitted doc 10/11's R passage → flagged against
+    // BOTH; doc 21 is built from B, which the admit pushed over the
+    // cap → the refreshed hot exclusion keeps it clean
+    val arrivals = Seq(
+      (20L, s"$R ${toks("uk", 8)}"),
+      (21L, s"$B ${toks("ul", 8)}")).toDF("doc_id", "text")
+    val flags = IncrementalPassages.windowHashes(arrivals)
+      .join(IncrementalPassages.servableIndex(spark, "ippt6")
+        .select(col("h"), col("doc_id").as("corpus_doc")), "h")
+      .groupBy(col("doc_id"), col("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(flags === Set((20L, 10L, 3L), (20L, 11L, 3L)),
+      s"post-admit probe must see the admitted docs and exclude hot B: $flags")
+    // admits COMPOSE: batch 2 reuses batch 1's merged table as its
+    // artifact (doc 30's Q pushes Q over the cap — second crossing)
+    val batch2 = Seq((30L, s"$Q ${toks("um", 8)}")).toDF("doc_id", "text")
+    val merged2 = IncrementalPassages.admitBatch(spark,
+        IncrementalPassages.windowHashes(batch2), merged,
+        prefix = "ippt6", cap = 3, buckets = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = IncrementalPassages.pairsFromWindows(
+        IncrementalPassages.windowHashes(
+          corpusDocs.unionByName(batchDocs).unionByName(batch2)), cap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged2 === full, s"two admits $merged2 != one full recompute $full")
+  }
+
   test("ANSI mode: the merge evaluates clean (no silent wrap to throw)") {
     val saved = spark.conf.get("spark.sql.ansi.enabled")
     try {
