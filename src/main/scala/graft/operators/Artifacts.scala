@@ -37,7 +37,8 @@ private[operators] object Artifacts {
         scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
   }
 
-  private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val memo = scala.collection.concurrent
+    .TrieMap.empty[String, java.util.concurrent.CompletableFuture[String]]
 
   /** The materialize-once discipline every corpus-version artifact
     * (document clusters, media clusters, passage pairs) follows:
@@ -47,22 +48,79 @@ private[operators] object Artifacts {
     * groups), and serve every subsequent call from the scan. Keyed by
     * the corpus stamp, so a new session or a rewritten corpus
     * recomputes and results can never go stale against the driver's
-    * gate or planted spec fixtures. Single-flight under one lock:
-    * TrieMap.getOrElseUpdate may evaluate concurrently, and two
-    * threads would overwrite the SAME deterministic output path
-    * mid-write (parallel test suites share the session; Spark jobs
-    * inside the lock still run fine).
+    * gate or planted spec fixtures.
+    *
+    * Concurrency, two layers:
+    *   - in-JVM: single-flight PER KEY (a CompletableFuture latch in
+    *     the TrieMap) — same-key callers wait for the one builder,
+    *     DISTINCT artifacts (cc, mcc, ppair, …) build concurrently
+    *     instead of serializing under a global lock. A failed build
+    *     removes its latch so a later call can retry.
+    *   - cross-driver: the commit itself is write-to-temp + atomic
+    *     rename (`commitClustered`), so two drivers sharing
+    *     `spark.graft.artifactDir` can race the same deterministic
+    *     path and a third can read it mid-race without ever
+    *     observing a half-written artifact.
     */
   def materializedClustered(spark: SparkSession, prefix: String, dir: String,
       stampSrc: String, clusterCols: Seq[String])(
       frame: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stamp = corpusStamp(spark, s"$dir/$stampSrc")
     val key = s"$prefix|${spark.sparkContext.applicationId}|$dir|$stamp"
-    val p = memo.synchronized(memo.getOrElseUpdate(key, {
-      val out = path(spark, prefix, key)
-      graft.sources.Layout.writeClustered(frame, out, clusterCols)
-      out
-    }))
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val p = memo.putIfAbsent(key, fresh) match {
+      case Some(inFlight) => inFlight.join()
+      case None =>
+        try {
+          val out = path(spark, prefix, key)
+          commitClustered(spark, out, clusterCols)(frame)
+          fresh.complete(out)
+          out
+        } catch {
+          case e: Throwable =>
+            fresh.completeExceptionally(e)
+            memo.remove(key, fresh)
+            throw e
+        }
+    }
     spark.read.parquet(p)
+  }
+
+  /** An artifact directory is servable iff its parquet job committed
+    * (`_SUCCESS` marker) — a crashed writer leaves a marker-less dir,
+    * which is rebuilt over, never served.
+    */
+  private def committed(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))
+
+  /** Atomic cross-driver artifact commit (the ExactlyOnceSink
+    * pattern): build to a hidden `_tmp_` sibling, then RENAME into
+    * place — one filesystem metadata op, so a concurrent reader sees
+    * either no artifact or a complete one, never partial files. If
+    * the rename loses a race (another driver committed first), the
+    * winner is validated and served and the losing temp is discarded;
+    * a marker-less leftover from a crashed writer is deleted and
+    * replaced. No-ops when a committed artifact already exists.
+    */
+  private[operators] def commitClustered(spark: SparkSession, out: String,
+      clusterCols: Seq[String])(
+      frame: => org.apache.spark.sql.DataFrame): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(out)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (committed(fs, dest)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      if (dest.getParent == null) new org.apache.hadoop.fs.Path("/") else dest.getParent,
+      s"_tmp_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.sources.Layout.writeClustered(frame, tmp.toString, clusterCols)
+    if (fs.exists(dest) && !committed(fs, dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest)) {
+      // lost the race: another writer renamed first — serve the
+      // winner if complete, otherwise the artifact dir is unusable
+      fs.delete(tmp, true)
+      if (!committed(fs, dest))
+        throw new java.io.IOException(
+          s"artifact commit failed: $dest exists without _SUCCESS")
+    }
   }
 }

@@ -40,4 +40,65 @@ class ArtifactsSpec extends SparkSpec {
     assert(third === Set((3L, "C")), s"stale artifact served: $third")
     assert(builds === 2)
   }
+
+  test("two racing commits land one consistent artifact (atomic rename)") {
+    // simulates two DRIVERS sharing spark.graft.artifactDir: both
+    // build the same deterministic path concurrently via the
+    // cross-driver commit (bypassing the in-JVM single-flight memo).
+    // Exactly one rename wins; the loser discards its temp and serves
+    // the winner; a reader never sees a partial artifact.
+    val dir = tmpDir("artifacts_race")
+    val out = dir + "/artifact_dest"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val races = (1 to 2).map(_ => Future {
+      Artifacts.commitClustered(spark, out, Seq("doc_id"))(df)
+    })
+    Await.result(Future.sequence(races), 120.seconds)
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
+      Set((1L, "x"), (2L, "y")), "the committed artifact must be complete")
+    assert(new java.io.File(out, "_SUCCESS").exists(),
+      "the artifact must carry its commit marker")
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_tmp_"))
+    assert(leftovers.isEmpty, s"losing temp dirs must be cleaned: ${leftovers.toSeq}")
+    // a crashed writer's marker-less leftover is replaced, not served
+    new java.io.File(out, "_SUCCESS").delete()
+    Artifacts.commitClustered(spark, out, Seq("doc_id"))(
+      Seq((9L, "z")).toDF("doc_id", "text"))
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
+      Set((9L, "z")), "a marker-less dir must be rebuilt over")
+  }
+
+  test("distinct artifacts build concurrently (per-key single-flight)") {
+    // each builder blocks until the OTHER builder has started: under
+    // the old global build lock this deadlocks; under per-key latches
+    // both proceed and the await succeeds
+    val dir = tmpDir("artifacts_conc")
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    @volatile var overlapped = true
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def build(prefix: String, mine: java.util.concurrent.CountDownLatch,
+        other: java.util.concurrent.CountDownLatch) = Future {
+      Artifacts.materializedClustered(spark, prefix, dir,
+        "documents.parquet", Seq("doc_id")) {
+        mine.countDown()
+        if (!other.await(60, java.util.concurrent.TimeUnit.SECONDS))
+          overlapped = false
+        spark.read.parquet(dir + "/documents.parquet")
+      }
+    }
+    val fa = build("aspec_conc_x", aStarted, bStarted)
+    val fb = build("aspec_conc_y", bStarted, aStarted)
+    Await.result(Future.sequence(Seq(fa, fb)), 120.seconds)
+    assert(overlapped,
+      "two distinct-key builds must run concurrently, not serialize under one lock")
+  }
 }
