@@ -34,20 +34,25 @@ import org.apache.spark.sql.functions._
 object StreamingMedia {
 
   /** Flag arriving assets within `maxHamming` of any indexed corpus
-    * asset. `index` must have (bkey, media_id/idCol, b0..b3) columns —
-    * `IncrementalMedia.servableIndex`. Output: one row per (arriving
-    * asset, corpus asset) with the Hamming distance.
+    * asset. `index` must have (bkey, `idCol`, b0..b3) columns —
+    * `IncrementalMedia.servableIndex`. The STREAM side's schema is
+    * (`streamIdCol`, `tsCol`, text): its id column is named
+    * independently of the index's (`idCol` applies to the INDEX side
+    * only — a media stream keyed `asset_id` probing an index keyed
+    * `media_id` passes both). Output: one row per (arriving asset,
+    * corpus asset) with the Hamming distance.
     */
   def flagAgainstCorpus(stream: DataFrame, index: DataFrame,
       tsCol: String, idCol: String = "media_id",
-      watermark: String = "10 minutes", maxHamming: Int = 3): DataFrame = {
+      watermark: String = "10 minutes", maxHamming: Int = 3,
+      streamIdCol: String = "doc_id"): DataFrame = {
     import graft.functions.HashFunctions.simhashHex
     import graft.functions.TextFunctions.charShingleSeq
     val hashed = stream
       .withWatermark(tsCol, watermark)
       .withColumn("phash", simhashHex(charShingleSeq(col("text"), 4)))
       .filter(col("phash").isNotNull)
-      .select(Seq(col(tsCol), col("doc_id").as("arriving_id")) ++
+      .select(Seq(col(tsCol), col(streamIdCol).as("arriving_id")) ++
         (0 until 4).map(b =>
           conv(col("phash").substr(b * 4 + 1, 4), 16, 10)
             .cast("long").as(s"a$b")): _*)

@@ -29,11 +29,14 @@ class StreamingMediaSpec extends SparkSpec {
       (10L, ts(1), "  the  quick brown fox jumps  over the lazy dog again and again "),
       // fresh text: hashes far from every corpus asset
       (11L, ts(2), "unrelated arrival carrying entirely novel vocabulary tokens"))
-    arrivals.toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+    // the stream is keyed asset_id while the index is keyed media_id —
+    // streamIdCol names the stream side independently (r12 advisory)
+    arrivals.toDF("asset_id", "ts", "text").write.mode("append").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val out = StreamingMedia.flagAgainstCorpus(
-      stream, IncrementalMedia.servableIndex(spark, "smedia"), "ts")
+      stream, IncrementalMedia.servableIndex(spark, "smedia"), "ts",
+      streamIdCol = "asset_id")
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("smedia").start()
     try q.processAllAvailable() finally q.stop()
