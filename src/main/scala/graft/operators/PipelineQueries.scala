@@ -700,6 +700,62 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // d24: exact substring dedup (variable-length maximal repeats)
+  // ---------------------------------------------------------------
+
+  /** §2.3 d24: EXACT substring dedup — maximal cross-doc verbatim
+    * repeats with their true token extents (Lee et al. 2022's
+    * ExactSubstr, suffix-array-free): runs of consecutive shared
+    * windows on one (pair, diagonal) chain back into the exact
+    * repeat, so the 12-token decade plant reports as len_tok = 12
+    * with exact offsets in both docs — where d18 could only say
+    * "some ≥ 8-token window here is duplicated somewhere". Kernel +
+    * scale argument in `operators.ExactSubstr` (shuffle ∝ windows,
+    * one window function over actually-matching rows only); same
+    * plant and hashes as d11/d18/d19, oracle replays plant → windows
+    * → hot cap → diagonal islands from the same constants.
+    */
+  def d24ExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    ExactSubstr.maximalRepeats(plantedSpanToks(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
+  val d24ExactSubstrSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS toks
+      |  FROM documents
+      |), planted AS (
+      |  SELECT d.doc_id, list_concat(d.toks, h.toks[1:12]) AS tk
+      |  FROM d JOIN d h ON h.doc_id = d.doc_id - d.doc_id % 10
+      |), wins AS (
+      |  SELECT doc_id, unnest([{'pos': i,
+      |      'h': ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT}
+      |    for i in generate_series(1, len(tk) - 7)], recursive := true)
+      |  FROM planted WHERE len(tk) >= 8
+      |), hot AS (
+      |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+      |  GROUP BY h HAVING count(*) > 100
+      |), ok AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, h FROM wins
+      |  WHERE h NOT IN (SELECT h FROM hot)
+      |), m AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+      |    a.pos - b.pos AS diag
+      |  FROM ok a JOIN ok b USING (h) WHERE a.doc_id < b.doc_id
+      |), r AS (
+      |  SELECT *, pa - row_number() OVER (
+      |    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+      |  FROM m
+      |), sp AS (
+      |  SELECT doc_a, doc_b, min(pa) AS a_start, min(pa) - diag AS b_start,
+      |    CAST(count(*) + 7 AS BIGINT) AS len_tok
+      |  FROM r GROUP BY doc_a, doc_b, diag, run
+      |)
+      |SELECT doc_a, doc_b, a_start, b_start, len_tok
+      |FROM sp WHERE len_tok >= 10
+      |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
+  // ---------------------------------------------------------------
   // t10: token-entropy quality signal
   // ---------------------------------------------------------------
 
