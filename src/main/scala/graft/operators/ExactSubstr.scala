@@ -57,8 +57,11 @@ object ExactSubstr {
     * offsets, len_tok the repeat's true token length.
     */
   def maximalRepeats(toks: DataFrame, cap: Int = 100,
-      minTok: Int = 10): DataFrame = {
-    val cut = Checkpoints.cut(toks.select(col("doc_id"), col("tk")))
+      minTok: Int = 10): DataFrame =
+    repeatsFrom(Checkpoints.cut(toks.select(col("doc_id"), col("tk"))),
+      cap, minTok)
+
+  private def repeatsFrom(cut: DataFrame, cap: Int, minTok: Int): DataFrame = {
     val winArr = transform(
       sequence(lit(1), size(col("tk")) - lit(Width - 1)),
       i => conv(substring(md5(array_join(slice(col("tk"), i, lit(Width)), " ")), 1, 15),
@@ -92,5 +95,39 @@ object ExactSubstr {
         (col("a_start") - col("diag")).as("b_start"),
         (col("n_win") + lit(Width - 1).cast("long")).as("len_tok"))
       .filter(col("len_tok") >= minTok)
+  }
+
+  /** The ACTION the repeat report feeds (§2.3 d25) — keep-FIRST-
+    * occurrence exact-substring dedup, Lee et al.'s deployed policy:
+    * for every maximal repeat, the LOWEST doc id keeps its copy and
+    * every higher doc's occurrence is cut. Pairwise lowest-keeps
+    * composes to exactly that: a repeat shared by docs {A&lt;B&lt;C}
+    * cuts B (via A,B) and C (via A,C) and keeps A only. Cross-doc
+    * only — a doc's internal duplicate of its own kept copy stays
+    * (d18/d19 own within-doc coverage).
+    *
+    * Shape: the repeat table's cut side collapses per doc, merged
+    * islands (`IntervalMerge` — overlapping cuts from different
+    * partners union), then d19's codegen'd index-filter cut — the
+    * corpus is never exploded into token rows. One row per doc out:
+    * (doc_id, n_tok, kept: array&lt;string&gt;).
+    */
+  def scrubRepeats(toks: DataFrame, cap: Int = 100,
+      minTok: Int = 10): DataFrame = {
+    val cut = Checkpoints.cut(toks.select(col("doc_id"), col("tk")))
+    val cuts = repeatsFrom(cut, cap, minTok)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("len_tok")).as("e"))
+    val perDoc = IntervalMerge.islands(cuts, "doc_id", "s", "s", "e")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("m_start"), col("m_end"))).as("spans"))
+    cut.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        when(col("spans").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (_, i) =>
+            !exists(col("spans"), sp =>
+              (i + lit(1) >= sp.getField("m_start")) &&
+                (i + lit(1) < sp.getField("m_end")))))
+          .as("kept"))
   }
 }
