@@ -104,28 +104,42 @@ object GraphScalingBench {
     }
     // Per-ROUND scheduling floor (§8): the iterative entries
     // (q_hierarchy, q_kcore, q_reach, q_pagerank) pay a constant
-    // per-round cost — job scheduling + one frontier exchange — that
-    // dominates their local[32] medians at sf0.1 and that a real
-    // cluster amortizes across executors. Measured here directly:
-    // the SAME 1× graph peeled with doubled round counts; since the
-    // data term is fixed, the slope of seconds over rounds IS the
-    // floor. Quoted in SURVEY §8 so contended driver medians on the
-    // recursive entries aren't misread as plan regressions.
+    // per-round cost — job scheduling + one frontier exchange +
+    // lineage cut + control-read — that dominates their local[32]
+    // medians at sf0.1 and that a real cluster amortizes across
+    // executors. The fixpoint operators exit early, so the floor is
+    // measured with a FORCED loop doing exactly one round's work
+    // pattern over a bounded frontier: the slope of seconds over
+    // rounds at fixed data IS the floor. Quoted in SURVEY §8 so
+    // contended driver medians on recursive entries aren't misread
+    // as plan regressions.
     val nodes1 = spark.read.parquet(s"$scratch/nodes_1")
-    val edges1 = plantedEdges(nodes1, 0L)
-    val roundTimes = Seq(3, 6, 12, 24).map { r =>
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        KCore.peel(nodes1, edges1, k = 3, rounds = r).count()
-        (System.nanoTime() - t0) / 1e9
+    plantedEdges(nodes1, 0L).write.mode("overwrite")
+      .parquet(s"$scratch/edges_floor")
+    val edgesF = spark.read.parquet(s"$scratch/edges_floor")
+      .withColumnRenamed("src", "node")
+    def forcedRounds(r: Int): Double = {
+      val t0 = System.nanoTime()
+      var f = nodes1.limit(2000)
+      var i = 0
+      while (i < r) {
+        f = operators.Checkpoints.cut(
+          f.join(edgesF, "node").select(col("dst").as("node"))
+            .distinct().limit(2000), eager = true)
+        f.count()
+        i += 1
       }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val roundTimes = Seq(4, 8, 16, 32).map { r =>
+      val runs = (1 to 3).map(_ => forcedRounds(r))
       val med = runs.sorted.apply(1)
-      println(f"[graphscale] rounds=$r%2d kcore=$med%6.2fs (runs ${runs.map(t => f"$t%.2f").mkString("/")})")
+      println(f"[graphscale] rounds=$r%2d forced-loop=$med%6.2fs (runs ${runs.map(t => f"$t%.2f").mkString("/")})")
       (r, med)
     }
     val slope = (roundTimes.last._2 - roundTimes.head._2) /
       (roundTimes.last._1 - roundTimes.head._1)
-    println(f"[graphscale] per-round floor ~= $slope%.3f s/round (fixed 1x data, rounds 3->24)")
+    println(f"[graphscale] per-round floor ~= $slope%.3f s/round (fixed frontier, rounds 4->32)")
     spark.stop()
   }
 }

@@ -115,13 +115,24 @@ object ExactSubstr {
   def scrubRepeats(toks: DataFrame, cap: Int = 100,
       minTok: Int = 10): DataFrame = {
     val cut = Checkpoints.cut(toks.select(col("doc_id"), col("tk")))
-    val cuts = repeatsFrom(cut, cap, minTok)
+    scrubWith(cut, repeatsFrom(cut, cap, minTok))
+  }
+
+  /** The cut applied against an EXISTING repeat table — the serving
+    * form when the repeats are a materialized corpus artifact (d24's
+    * product): tokenize/plant is a narrow map and the window
+    * self-join never re-runs. `toks` is consumed once (no lineage cut
+    * needed here; `scrubRepeats` cuts because its frame also feeds
+    * the repeat derivation).
+    */
+  def scrubWith(toks: DataFrame, repeats: DataFrame): DataFrame = {
+    val cuts = repeats
       .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
         (col("b_start") + col("len_tok")).as("e"))
     val perDoc = IntervalMerge.islands(cuts, "doc_id", "s", "s", "e")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("m_start"), col("m_end"))).as("spans"))
-    cut.join(perDoc, Seq("doc_id"), "left")
+    toks.select(col("doc_id"), col("tk")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
         when(col("spans").isNull, col("tk"))
           .otherwise(filter(col("tk"), (_, i) =>

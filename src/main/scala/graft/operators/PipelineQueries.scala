@@ -715,8 +715,17 @@ object PipelineQueries {
     * plant and hashes as d11/d18/d19, oracle replays plant → windows
     * → hot cap → diagonal islands from the same constants.
     */
+  /** The materialized maximal-repeat table — d24's product and d25's
+    * input, landed once per corpus version (the d11/d20
+    * `passagePairs` discipline): the window self-join is the
+    * expensive part and both consumers serve from the scan.
+    */
+  private def exactRepeats(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.materializedClustered(spark, "xrep", dir, "documents.parquet",
+      Seq("doc_a"))(ExactSubstr.maximalRepeats(plantedSpanToks(spark, dir)))
+
   def d24ExactSubstr(spark: SparkSession, dir: String): DataFrame =
-    ExactSubstr.maximalRepeats(plantedSpanToks(spark, dir))
+    exactRepeats(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
 
   val d24ExactSubstrSql: String =
@@ -764,7 +773,8 @@ object PipelineQueries {
     * kernel + policy composition proof in `ExactSubstr.scrubRepeats`.
     */
   def d25SubstrScrub(spark: SparkSession, dir: String): DataFrame =
-    ExactSubstr.scrubRepeats(plantedSpanToks(spark, dir))
+    ExactSubstr.scrubWith(plantedSpanToks(spark, dir),
+        exactRepeats(spark, dir))
       .select(col("doc_id"), col("n_tok"),
         size(col("kept")).cast("long").as("kept_tok"),
         md5(array_join(col("kept"), " ")).as("scrub_md5"))

@@ -202,6 +202,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d24/d25 serve the maximal-repeat artifact; only the scrub tokenizes") {
+    // warm the artifact, then: d24's serving plan is a scan (no
+    // Generate = no window explode, no self-join); d25 additionally
+    // tokenizes the corpus for the cut (one Generate-free narrow map
+    // + the islands exchange) but never re-runs the repeat derivation
+    operators.PipelineQueries.d24ExactSubstr(spark, sf0).count()
+    val serve24 = executed(operators.PipelineQueries.d24ExactSubstr(spark, sf0))
+    assert(!serve24.contains("Generate"),
+      s"d24 serving must read the repeat artifact:\n$serve24")
+    val serve25 = executed(operators.PipelineQueries.d25SubstrScrub(spark, sf0))
+    assert(!serve25.contains("posexplode") && !serve25.contains("SortMergeJoin"),
+      s"d25 must not re-derive repeats (no window explode/self-join):\n$serve25")
+  }
+
   test("d17 serves its fused corpus pass from the materialized artifact") {
     // warm the artifact, then the serving plan must scan it (path
     // prefix `shsig16_`) instead of re-running the shingle + minhash
