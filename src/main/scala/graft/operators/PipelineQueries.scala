@@ -300,10 +300,29 @@ object PipelineQueries {
     * BEFORE the join — they carry no contamination signal and they
     * are exactly the hot keys that would skew it.
     */
+  private val ContamMaxDf = 50
+  private val ContamMinShared = 1
+
+  /** The materialized contamination-pair table at the entry operating
+    * point — d8's product and d23's input, landed once per corpus
+    * version (the `passagePairs`/`exactRepeats` discipline: the
+    * shingle kernel is the expensive part and both the report and its
+    * action serve from the scan). Non-default operating points run
+    * the kernel directly.
+    */
+  private def contaminationPairs(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.materializedClustered(spark, "cpair", dir, "documents.parquet",
+      Seq("doc_id"))(
+      d8ContaminationPairs(spark, dir, ContamMaxDf, ContamMinShared))
+
   def d8Contamination(spark: SparkSession, dir: String,
-      maxDf: Int = 50, minShared: Int = 1): DataFrame =
-    d8ContaminationPairs(spark, dir, maxDf, minShared)
-      .orderBy(col("doc_id"), col("bench_id"))
+      maxDf: Int = ContamMaxDf, minShared: Int = ContamMinShared): DataFrame = {
+    val pairs =
+      if (maxDf == ContamMaxDf && minShared == ContamMinShared)
+        contaminationPairs(spark, dir)
+      else d8ContaminationPairs(spark, dir, maxDf, minShared)
+    pairs.orderBy(col("doc_id"), col("bench_id"))
+  }
 
   /** The (train doc, bench doc, n_shared) kernel behind d8 and d23 —
     * unsorted, so d23's flagged-id collapse doesn't inherit d8's
@@ -362,18 +381,24 @@ object PipelineQueries {
     * per-source decontamination census (total / dropped / kept /
     * kept id range) a corpus build signs off on.
     *
-    * Scale: the flag set comes from d8's kernel (shuffle ∝ shingles,
-    * never docs²), collapses to DISTINCT flagged ids — an exchange
-    * carrying only flagged rows, map-side partial agg dedups before
-    * the shuffle, and contamination is rare by contract — and the
+    * Scale: the flag set comes from d8's kernel served via the
+    * `contaminationPairs` artifact (shuffle ∝ shingles, never docs²,
+    * run once per corpus version), collapses to DISTINCT flagged ids
+    * — an exchange carrying only flagged rows, map-side partial agg
+    * dedups before the shuffle, and contamination is rare by
+    * contract — and the
     * drop decision is ONE BROADCAST left join against `documents`:
     * the 100 TB corpus never hash-shuffles for the drop or the
     * census (per-source rollup is a partial agg over source
     * cardinality). Same report→action contract as d22, spec-pinned.
     */
   def d23TrigramDecontam(spark: SparkSession, dir: String,
-      maxDf: Int = 50, minShared: Int = 1): DataFrame = {
-    val flagged = d8ContaminationPairs(spark, dir, maxDf, minShared)
+      maxDf: Int = ContamMaxDf, minShared: Int = ContamMinShared): DataFrame = {
+    val pairs =
+      if (maxDf == ContamMaxDf && minShared == ContamMinShared)
+        contaminationPairs(spark, dir)
+      else d8ContaminationPairs(spark, dir, maxDf, minShared)
+    val flagged = pairs
       .select(col("doc_id")).distinct()
       .withColumn("flagged", lit(1))
     table(spark, dir, "documents")

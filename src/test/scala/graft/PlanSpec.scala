@@ -216,6 +216,16 @@ class PlanSpec extends SparkSpec {
       s"d25 must not re-derive repeats (no window explode/self-join):\n$serve25")
   }
 
+  test("d8/d23 serve the contamination-pair artifact (no shingle explode)") {
+    operators.PipelineQueries.d8Contamination(spark, sf0).count()
+    Seq(operators.PipelineQueries.d8Contamination(spark, sf0),
+        operators.PipelineQueries.d23TrigramDecontam(spark, sf0)).foreach { df =>
+      val serve = executed(df)
+      assert(!serve.contains("Generate"),
+        s"serving must read the contamination-pair artifact:\n$serve")
+    }
+  }
+
   test("d17 serves its fused corpus pass from the materialized artifact") {
     // warm the artifact, then the serving plan must scan it (path
     // prefix `shsig16_`) instead of re-running the shingle + minhash

@@ -47,7 +47,9 @@ class ArtifactsSpec extends SparkSpec {
     // cross-driver commit (bypassing the in-JVM single-flight memo).
     // Exactly one rename wins; the loser discards its temp and serves
     // the winner; a reader never sees a partial artifact.
-    val dir = tmpDir("artifacts_race")
+    // nanoTime-unique: a prior session's committed artifact at a fixed
+    // path would make every commit a valid no-op and void the race
+    val dir = tmpDir(s"artifacts_race_${System.nanoTime()}")
     val out = dir + "/artifact_dest"
     val df = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     import scala.concurrent.{Await, Future}
