@@ -61,19 +61,48 @@ object ExactSubstr {
     repeatsFrom(Checkpoints.cut(toks.select(col("doc_id"), col("tk"))),
       cap, minTok)
 
-  private def repeatsFrom(cut: DataFrame, cap: Int, minTok: Int): DataFrame = {
+  /** The family's ONE (doc, pos, h) rolling-window kernel — batch
+    * report, incremental merge, and streaming gate all hash through
+    * this projection (the `windowHashExpr` discipline: the
+    * incremental/stream ≡ batch guarantees rest on the kernel never
+    * diverging). 1-based positions.
+    */
+  def windowPositions(toks: DataFrame): DataFrame = {
     val winArr = transform(
       sequence(lit(1), size(col("tk")) - lit(Width - 1)),
       i => conv(substring(md5(array_join(slice(col("tk"), i, lit(Width)), " ")), 1, 15),
         16, 10).cast("long"))
-    // (doc, pos, h) rolling windows — lineage-cut: it feeds the hot
-    // census AND both self-join sides
-    val pw = Checkpoints.cut(cut
-      .select(col("doc_id"),
+    toks.select(col("doc_id"),
         posexplode(when(size(col("tk")) >= Width, winArr)
           .otherwise(array().cast("array<long>"))))
       .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("pos"),
-        col("col").as("h")))
+        col("col").as("h"))
+  }
+
+  /** Diagonal gaps-and-islands over oriented match rows (doc_a,
+    * doc_b, pa, pb) → maximal runs ≥ minTok. One window per (doc,
+    * pos) ⇒ (pair, diag, pa) is unique; runs of consecutive pa on a
+    * diagonal are maximal by construction. Shared by the batch
+    * report and the incremental merge's bounded recomputes.
+    */
+  private[operators] def runsFromMatches(matches: DataFrame,
+      minTok: Int): DataFrame = {
+    val m = matches.withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("run", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run"))
+      .agg(min(col("pa")).as("a_start"), count(lit(1)).as("n_win"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("n_win") + lit(Width - 1).cast("long")).as("len_tok"))
+      .filter(col("len_tok") >= minTok)
+  }
+
+  private def repeatsFrom(cut: DataFrame, cap: Int, minTok: Int): DataFrame = {
+    // (doc, pos, h) rolling windows — lineage-cut: it feeds the hot
+    // census AND both self-join sides
+    val pw = Checkpoints.cut(windowPositions(cut))
     val hot = pw.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("h"))
@@ -81,20 +110,8 @@ object ExactSubstr {
     val matches = ok.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
       .join(ok.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), "h")
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
-        (col("pa") - col("pb")).as("diag"))
-    // one window per (doc, pos) ⇒ (pair, diag, pa) is unique; runs of
-    // consecutive pa on a diagonal are maximal by construction
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-      .orderBy(col("pa"))
-    matches
-      .withColumn("run", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run"))
-      .agg(min(col("pa")).as("a_start"), count(lit(1)).as("n_win"))
-      .select(col("doc_a"), col("doc_b"), col("a_start"),
-        (col("a_start") - col("diag")).as("b_start"),
-        (col("n_win") + lit(Width - 1).cast("long")).as("len_tok"))
-      .filter(col("len_tok") >= minTok)
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    runsFromMatches(matches, minTok)
   }
 
   /** The ACTION the repeat report feeds (§2.3 d25) — keep-FIRST-

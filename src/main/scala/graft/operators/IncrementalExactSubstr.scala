@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the maximal-repeat artifact — the d24
+  * member of the ingest-lifecycle family (SURVEY §2.3): a growing
+  * corpus must fold new docs into the exact-substring report without
+  * re-running the window self-join over 100 TB, exactly as
+  * `IncrementalPassages` maintains d11's pair counts. Repeats are
+  * STRUCTURAL (runs on a diagonal), not counts, so the merge has a
+  * different repair shape — but the same monotonicity makes it exact:
+  * distinct-doc window frequency only GROWS, therefore
+  *
+  *   - NEW runs must involve a batch doc (old docs' window sets are
+  *     immutable, and two old docs cannot gain a match);
+  *   - EXISTING runs can only SHRINK or SPLIT, and only when a
+  *     window they pass through CROSSES the hot cap — which requires
+  *     the batch to CONTAIN that window (the batch-scoped census
+  *     argument, §8l.1);
+  *   - a pair is AT RISK only if BOTH docs contain a crossing window
+  *     (a match at w exists only when both sides hold w), and at-risk
+  *     pairs with no existing repeat row cannot gain one (runs only
+  *     shrink), so the repair set is `oldRepeats ∩ crossing-pairs` —
+  *     bounded by |crossing| · cap², never corpus-sized.
+  *
+  * Because a split run's surviving fragments depend on the pair's
+  * FULL match structure (not just the crossed window), at-risk pairs
+  * are RECOMPUTED from a doc-keyed projection of the index — which is
+  * why the module keeps TWO bucketed copies of the (doc, pos, h)
+  * window rows: `<prefix>_wpos` on h (probes, census) and
+  * `<prefix>_wdoc` on doc_id (bounded per-pair recompute). The
+  * recompute evaluates every window's hotness at UNION counts via a
+  * bounded probe of the at-risk docs' own windows (the
+  * pre-existing-oversized lesson from IncrementalMedia's r12
+  * advisory, applied from the start). Merged ≡ full recompute is
+  * spec-pinned, including a crossing that SPLITS a long run into two
+  * shorter surviving fragments.
+  */
+object IncrementalExactSubstr {
+
+  import ExactSubstr.{Width, runsFromMatches, windowPositions}
+
+  /** Persist the corpus window-position rows under BOTH layouts. */
+  def buildIndexes(wins: DataFrame, prefix: String = "graft_substr",
+      buckets: Int = 32): Unit = {
+    val w = wins.select(col("doc_id"), col("pos"), col("h"))
+    graft.sources.Bucketing.writeBucketed(w, s"${prefix}_wpos", "h", buckets)
+    graft.sources.Bucketing.writeBucketed(w, s"${prefix}_wdoc", "doc_id", buckets)
+  }
+
+  /** Append a merged batch's window rows under both layouts. */
+  def appendToIndexes(batchWins: DataFrame, prefix: String = "graft_substr",
+      buckets: Int = 32): Unit = {
+    val w = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
+    graft.sources.Bucketing.appendBucketed(w, s"${prefix}_wpos", "h", buckets)
+    graft.sources.Bucketing.appendBucketed(w, s"${prefix}_wdoc", "doc_id", buckets)
+  }
+
+  /** DISTINCT-doc window frequency > cap at the current index — NOT
+    * `Bucketing.overCapKeys` (raw row counts): a doc repeating a
+    * window internally contributes several (pos) rows but ONE doc to
+    * df. The distinct + group-by both ride the h bucket layout
+    * exchange-free.
+    */
+  def hotWindows(spark: SparkSession, prefix: String = "graft_substr",
+      cap: Int = 100): DataFrame =
+    spark.table(s"${prefix}_wpos")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("h"))
+
+  /** Land the hot census as `<prefix>_hot` (per batch append, never
+    * per micro-batch).
+    */
+  def refreshHotWindows(spark: SparkSession, prefix: String = "graft_substr",
+      cap: Int = 100, buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      hotWindows(spark, prefix, cap), s"${prefix}_hot", "h", buckets)
+
+  /** The index a serving consumer (the streaming gate) probes: full
+    * position rows minus the maintained hot exclusion.
+    */
+  def servableIndex(spark: SparkSession,
+      prefix: String = "graft_substr"): DataFrame =
+    graft.sources.Bucketing.minusHot(spark, s"${prefix}_wpos", s"${prefix}_hot", "h")
+
+  /** Fold an ingest batch into the repeat table EXACTLY. `batchWins`
+    * is `ExactSubstr.windowPositions` of the NEW docs only (ids
+    * disjoint from the corpus'); `oldRepeats` is the current artifact
+    * at the same (cap, minTok).
+    */
+  def mergeBatch(spark: SparkSession, batchWins: DataFrame,
+      oldRepeats: DataFrame, prefix: String = "graft_substr",
+      cap: Int = 100, minTok: Int = 10): DataFrame = {
+    val idx = spark.table(s"${prefix}_wpos")
+    // lineage-cut: the batch frame feeds the census AND both new-pair
+    // sides; old repeats feed the anti-join AND the at-risk semi-join
+    val bw = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
+    val oldR = Checkpoints.cut(oldRepeats)
+    // batch-scoped census over DISTINCT docs (disjoint ids ⇒ union df
+    // = index df + batch df); corpus side: broadcast semi-probe of
+    // the bucketed index + exchange-free distinct/group-by on h
+    val dfB = bw.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df_b"))
+    val dfC = idx.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df_c"))
+    val census = Checkpoints.cut(dfB.join(dfC, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("df_c"), lit(0L)).as("df_c"),
+        (coalesce(col("df_c"), lit(0L)) + col("df_b")).as("df_new")))
+    // hot at union counts, for every window the BATCH contains —
+    // exactly the set new-pair matching can meet
+    val hotNew = census.filter(col("df_new") > cap).select(col("h"))
+    val crossing = census.filter(col("df_c") <= cap && col("df_new") > cap)
+      .select(col("h"))
+    // at-risk pairs: existing repeat rows whose docs BOTH hold a
+    // crossing window (≤ cap docs per crossing window ⇒ ≤ cap² pairs
+    // per window); pairs without a row cannot gain one (runs shrink)
+    val crossDocs = idx.join(broadcast(crossing), Seq("h"))
+      .select(col("h"), col("doc_id")).distinct()
+    val atRisk = Checkpoints.cut(crossDocs.select(col("h"), col("doc_id").as("doc_a"))
+      .join(crossDocs.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(oldR.select(col("doc_a"), col("doc_b")).distinct(),
+        Seq("doc_a", "doc_b"), "left_semi"))
+    // bounded recompute of the at-risk pairs from the doc-keyed index:
+    // every window's hotness evaluated at UNION counts (a bucket hot
+    // BEFORE the batch and untouched by it must still void matches —
+    // the pre-existing-oversized case), via a probe of the at-risk
+    // docs' OWN windows, never a corpus scan
+    val riskDocs = atRisk.select(col("doc_a").as("doc_id"))
+      .unionByName(atRisk.select(col("doc_b").as("doc_id"))).distinct()
+    val riskWins = Checkpoints.cut(spark.table(s"${prefix}_wdoc")
+      .join(broadcast(riskDocs), "doc_id"))
+    val riskH = riskWins.select(col("h")).distinct()
+    val hotRisk = idx.join(riskH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df_c_full"))
+      .join(dfB, Seq("h"), "left")
+      .filter(col("df_c_full") + coalesce(col("df_b"), lit(0L)) > cap)
+      .select(col("h"))
+    val okRisk = riskWins.join(broadcast(hotRisk), Seq("h"), "left_anti")
+    val riskMatches = okRisk
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(okRisk.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .join(broadcast(atRisk), Seq("doc_a", "doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val riskRepaired = runsFromMatches(riskMatches, minTok)
+    // new runs: batch windows (minus union-hot) probe the index for
+    // corpus partners and self-join for batch-batch partners; orient
+    // each match so doc_a < doc_b with positions following the swap
+    val bOk = bw.join(broadcast(hotNew), Seq("h"), "left_anti")
+    val partners = idx.join(broadcast(hotNew), Seq("h"), "left_anti")
+      .join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi")
+      .unionByName(bOk)
+    val fresh = bOk.select(col("h"), col("doc_id").as("bd"), col("pos").as("bp"))
+      .join(partners.select(col("h"), col("doc_id").as("od"), col("pos").as("op")), "h")
+      .filter(col("bd") =!= col("od"))
+      .select(least(col("bd"), col("od")).as("doc_a"),
+        greatest(col("bd"), col("od")).as("doc_b"),
+        when(col("bd") < col("od"), col("bp")).otherwise(col("op")).as("pa"),
+        when(col("bd") < col("od"), col("op")).otherwise(col("bp")).as("pb"))
+      .distinct() // batch-batch matches arrive once per side
+    oldR.join(atRisk, Seq("doc_a", "doc_b"), "left_anti")
+      .unionByName(riskRepaired)
+      .unionByName(runsFromMatches(fresh, minTok))
+  }
+
+  /** One-owner ingest (the family's `admitBatch` parity): eager merge
+    * against the PRE-append indexes (a lazy consumer would double-
+    * count the batch in the census), then append both layouts and
+    * refresh the hot exclusion — the NEXT probe/stream micro-batch
+    * sees the admitted docs and any newly-hot window. Returns the
+    * merged repeat table.
+    */
+  def admitBatch(spark: SparkSession, batchWins: DataFrame,
+      oldRepeats: DataFrame, prefix: String = "graft_substr",
+      cap: Int = 100, minTok: Int = 10, buckets: Int = 32,
+      hotBuckets: Int = 8): DataFrame = {
+    val bw = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
+    val merged = Checkpoints.cut(
+      mergeBatch(spark, bw, oldRepeats, prefix, cap, minTok), eager = true)
+    appendToIndexes(bw, prefix, buckets)
+    refreshHotWindows(spark, prefix, cap, hotBuckets)
+    merged
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental maximal-repeat maintenance (SURVEY §2.3
+  * d24-incremental): `mergeBatch` must reproduce
+  * `ExactSubstr.maximalRepeats` over the union corpus EXACTLY —
+  * including the structural case counts can't express: a batch
+  * pushing one window over the hot cap SPLITS an existing long run
+  * into two shorter surviving fragments.
+  */
+class IncrementalExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  private val T = toks("t", 30)          // 23 windows; w = T(12..19) at pos 12
+  private val W = T.slice(11, 19)        // the window the batch pushes hot
+  private val S = toks("s", 12)
+  private val R = toks("r", 12)
+
+  private def corpusDocs = Seq(
+    (1L, T ++ toks("u", 4)),             // (1,2): 30-token run
+    (2L, T ++ toks("v", 4)),
+    (3L, toks("a", 5) ++ W ++ toks("b", 5)), // holds ONLY w → df(w) = 3 = cap
+    (5L, S ++ toks("f", 4))              // S's lone corpus holder
+  ).toDF("doc_id", "tk")
+
+  private def batchDocs = Seq(
+    (10L, toks("c", 4) ++ W ++ toks("d", 4)), // pushes w over cap 3 → crossing
+    (11L, toks("e", 2) ++ S),                 // fresh batch-corpus pair with 5
+    (12L, R ++ toks("g", 3)),                 // fresh batch-batch pair
+    (13L, toks("h", 4) ++ R)
+  ).toDF("doc_id", "tk")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"doc_a", $"doc_b", $"a_start", $"b_start", $"len_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("mergeBatch ≡ full recompute, incl. the cap-crossing run SPLIT") {
+    val corpusWins = ExactSubstr.windowPositions(corpusDocs)
+    IncrementalExactSubstr.buildIndexes(corpusWins, prefix = "ixs1", buckets = 4)
+    val oldRepeats = ExactSubstr.maximalRepeats(corpusDocs, cap = 3)
+    // pre-batch truth: one unbroken 30-token run; (1,3)/(2,3) share
+    // only w (8 < minTok) and never enter the table
+    assert(rows(oldRepeats) === Set((1L, 2L, 1L, 1L, 30L)))
+    val merged = IncrementalExactSubstr.mergeBatch(spark,
+      ExactSubstr.windowPositions(batchDocs), oldRepeats,
+      prefix = "ixs1", cap = 3)
+    val full = ExactSubstr.maximalRepeats(
+      corpusDocs.unionByName(batchDocs), cap = 3)
+    assert(rows(merged) === rows(full),
+      s"merged ${rows(merged)} != full recompute ${rows(full)}")
+    // spelled out: w goes hot (df 4 > 3) and the (1,2) run SPLITS
+    // around position 12 into two 18-token fragments; batch doc 10
+    // pairs with nothing (its only shared window is hot); 11 pairs
+    // with corpus doc 5 on S; 12/13 pair within the batch on R
+    assert(rows(merged) === Set(
+      (1L, 2L, 1L, 1L, 18L), (1L, 2L, 13L, 13L, 18L),
+      (5L, 11L, 1L, 3L, 12L), (12L, 13L, 1L, 5L, 12L)))
+  }
+
+  test("pre-existing hot window stays excluded in the at-risk recompute") {
+    // df(w') = 4 > cap BEFORE the batch (docs 1,2,3,4 hold it), so
+    // oldRepeats already shows the split; the batch then crosses a
+    // DIFFERENT window w'' shared by (1,2) — the recompute must keep
+    // honoring w'-hotness at union counts (the IncrementalMedia r12
+    // advisory case, structural flavor) or the old split would heal
+    val T2 = toks("q", 30)
+    val Wp = T2.slice(11, 19)  // w' at pos 12: pre-hot
+    val Wpp = T2.slice(0, 8)   // w'' at pos 1: crossed by the batch
+    val corpus = Seq(
+      (1L, T2 ++ toks("u", 4)),
+      (2L, T2 ++ toks("v", 4)),
+      (3L, toks("a", 5) ++ Wp ++ toks("b", 5)),
+      (4L, toks("c", 5) ++ Wp ++ toks("d", 5))).toDF("doc_id", "tk")
+    IncrementalExactSubstr.buildIndexes(
+      ExactSubstr.windowPositions(corpus), prefix = "ixs2", buckets = 4)
+    val oldRepeats = ExactSubstr.maximalRepeats(corpus, cap = 3)
+    assert(rows(oldRepeats) === Set(
+      (1L, 2L, 1L, 1L, 18L), (1L, 2L, 13L, 13L, 18L)))
+    val batch = Seq(
+      (10L, toks("e", 3) ++ Wpp ++ toks("f", 3)),
+      (11L, toks("g", 3) ++ Wpp ++ toks("h", 3))).toDF("doc_id", "tk")
+    val merged = IncrementalExactSubstr.mergeBatch(spark,
+      ExactSubstr.windowPositions(batch), oldRepeats, prefix = "ixs2", cap = 3)
+    val full = ExactSubstr.maximalRepeats(corpus.unionByName(batch), cap = 3)
+    assert(rows(merged) === rows(full),
+      s"merged ${rows(merged)} != full ${rows(full)}")
+    // w'' hot too: the first fragment loses its opening window —
+    // [2..11] is 10 windows → 17 tokens; the second fragment and the
+    // w' exclusion are untouched
+    assert(rows(merged) === Set(
+      (1L, 2L, 2L, 2L, 17L), (1L, 2L, 13L, 13L, 18L)))
+  }
+
+  test("real corpus: merge over a planted-doc split ≡ full recompute") {
+    val toksAll = PipelineQueries.plantedSpanToks(spark, sf0)
+    val corpus = toksAll.filter($"doc_id" % 7 =!= 0)
+    val batch = toksAll.filter($"doc_id" % 7 === 0)
+    IncrementalExactSubstr.buildIndexes(
+      ExactSubstr.windowPositions(corpus), prefix = "ixs3", buckets = 8)
+    val oldRepeats = ExactSubstr.maximalRepeats(corpus)
+    val merged = IncrementalExactSubstr.mergeBatch(spark,
+      ExactSubstr.windowPositions(batch), oldRepeats, prefix = "ixs3")
+    val full = ExactSubstr.maximalRepeats(toksAll)
+    assert(rows(merged) === rows(full))
+    assert(rows(merged).nonEmpty)
+  }
+
+  test("admitBatch: the NEXT probe sees the batch; hot refresh excludes crossings") {
+    val corpusWins = ExactSubstr.windowPositions(corpusDocs)
+    IncrementalExactSubstr.buildIndexes(corpusWins, prefix = "ixs4", buckets = 4)
+    IncrementalExactSubstr.refreshHotWindows(spark, prefix = "ixs4", cap = 3)
+    val oldRepeats = ExactSubstr.maximalRepeats(corpusDocs, cap = 3)
+    val merged = IncrementalExactSubstr.admitBatch(spark,
+      ExactSubstr.windowPositions(batchDocs), oldRepeats,
+      prefix = "ixs4", cap = 3, buckets = 4)
+    assert(rows(merged) === Set(
+      (1L, 2L, 1L, 1L, 18L), (1L, 2L, 13L, 13L, 18L),
+      (5L, 11L, 1L, 3L, 12L), (12L, 13L, 1L, 5L, 12L)))
+    // next arrival copies ADMITTED doc 12's R passage → the servable
+    // index (refreshed post-append) must pair it with 12 AND 13;
+    // an arrival built from the crossed window w must stay clean
+    val arrivals = Seq(
+      (20L, R ++ toks("z", 3)),
+      (21L, toks("y", 3) ++ W ++ toks("x", 3))).toDF("doc_id", "tk")
+    val sv = IncrementalExactSubstr.servableIndex(spark, "ixs4")
+    val matches = ExactSubstr.windowPositions(arrivals)
+      .select($"h", $"doc_id".as("doc_a"), $"pos".as("pa"))
+      .join(sv.select($"h", $"doc_id".as("doc_b"), $"pos".as("pb")), "h")
+    val flagged = ExactSubstr.runsFromMatches(matches, minTok = 10)
+    assert(rows(flagged) === Set(
+      (20L, 12L, 1L, 1L, 12L), (20L, 13L, 1L, 5L, 12L)),
+      s"post-admit probe: ${rows(flagged)}")
+  }
+}
