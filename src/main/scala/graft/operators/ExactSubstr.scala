@@ -67,16 +67,18 @@ object ExactSubstr {
     * incremental/stream ≡ batch guarantees rest on the kernel never
     * diverging). 1-based positions.
     */
-  def windowPositions(toks: DataFrame): DataFrame = {
+  def windowPositions(toks: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val winArr = transform(
       sequence(lit(1), size(col("tk")) - lit(Width - 1)),
       i => conv(substring(md5(array_join(slice(col("tk"), i, lit(Width)), " ")), 1, 15),
         16, 10).cast("long"))
-    toks.select(col("doc_id"),
+    val keepCols = keep.map(col)
+    toks.select((col("doc_id") +: keepCols) :+
         posexplode(when(size(col("tk")) >= Width, winArr)
-          .otherwise(array().cast("array<long>"))))
-      .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("pos"),
-        col("col").as("h"))
+          .otherwise(array().cast("array<long>"))): _*)
+      .select((col("doc_id") +: keepCols) ++ Seq(
+        (col("pos") + lit(1)).cast("long").as("pos"),
+        col("col").as("h")): _*)
   }
 
   /** Diagonal gaps-and-islands over oriented match rows (doc_a,
@@ -85,7 +87,7 @@ object ExactSubstr {
     * diagonal are maximal by construction. Shared by the batch
     * report and the incremental merge's bounded recomputes.
     */
-  private[operators] def runsFromMatches(matches: DataFrame,
+  private[graft] def runsFromMatches(matches: DataFrame,
       minTok: Int): DataFrame = {
     val m = matches.withColumn("diag", col("pa") - col("pb"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
