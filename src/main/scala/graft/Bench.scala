@@ -22,7 +22,9 @@ object Bench {
     "d11x_incremental_merge" -> ((s, dir) =>
       operators.IncrementalPassages.benchIncrementalMerge(s, dir)),
     "m5y_incremental_merge" -> ((s, dir) =>
-      operators.IncrementalMedia.benchIncrementalMerge(s, dir)))
+      operators.IncrementalMedia.benchIncrementalMerge(s, dir)),
+    "d24x_incremental_merge" -> ((s, dir) =>
+      operators.IncrementalExactSubstr.benchIncrementalMerge(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);
@@ -63,6 +65,8 @@ object Bench {
       operators.IncrementalPassages.warmBenchFixture(spark, sfDir)
     if ("m5y_incremental_merge".matches(nameFilter))
       operators.IncrementalMedia.warmBenchFixture(spark, sfDir)
+    if ("d24x_incremental_merge".matches(nameFilter))
+      operators.IncrementalExactSubstr.warmBenchFixture(spark, sfDir)
     // median-of-3 (first run may absorb one-time codegen/datasource
     // init; single-run numbers at this scale carry ±seconds of
     // environment noise, which has manufactured phantom regressions
