@@ -134,22 +134,31 @@ object PipelineQueries {
   /** (id, trigram-hash) rows — explode-over-positions so the token
     * split runs once per DOC (the Generate barrier; see
     * Dedup.shingleRows for the measured HOF-inlining trap). Hashes
-    * are 60-bit md5-prefix ints, identical in the oracle.
+    * are 60-bit md5-prefix ints, identical in the oracle. This is
+    * the d8 family's ONE trigram kernel — the batch report, its
+    * d23 action, and the streaming gate all hash through it
+    * (`keep` carries passthrough columns like the stream's ts;
+    * `repartitionInput = false` for streaming frames, where the
+    * micro-batch partitioning must ride through).
     */
-  private def triShingles(d: DataFrame, idCol: String): DataFrame = {
-    val spread = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), wsTokens(col("text")).as("tk"))
+  private[graft] def triShingles(d: DataFrame, idCol: String,
+      keep: Seq[String] = Nil, repartitionInput: Boolean = true): DataFrame = {
+    val keepCols = keep.map(col)
+    val base = if (repartitionInput)
+      d.repartition(d.sparkSession.sparkContext.defaultParallelism) else d
+    val spread = base
+      .select(col(idCol) +: keepCols :+ wsTokens(col("text")).as("tk"): _*)
     spread
-      .select(col(idCol), col("tk"),
+      .select((col(idCol) +: keepCols) ++ Seq(col("tk"),
         explode(when(size(col("tk")) >= 3,
             sequence(lit(1), size(col("tk")) - lit(2)))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col(idCol),
+          .otherwise(array().cast("array<int>"))).as("i")): _*)
+      .select(col(idCol) +: keepCols :+
         concat_ws(" ", element_at(col("tk"), col("i")),
           element_at(col("tk"), col("i") + 1),
-          element_at(col("tk"), col("i") + 2)).as("tri"))
-      .select(col(idCol),
-        conv(substring(md5(col("tri")), 1, 15), 16, 10).cast("long").as("h"))
+          element_at(col("tk"), col("i") + 2)).as("tri"): _*)
+      .select(col(idCol) +: keepCols :+
+        conv(substring(md5(col("tri")), 1, 15), 16, 10).cast("long").as("h"): _*)
   }
 
   /** §2.5 t8: internal-repetition quality metrics (Gopher-style
