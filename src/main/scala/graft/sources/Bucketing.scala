@@ -26,14 +26,15 @@ object Bucketing {
     val spark = df.sparkSession
     // true overwrite: drop catalog entry AND its managed location — a
     // stale location from a prior session otherwise fails the write
-    // with LOCATION_ALREADY_EXISTS
+    // with LOCATION_ALREADY_EXISTS. Hadoop FileSystem, not
+    // java.io.File: the warehouse is hdfs://-or-s3a://-addressable on
+    // a real cluster and a local-only delete would silently no-op
+    // there, resurfacing the stale-location failure at scale.
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(warehouse, t))
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(t)

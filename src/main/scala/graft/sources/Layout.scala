@@ -103,8 +103,15 @@ object Layout {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetFileBytes: Long = 128L << 20): Int = {
-    require(new java.io.File(outDir).getCanonicalPath !=
-      new java.io.File(inDir).getCanonicalPath, "compact into a new directory")
+    // same-directory guard via fully-qualified Hadoop paths — a
+    // java.io.File canonical-path compare only resolves local paths
+    // and would let hdfs://-or-s3a:// callers overwrite their input
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    require(qualified(outDir) != qualified(inDir), "compact into a new directory")
     val df = spark.read.parquet(inDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).min(1 << 20).toInt
