@@ -54,10 +54,9 @@ object DupSpans {
     */
   private def spanFrames(toks: DataFrame): (DataFrame, DataFrame) = {
     val cut = Checkpoints.cut(toks.select(col("doc_id"), col("tk")))
-    val winArr = transform(
-      sequence(lit(1), size(col("tk")) - lit(Width - 1)),
-      i => conv(substring(md5(array_join(slice(col("tk"), i, lit(Width)), " ")), 1, 15),
-        16, 10).cast("long"))
+    // the span family's ONE window-hash kernel (d11's expression) —
+    // d18/d19/d24 and the incremental/stream paths must never diverge
+    val winArr = IncrementalPassages.windowHashExpr(col("tk"), Width)
     val pw = cut
       .select(col("doc_id"),
         posexplode(when(size(col("tk")) >= Width, winArr)

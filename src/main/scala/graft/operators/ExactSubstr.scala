@@ -68,10 +68,8 @@ object ExactSubstr {
     * diverging). 1-based positions.
     */
   def windowPositions(toks: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val winArr = transform(
-      sequence(lit(1), size(col("tk")) - lit(Width - 1)),
-      i => conv(substring(md5(array_join(slice(col("tk"), i, lit(Width)), " ")), 1, 15),
-        16, 10).cast("long"))
+    // the span family's ONE window-hash kernel (d11's expression)
+    val winArr = IncrementalPassages.windowHashExpr(col("tk"), Width)
     val keepCols = keep.map(col)
     toks.select((col("doc_id") +: keepCols) :+
         posexplode(when(size(col("tk")) >= Width, winArr)
