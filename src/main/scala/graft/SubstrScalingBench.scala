@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * §8m — companion to Media/Dedup/Graph ScalingBench): the d24
   * report and its incremental merge on 1×–8× the sf0.1 corpus.
   *
-  * Replication that keeps the claim honest (MediaScalingBench's
-  * recipe): copy c offsets doc ids by c·10⁷ and Caesar-rotates the
-  * TEXT by c — copies share no token, hence no window, so the
+  * Replication that keeps the claim honest: copy c offsets doc ids
+  * by c·10⁷ and PREFIXES every token with `c<c>_` — structurally
+  * disjoint vocabularies (a Caesar rotation of the text is only
+  * data-dependently disjoint: letter-free tokens are rotation-
+  * invariant and a rotated token can equal a different original
+  * token, either of which would admit cross-copy windows), so the
   * composite corpus has EXACTLY N× the planted repeats of the
   * original (no cross-copy pairs, no quadratic pathology) and the
   * per-copy decade plant lands entirely inside its own id range
@@ -37,14 +40,6 @@ object SubstrScalingBench {
       .select("doc_id", "text")
     docs0.count() // warmup
 
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val alpha = lower + lower.toUpperCase
-    def rotated(k: Int): String = {
-      val r = k % 26
-      lower.drop(r) + lower.take(r) +
-        (lower.drop(r) + lower.take(r)).toUpperCase
-    }
-
     // the d11/d24 decade-head plant, inline (plantedSpanToks' rule)
     def planted(docs: DataFrame): DataFrame = {
       val toksD = docs.select(col("doc_id"),
@@ -62,15 +57,19 @@ object SubstrScalingBench {
       ((System.nanoTime() - t0) / 1e9, out)
     }
 
+    // plant once, replicate the TOKEN frame: copy c = id offset +
+    // per-token prefix (windows of copy c are bijective images of
+    // copy 0's, so repeats replicate exactly)
+    val tk0 = planted(docs0)
     var base: Option[Long] = None
     Seq(1, 2, 4, 8).foreach { copies =>
       val path = s"$scratch/docs_$copies"
       (0 until copies).map(c =>
-          docs0.withColumn("doc_id", col("doc_id") + lit(c.toLong * 10000000L))
-            .withColumn("text", translate(col("text"), alpha, rotated(c))))
+          tk0.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+            transform(col("tk"), t => concat(lit(s"c${c}_"), t)).as("tk")))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(path)
-      val tk = planted(spark.read.parquet(path))
+      val tk = spark.read.parquet(path)
       val (fullS, nRep) = time(ExactSubstr.maximalRepeats(tk).count())
       base = base.orElse(Some(nRep))
       val exact = base.get * copies

@@ -62,11 +62,27 @@ private[operators] object Artifacts {
     *     path and a third can read it mid-race without ever
     *     observing a half-written artifact.
     */
+  /** Artifact sharing scope: `app` (default) keys every artifact by
+    * applicationId — each driver builds and serves its own copies, so
+    * a code change between sessions can never serve a stale artifact
+    * built by older logic (the safe mode while the engine itself is
+    * evolving). `shared` drops the applicationId: drivers sharing
+    * `spark.graft.artifactDir` REUSE each other's artifacts for the
+    * same (prefix, dir, corpus stamp) — the production mode for a
+    * fleet running ONE engine version, and the mode the cross-driver
+    * atomic commit below exists for (two drivers really can race the
+    * same path there).
+    */
+  val ScopeKey = "spark.graft.artifactScope"
+
   def materializedClustered(spark: SparkSession, prefix: String, dir: String,
       stampSrc: String, clusterCols: Seq[String])(
       frame: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stamp = corpusStamp(spark, s"$dir/$stampSrc")
-    val key = s"$prefix|${spark.sparkContext.applicationId}|$dir|$stamp"
+    val scope =
+      if (spark.conf.get(ScopeKey, "app") == "shared") "shared"
+      else spark.sparkContext.applicationId
+    val key = s"$prefix|$scope|$dir|$stamp"
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val p = memo.putIfAbsent(key, fresh) match {
       case Some(inFlight) => inFlight.join()
@@ -121,6 +137,23 @@ private[operators] object Artifacts {
       if (!committed(fs, dest))
         throw new java.io.IOException(
           s"artifact commit failed: $dest exists without _SUCCESS")
+    } else {
+      // Hadoop rename semantics trap: renaming onto an EXISTING
+      // directory does not fail — it moves the source INSIDE it and
+      // returns true (local fs and HDFS alike). A racer that created
+      // dest between our marker check and the rename therefore leaves
+      // OUR build nested under the winner's artifact: detect it by
+      // our own temp name, discard it, and validate the winner —
+      // without this the losing copy is silently retained inside the
+      // artifact forever (readers skip the underscore-hidden dir, so
+      // it is a permanent storage leak, one full artifact per race).
+      val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        if (!committed(fs, dest))
+          throw new java.io.IOException(
+            s"artifact commit failed: $dest exists without _SUCCESS after race")
+      }
     }
   }
 }

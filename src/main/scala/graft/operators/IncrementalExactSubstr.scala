@@ -193,28 +193,13 @@ object IncrementalExactSubstr {
   // Bench fixture: the per-batch cost of keeping the repeats fresh
   // ---------------------------------------------------------------
 
-  private val benchFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  private def benchPrefix(key: String): String =
-    "bench_ixsub_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
-
-  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) = {
-    val key = s"${spark.sparkContext.applicationId}|$dir"
-    val prefix = benchPrefix(key)
-    val oldRepeats = benchFixtures.synchronized(benchFixtures.getOrElseUpdate(key, {
+  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) =
+    BenchFixtures.memoized(spark, dir, "bench_ixsub") { prefix =>
       val corpus = PipelineQueries.plantedSpanToks(spark, dir)
         .filter(col("doc_id") % 7 =!= 0)
       buildIndexes(ExactSubstr.windowPositions(corpus), prefix = prefix)
-      val out = Artifacts.path(spark, "ixsub_old", key)
-      ExactSubstr.maximalRepeats(corpus).write.mode("overwrite").parquet(out)
-      val back = spark.read.parquet(out)
-      back.count() // pay file listing + footer reads here, not in a timed run
-      back
-    }))
-    (prefix, oldRepeats)
-  }
+      ExactSubstr.maximalRepeats(corpus)
+    }
 
   /** Build the standing artifacts without running a merge — Bench's
     * warmup calls this so timed `d24x` runs price only per-batch

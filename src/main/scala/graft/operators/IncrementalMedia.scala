@@ -268,38 +268,16 @@ object IncrementalMedia {
   // Bench fixture: the per-batch cost of keeping the pairs fresh
   // ---------------------------------------------------------------
 
-  private val benchFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  /** Dir-keyed index table prefix — same rationale as
-    * `IncrementalPassages.benchPrefix`: the memoized old-pair frame
-    * and the bucketed band table must share a key, or benching two sf
-    * dirs in one session pairs one dir's memo with the other's
-    * rebuilt table.
-    */
-  private def benchPrefix(key: String): String =
-    "bench_imedia_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
-
-  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) = {
-    val key = s"${spark.sparkContext.applicationId}|$dir"
-    val prefix = benchPrefix(key)
-    val oldPairs = benchFixtures.synchronized(benchFixtures.getOrElseUpdate(key, {
+  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) =
+    BenchFixtures.memoized(spark, dir, "bench_imedia") { prefix =>
       val corpus = Dedup.phashChar(
         graft.GraftSession.table(spark, dir, "documents")
           .select(col("doc_id").as("media_id"), col("text"))
           .filter(col("media_id") % 9 =!= 0),
         "media_id", "text", k = 4)
       buildPhashIndex(corpus, prefix = prefix)
-      val out = Artifacts.path(spark, "imedia_old", key)
       Dedup.hexHashPairs(corpus, "media_id", "phash")
-        .write.mode("overwrite").parquet(out)
-      val back = spark.read.parquet(out)
-      back.count() // pay file listing + footer reads here, not in a timed run
-      back
-    }))
-    (prefix, oldPairs)
-  }
+    }
 
   /** Build the standing artifacts without running a merge — Bench's
     * warmup calls this so timed `m5y` runs price only per-batch work

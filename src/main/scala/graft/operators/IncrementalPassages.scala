@@ -250,34 +250,14 @@ object IncrementalPassages {
   // Bench fixture: the per-batch cost of keeping the artifact fresh
   // ---------------------------------------------------------------
 
-  private val benchFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  /** The bench fixture's index table prefix is derived from the SAME
-    * key as the memoized old-pair frame — benching two sf dirs in one
-    * session gives each its own bucketed table, so a memo hit can
-    * never pair with the other dir's rebuilt index.
-    */
-  private def benchPrefix(key: String): String =
-    "bench_ipass_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
-
-  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) = {
-    val key = s"${spark.sparkContext.applicationId}|$dir"
-    val prefix = benchPrefix(key)
-    val oldPairs = benchFixtures.synchronized(benchFixtures.getOrElseUpdate(key, {
+  private def benchFixture(spark: SparkSession, dir: String): (String, DataFrame) =
+    BenchFixtures.memoized(spark, dir, "bench_ipass") { prefix =>
       val docs = graft.GraftSession.table(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
       val corpusWins = windowHashes(docs.filter(col("doc_id") % 7 =!= 0))
       buildWindowIndex(corpusWins, prefix = prefix)
-      val out = Artifacts.path(spark, "ipass_old", key)
-      pairsFromWindows(corpusWins).write.mode("overwrite").parquet(out)
-      val back = spark.read.parquet(out)
-      back.count() // pay file listing + footer reads here, not in a timed run
-      back
-    }))
-    (prefix, oldPairs)
-  }
+      pairsFromWindows(corpusWins)
+    }
 
   /** Build the standing artifacts (bucketed window index + old-pair
     * table) WITHOUT running a merge — called from Bench's warmup

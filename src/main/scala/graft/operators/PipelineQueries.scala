@@ -131,34 +131,44 @@ object PipelineQueries {
   // t8: internal repetition (quality filter)
   // ---------------------------------------------------------------
 
+  /** The d8 family's trigram LEAF hash (60-bit md5-prefix of
+    * "t1 t2 t3") — the batch kernel and the streaming gate's in-row
+    * form both hash through this one definition.
+    */
+  private[graft] def triHash(tri: Column): Column =
+    conv(substring(md5(tri), 1, 15), 16, 10).cast("long")
+
+  /** In-row DISTINCT trigram-hash array of a token array — the
+    * streaming gate's zero-state form: per-arriving-row distinct
+    * needs no stream-level dedup state (StreamingPassages' rule),
+    * where the corpus form below keeps the Generate barrier for
+    * map-side CSE over millions of docs.
+    */
+  private[graft] def triHashArray(tk: Column): Column =
+    array_distinct(when(size(tk) >= 3,
+        transform(sequence(lit(1), size(tk) - lit(2)),
+          i => triHash(concat_ws(" ", element_at(tk, i),
+            element_at(tk, i + 1), element_at(tk, i + 2)))))
+      .otherwise(array().cast("array<long>")))
+
   /** (id, trigram-hash) rows — explode-over-positions so the token
     * split runs once per DOC (the Generate barrier; see
     * Dedup.shingleRows for the measured HOF-inlining trap). Hashes
-    * are 60-bit md5-prefix ints, identical in the oracle. This is
-    * the d8 family's ONE trigram kernel — the batch report, its
-    * d23 action, and the streaming gate all hash through it
-    * (`keep` carries passthrough columns like the stream's ts;
-    * `repartitionInput = false` for streaming frames, where the
-    * micro-batch partitioning must ride through).
+    * via `triHash`, identical in the oracle.
     */
-  private[graft] def triShingles(d: DataFrame, idCol: String,
-      keep: Seq[String] = Nil, repartitionInput: Boolean = true): DataFrame = {
-    val keepCols = keep.map(col)
-    val base = if (repartitionInput)
-      d.repartition(d.sparkSession.sparkContext.defaultParallelism) else d
-    val spread = base
-      .select(col(idCol) +: keepCols :+ wsTokens(col("text")).as("tk"): _*)
+  private[graft] def triShingles(d: DataFrame, idCol: String): DataFrame = {
+    val spread = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), wsTokens(col("text")).as("tk"))
     spread
-      .select((col(idCol) +: keepCols) ++ Seq(col("tk"),
+      .select(col(idCol), col("tk"),
         explode(when(size(col("tk")) >= 3,
             sequence(lit(1), size(col("tk")) - lit(2)))
-          .otherwise(array().cast("array<int>"))).as("i")): _*)
-      .select(col(idCol) +: keepCols :+
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(idCol),
         concat_ws(" ", element_at(col("tk"), col("i")),
           element_at(col("tk"), col("i") + 1),
-          element_at(col("tk"), col("i") + 2)).as("tri"): _*)
-      .select(col(idCol) +: keepCols :+
-        conv(substring(md5(col("tri")), 1, 15), 16, 10).cast("long").as("h"): _*)
+          element_at(col("tk"), col("i") + 2)).as("tri"))
+      .select(col(idCol), triHash(col("tri")).as("h"))
   }
 
   /** §2.5 t8: internal-repetition quality metrics (Gopher-style

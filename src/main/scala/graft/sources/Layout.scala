@@ -103,15 +103,24 @@ object Layout {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetFileBytes: Long = 128L << 20): Int = {
-    // same-directory guard via fully-qualified Hadoop paths — a
-    // java.io.File canonical-path compare only resolves local paths
-    // and would let hdfs://-or-s3a:// callers overwrite their input
+    // same-directory guard, both address families: fully-qualified
+    // Hadoop paths (hdfs://-or-s3a:// callers — a java.io.File
+    // compare would resolve nothing there and let them overwrite
+    // their input) AND, when the qualified scheme is local,
+    // canonicalized java paths too — makeQualified does not resolve
+    // symlinks, so a symlinked outDir aliasing inDir would otherwise
+    // pass the URI compare and the overwrite would destroy the input
     val conf = spark.sparkContext.hadoopConfiguration
     def qualified(p: String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).makeQualified(hp).toString
+      hp.getFileSystem(conf).makeQualified(hp)
     }
-    require(qualified(outDir) != qualified(inDir), "compact into a new directory")
+    val (qi, qo) = (qualified(inDir), qualified(outDir))
+    require(qi.toString != qo.toString, "compact into a new directory")
+    if (qo.toUri.getScheme == "file" && qi.toUri.getScheme == "file")
+      require(new java.io.File(qo.toUri.getPath).getCanonicalPath !=
+        new java.io.File(qi.toUri.getPath).getCanonicalPath,
+        "compact into a new directory (symlink aliases the input)")
     val df = spark.read.parquet(inDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).min(1 << 20).toInt

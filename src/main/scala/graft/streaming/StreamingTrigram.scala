@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   *     never reach the panel join — without it a license-header
   *     trigram would flag every arriving doc against every panel doc
   *     containing it;
-  *   - the STREAM side hashes through the family's ONE trigram
-  *     kernel (`PipelineQueries.triShingles`, ts kept through the
-  *     explode, micro-batch partitioning riding through) — watermark
+  *   - the STREAM side hashes through the family's trigram LEAF
+  *     kernel in its IN-ROW form (`PipelineQueries.triHashArray`:
+  *     distinct inside the arriving row's array before the explode —
+  *     StreamingPassages' zero-state rule, so d8's distinct-count
+  *     semantics need no stream-level dedup state) — watermark
   *     attaches BEFORE the explode so a trigram-less short doc still
   *     advances event time;
-  *   - the shared-count rollup is the one stateful step, keyed
+  *   - the shared-count rollup is the ONLY stateful step, keyed
   *     (event window, arriving doc, bench doc), watermark-evicted.
   *
   * Output: one row per (arriving doc, bench doc) with the distinct
@@ -44,10 +46,11 @@ object StreamingTrigram {
   def flagAgainstPanel(stream: DataFrame, panel: DataFrame, hot: DataFrame,
       tsCol: String, watermark: String = "10 minutes",
       timeWindow: String = "1 minute", minShared: Int = 1): DataFrame = {
-    val tris = graft.operators.PipelineQueries.triShingles(
-        stream.withWatermark(tsCol, watermark),
-        "doc_id", keep = Seq(tsCol), repartitionInput = false)
-      .dropDuplicates("doc_id", "h", tsCol) // d8 counts DISTINCT trigrams
+    val tris = stream
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id"), col(tsCol),
+        explode(graft.operators.PipelineQueries.triHashArray(
+          graft.functions.TextFunctions.wsTokens(col("text")))).as("h"))
     tris
       .join(broadcast(hot), Seq("h"), "left_anti")
       .join(broadcast(panel.select(col("h"), col("bench_id"))), Seq("h"))

@@ -66,6 +66,15 @@ class ArtifactsSpec extends SparkSpec {
     val leftovers = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("_tmp_"))
     assert(leftovers.isEmpty, s"losing temp dirs must be cleaned: ${leftovers.toSeq}")
+    // the Hadoop rename-onto-existing-dir trap: the loser's rename
+    // "succeeds" by moving its temp INSIDE the winner's artifact —
+    // the commit must detect and remove the nested copy (it is
+    // underscore-hidden from readers, but it would permanently
+    // double the artifact's storage on every race)
+    val nested = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("_tmp_"))
+    assert(nested.isEmpty,
+      s"losing build must not survive nested inside the artifact: ${nested.toSeq}")
     // a crashed writer's marker-less leftover is replaced, not served
     new java.io.File(out, "_SUCCESS").delete()
     Artifacts.commitClustered(spark, out, Seq("doc_id"))(
