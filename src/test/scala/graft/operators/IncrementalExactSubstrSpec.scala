@@ -96,6 +96,24 @@ class IncrementalExactSubstrSpec extends SparkSpec {
       (1L, 2L, 2L, 2L, 17L), (1L, 2L, 13L, 13L, 18L)))
   }
 
+  test("ANSI mode: the merge evaluates clean (no silent wrap to throw)") {
+    // the family discipline (SURVEY §5): the merge's conv/arithmetic
+    // paths get the same strict-evaluation audit as d11's and m5's
+    val saved = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      IncrementalExactSubstr.buildIndexes(
+        ExactSubstr.windowPositions(corpusDocs), prefix = "ixs5", buckets = 4)
+      val oldRepeats = ExactSubstr.maximalRepeats(corpusDocs, cap = 3)
+      val merged = IncrementalExactSubstr.mergeBatch(spark,
+        ExactSubstr.windowPositions(batchDocs), oldRepeats,
+        prefix = "ixs5", cap = 3)
+      assert(rows(merged) === Set(
+        (1L, 2L, 1L, 1L, 18L), (1L, 2L, 13L, 13L, 18L),
+        (5L, 11L, 1L, 3L, 12L), (12L, 13L, 1L, 5L, 12L)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+  }
+
   test("real corpus: merge over a planted-doc split ≡ full recompute") {
     val toksAll = PipelineQueries.plantedSpanToks(spark, sf0)
     val corpus = toksAll.filter($"doc_id" % 7 =!= 0)
