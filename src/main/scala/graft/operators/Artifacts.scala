@@ -75,13 +75,35 @@ private[operators] object Artifacts {
     */
   val ScopeKey = "spark.graft.artifactScope"
 
+  /** Object stores whose "rename" is a file-by-file server-side copy:
+    * a reader can list the destination mid-copy, so the cross-driver
+    * commit below is NOT atomic there. `shared` scope (two drivers
+    * racing one path) therefore requires a real-rename filesystem
+    * (HDFS, POSIX-local, viewfs); on these stores each driver must
+    * keep the default `app` scope, where the in-JVM single-flight is
+    * the only writer of its own path.
+    */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cosn", "swift")
+
+  private def requireAtomicRenameForShared(spark: SparkSession): Unit = {
+    val base = new org.apache.hadoop.fs.Path(spark.conf.get(
+      "spark.graft.artifactDir", "/root/repo/target/scratch/clusters"))
+    val scheme = Option(base.toUri.getScheme).getOrElse(
+      base.getFileSystem(spark.sparkContext.hadoopConfiguration).getUri.getScheme)
+    require(!NonAtomicRenameSchemes.contains(scheme),
+      s"$ScopeKey=shared needs an atomic-rename filesystem, but " +
+        s"spark.graft.artifactDir is on '$scheme://' where rename is a " +
+        "non-atomic copy; use the default app scope there")
+  }
+
   def materializedClustered(spark: SparkSession, prefix: String, dir: String,
       stampSrc: String, clusterCols: Seq[String])(
       frame: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stamp = corpusStamp(spark, s"$dir/$stampSrc")
-    val scope =
-      if (spark.conf.get(ScopeKey, "app") == "shared") "shared"
-      else spark.sparkContext.applicationId
+    val shared = spark.conf.get(ScopeKey, "app") == "shared"
+    if (shared) requireAtomicRenameForShared(spark)
+    val scope = if (shared) "shared" else spark.sparkContext.applicationId
     val key = s"$prefix|$scope|$dir|$stamp"
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val p = memo.putIfAbsent(key, fresh) match {
@@ -102,13 +124,51 @@ private[operators] object Artifacts {
     spark.read.parquet(p)
   }
 
-  /** An artifact directory is servable iff its parquet job committed
-    * (`_SUCCESS` marker) — a crashed writer leaves a marker-less dir,
-    * which is rebuilt over, never served.
+  /** An artifact directory is servable iff BOTH markers exist: the
+    * parquet job's `_SUCCESS` (written inside the temp dir, arrives
+    * with the rename) AND `_GRAFT_COMMITTED`, which the committer
+    * creates only AFTER the rename into place completes. The second
+    * marker is what makes the check honest on filesystems where
+    * rename is a file-by-file copy (object stores): `_SUCCESS` sorts
+    * before the part files there, so it alone can be visible over a
+    * partial artifact. A crash at any point before the post-rename
+    * marker leaves a dir this returns false for — rebuilt over, never
+    * served.
     */
   private def committed(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))
+    fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(dest, CommitMarker))
+
+  private[operators] val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** Stamp the post-rename commit marker. Guarded on `_SUCCESS` still
+    * being present: in the (shared-scope, extreme) race where another
+    * pre-commit writer deleted our just-renamed dir, creating the
+    * marker would resurrect a marker-only directory — fail instead;
+    * `committed` stays false for whatever remains and the next call
+    * rebuilds over it.
+    */
+  private def stampCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"artifact commit failed: $dest was removed before the commit marker landed")
+    fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), true).close()
+  }
+
+  /** A racing loser may observe the winner's dir between its rename
+    * and its marker stamp — poll briefly before declaring the dir
+    * broken (the steady state is reached within one marker create).
+    */
+  private def awaitCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Boolean = {
+    var waited = 0L
+    while (!committed(fs, dest) && waited < 5000L) {
+      Thread.sleep(100L); waited += 100L
+    }
+    committed(fs, dest)
+  }
 
   /** Atomic cross-driver artifact commit (the ExactlyOnceSink
     * pattern): build to a hidden `_tmp_` sibling, then RENAME into
@@ -129,14 +189,19 @@ private[operators] object Artifacts {
       if (dest.getParent == null) new org.apache.hadoop.fs.Path("/") else dest.getParent,
       s"_tmp_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
     graft.sources.Layout.writeClustered(frame, tmp.toString, clusterCols)
+    // re-check right before the delete: it narrows (not closes — the
+    // residual window is why shared scope is gated to atomic-rename
+    // filesystems) the TOCTOU where a racer commits between our check
+    // and our delete of a marker-less dir
     if (fs.exists(dest) && !committed(fs, dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest)) {
       // lost the race: another writer renamed first — serve the
-      // winner if complete, otherwise the artifact dir is unusable
+      // winner if complete (waiting out its marker stamp), otherwise
+      // the artifact dir is unusable
       fs.delete(tmp, true)
-      if (!committed(fs, dest))
+      if (!awaitCommitted(fs, dest))
         throw new java.io.IOException(
-          s"artifact commit failed: $dest exists without _SUCCESS")
+          s"artifact commit failed: $dest exists without its commit markers")
     } else {
       // Hadoop rename semantics trap: renaming onto an EXISTING
       // directory does not fail — it moves the source INSIDE it and
@@ -150,9 +215,13 @@ private[operators] object Artifacts {
       val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
       if (fs.exists(nested)) {
         fs.delete(nested, true)
-        if (!committed(fs, dest))
+        if (!awaitCommitted(fs, dest))
           throw new java.io.IOException(
-            s"artifact commit failed: $dest exists without _SUCCESS after race")
+            s"artifact commit failed: $dest exists without its commit markers after race")
+      } else {
+        // clean rename: our build IS the artifact — stamp the
+        // post-rename marker that `committed` requires
+        stampCommitted(fs, dest)
       }
     }
   }

@@ -49,12 +49,36 @@ object IncrementalExactSubstr {
     graft.sources.Bucketing.writeBucketed(w, s"${prefix}_wdoc", "doc_id", buckets)
   }
 
-  /** Append a merged batch's window rows under both layouts. */
+  /** Append a merged batch's window rows under both layouts —
+    * IDEMPOTENTLY at doc granularity: each table skips batch docs it
+    * already holds. A duplicated (doc_id, pos, h) row would not fail
+    * loudly — duplicate `pa` values shift `runsFromMatches`' diagonal
+    * row_number chaining and silently UNDERCOUNT run lengths — so a
+    * replayed ingest (retry after a crash, an at-least-once driver)
+    * must be absorbed here, not contracted away. The presence probe is
+    * per TABLE (not one shared set): a crash between the two appends
+    * leaves them divergent, and the retry must heal exactly the table
+    * that missed its append.
+    */
   def appendToIndexes(batchWins: DataFrame, prefix: String = "graft_substr",
       buckets: Int = 32): Unit = {
     val w = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
-    graft.sources.Bucketing.appendBucketed(w, s"${prefix}_wpos", "h", buckets)
-    graft.sources.Bucketing.appendBucketed(w, s"${prefix}_wdoc", "doc_id", buckets)
+    val spark = w.sparkSession
+    val ids = w.select(col("doc_id")).distinct()
+    def absentOnly(table: String): DataFrame = {
+      // docs of the batch already present in THIS table: a broadcast
+      // semi-probe of the bucketed table (corpus side unshuffled),
+      // collapsed to ids — bounded by the batch, broadcast back as
+      // the exclusion
+      val present = spark.table(table)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+      w.join(broadcast(present), Seq("doc_id"), "left_anti")
+    }
+    graft.sources.Bucketing.appendBucketed(
+      absentOnly(s"${prefix}_wpos"), s"${prefix}_wpos", "h", buckets)
+    graft.sources.Bucketing.appendBucketed(
+      absentOnly(s"${prefix}_wdoc"), s"${prefix}_wdoc", "doc_id", buckets)
   }
 
   /** DISTINCT-doc window frequency > cap at the current index — NOT
@@ -86,17 +110,26 @@ object IncrementalExactSubstr {
     graft.sources.Bucketing.minusHot(spark, s"${prefix}_wpos", s"${prefix}_hot", "h")
 
   /** Fold an ingest batch into the repeat table EXACTLY. `batchWins`
-    * is `ExactSubstr.windowPositions` of the NEW docs only (ids
-    * disjoint from the corpus'); `oldRepeats` is the current artifact
-    * at the same (cap, minTok).
+    * is `ExactSubstr.windowPositions` of the NEW docs (ids new to the
+    * corpus — but a REPLAYED batch whose rows already landed in the
+    * indexes is safe: every index read below excludes the batch's own
+    * doc ids, so a crashed-and-retried ingest computes the same merge
+    * whether or not its append happened); `oldRepeats` is the current
+    * artifact at the same (cap, minTok).
     */
   def mergeBatch(spark: SparkSession, batchWins: DataFrame,
       oldRepeats: DataFrame, prefix: String = "graft_substr",
       cap: Int = 100, minTok: Int = 10): DataFrame = {
-    val idx = spark.table(s"${prefix}_wpos")
     // lineage-cut: the batch frame feeds the census AND both new-pair
     // sides; old repeats feed the anti-join AND the at-risk semi-join
     val bw = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
+    // the corpus-as-of-before-this-batch view: a replayed batch (its
+    // append already landed) must not see itself in the index, or the
+    // census double-counts it and matches arrive duplicated — the
+    // broadcast anti is a narrow filter over the bucketed scan
+    val batchIds = bw.select(col("doc_id")).distinct()
+    val idx = spark.table(s"${prefix}_wpos")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
     val oldR = Checkpoints.cut(oldRepeats)
     // batch-scoped census over DISTINCT docs (disjoint ids ⇒ union df
     // = index df + batch df); corpus side: broadcast semi-probe of
@@ -134,6 +167,7 @@ object IncrementalExactSubstr {
     val riskDocs = atRisk.select(col("doc_a").as("doc_id"))
       .unionByName(atRisk.select(col("doc_b").as("doc_id"))).distinct()
     val riskWins = Checkpoints.cut(spark.table(s"${prefix}_wdoc")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .join(broadcast(riskDocs), "doc_id"))
     val riskH = riskWins.select(col("h")).distinct()
     val hotRisk = idx.join(riskH, Seq("h"), "left_semi")
@@ -175,7 +209,10 @@ object IncrementalExactSubstr {
     * count the batch in the census), then append both layouts and
     * refresh the hot exclusion — the NEXT probe/stream micro-batch
     * sees the admitted docs and any newly-hot window. Returns the
-    * merged repeat table.
+    * merged repeat table. REPLAY-SAFE end to end: the merge excludes
+    * the batch's ids from its index reads and the appends skip docs
+    * already present per table, so an at-least-once driver retrying
+    * the whole admit reproduces the same merge and duplicates nothing.
     */
   def admitBatch(spark: SparkSession, batchWins: DataFrame,
       oldRepeats: DataFrame, prefix: String = "graft_substr",

@@ -62,7 +62,10 @@ class ArtifactsSpec extends SparkSpec {
     assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
       Set((1L, "x"), (2L, "y")), "the committed artifact must be complete")
     assert(new java.io.File(out, "_SUCCESS").exists(),
-      "the artifact must carry its commit marker")
+      "the artifact must carry the parquet job marker")
+    assert(new java.io.File(out, "_GRAFT_COMMITTED").exists(),
+      "the artifact must carry the post-rename commit marker — _SUCCESS " +
+        "alone can be visible over a partial copy on object stores")
     val leftovers = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("_tmp_"))
     assert(leftovers.isEmpty, s"losing temp dirs must be cleaned: ${leftovers.toSeq}")
@@ -81,6 +84,38 @@ class ArtifactsSpec extends SparkSpec {
       Seq((9L, "z")).toDF("doc_id", "text"))
     assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
       Set((9L, "z")), "a marker-less dir must be rebuilt over")
+    // a writer that crashed BETWEEN the rename and the post-rename
+    // marker stamp (dir complete, _SUCCESS present, commit marker
+    // absent) is equally uncommitted — rebuilt over, never served
+    new java.io.File(out, "_GRAFT_COMMITTED").delete()
+    Artifacts.commitClustered(spark, out, Seq("doc_id"))(
+      Seq((10L, "w")).toDF("doc_id", "text"))
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
+      Set((10L, "w")), "a dir without the post-rename marker must be rebuilt over")
+  }
+
+  test("shared scope is refused on non-atomic-rename filesystems") {
+    // scope=shared means two drivers race one path and readers trust
+    // the rename's atomicity; on s3a-style stores rename is a copy,
+    // so the gate must reject the configuration up front
+    val prevScope = spark.conf.getOption(Artifacts.ScopeKey)
+    val prevDir = spark.conf.getOption("spark.graft.artifactDir")
+    try {
+      spark.conf.set(Artifacts.ScopeKey, "shared")
+      spark.conf.set("spark.graft.artifactDir", "s3a://some-bucket/artifacts")
+      val e = intercept[IllegalArgumentException] {
+        Artifacts.materializedClustered(spark, "aspec_gate",
+          tmpDir("artifacts_gate"), "documents.parquet", Seq("doc_id")) {
+          fail("the gate must fire before any build"); null
+        }
+      }
+      assert(e.getMessage.contains("atomic-rename"))
+    } finally {
+      prevScope.fold(spark.conf.unset(Artifacts.ScopeKey))(
+        spark.conf.set(Artifacts.ScopeKey, _))
+      prevDir.fold(spark.conf.unset("spark.graft.artifactDir"))(
+        spark.conf.set("spark.graft.artifactDir", _))
+    }
   }
 
   test("distinct artifacts build concurrently (per-key single-flight)") {

@@ -154,4 +154,37 @@ class IncrementalExactSubstrSpec extends SparkSpec {
       (20L, 12L, 1L, 1L, 12L), (20L, 13L, 1L, 5L, 12L)),
       s"post-admit probe: ${rows(flagged)}")
   }
+
+  test("a REPLAYED admitBatch is idempotent: same merge, no duplicate index rows") {
+    // an at-least-once driver retries the whole admit after a crash —
+    // a duplicated (doc_id, pos, h) row would silently shift the
+    // diagonal run chaining (undercounted len_tok), so the replay has
+    // to be absorbed: appends skip docs each table already holds, and
+    // the merge reads the index MINUS the batch's own ids
+    val corpusWins = ExactSubstr.windowPositions(corpusDocs)
+    IncrementalExactSubstr.buildIndexes(corpusWins, prefix = "ixs6", buckets = 4)
+    val oldRepeats = ExactSubstr.maximalRepeats(corpusDocs, cap = 3)
+    val batchWins = ExactSubstr.windowPositions(batchDocs)
+    val first = IncrementalExactSubstr.admitBatch(spark, batchWins, oldRepeats,
+      prefix = "ixs6", cap = 3, buckets = 4)
+    val wposN = spark.table("ixs6_wpos").count()
+    val wdocN = spark.table("ixs6_wdoc").count()
+    assert(wposN === wdocN, "both layouts hold the same rows")
+    val replay = IncrementalExactSubstr.admitBatch(spark, batchWins, oldRepeats,
+      prefix = "ixs6", cap = 3, buckets = 4)
+    assert(rows(replay) === rows(first),
+      "replaying the same batch must reproduce the same merged table")
+    assert(spark.table("ixs6_wpos").count() === wposN &&
+      spark.table("ixs6_wdoc").count() === wdocN,
+      "a replayed append must not duplicate index rows")
+    // partial-crash heal: one table missed the batch (simulated by a
+    // fresh build of wdoc only from the corpus) — the retry appends to
+    // exactly the lagging table and leaves the other untouched
+    graft.sources.Bucketing.writeBucketed(
+      corpusWins.select($"doc_id", $"pos", $"h"), "ixs6_wdoc", "doc_id", 4)
+    IncrementalExactSubstr.appendToIndexes(batchWins, prefix = "ixs6", buckets = 4)
+    assert(spark.table("ixs6_wpos").count() === wposN &&
+      spark.table("ixs6_wdoc").count() === wdocN,
+      "the retry must heal the lagging table without double-appending the other")
+  }
 }
