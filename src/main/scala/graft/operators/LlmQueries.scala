@@ -1356,20 +1356,32 @@ object LlmQueries {
     * byte blobs (m1's convention: the text IS the binary payload
     * stand-in).
     *
-    * Scale: the running byte total is a per-source window — never a
-    * global sort (Packing's rule); the manifest is a (source, shard)
-    * partial agg. All integer arithmetic.
+    * Scale: the running byte total goes through the distributed
+    * prefix-sum kernel (`PrefixSum.running`) — never a global sort
+    * AND never one reducer per source (the census → offsets → bucket
+    * scan shape; a naive per-source window would sort the dominant
+    * crawl source on a single task at 100 TB); the manifest is a
+    * (source, shard) partial agg. All integer arithmetic.
     */
-  def m4ShardPlan(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    table(spark, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        octet_length(col("text")).cast("long").as("n_bytes"))
-      .withColumn("byte_before", sum(col("n_bytes")).over(w) - col("n_bytes"))
+  /** byte_before + shard_id assignment shared by m4 and e2e_media:
+    * the per-source running byte offset via the distributed
+    * prefix-sum, then the byte-block shard rule. `df` needs (source,
+    * `idCol` numeric, n_bytes).
+    */
+  private def shardAssign(df: DataFrame, idCol: String): DataFrame =
+    graft.operators.PrefixSum.running(df, Seq("source"), Seq(col(idCol)),
+        bucketOn = col(idCol), value = col("n_bytes"), out = "__cum")
+      .withColumn("byte_before", col("__cum") - col("n_bytes"))
       .withColumn("shard_id",
         floor(col("byte_before") / lit(ShardBudgetBytes)).cast("long"))
+      .drop("__cum")
+
+  def m4ShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    shardAssign(
+      table(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes")),
+      "doc_id")
       .groupBy(col("source"), col("shard_id"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).cast("long").as("shard_bytes"),
@@ -1774,8 +1786,9 @@ object LlmQueries {
     * Scale: each stage keeps its own entry's shape — explode/partial-
     * agg hashing, banded candidate join with the skew cap, O(log
     * diameter) pointer-jumping components, a cluster-key window over
-    * cluster-sized partitions, and a per-source running-byte window
-    * (never a global sort). Clusters come from the MATERIALIZED
+    * cluster-sized partitions, and the distributed per-source
+    * running-byte prefix-sum (never a global sort, never one reducer
+    * per source). Clusters come from the MATERIALIZED
     * `mediaClusters` artifact (the d9/d14 pattern: the hash pipeline
     * runs once per corpus version; serving the manifest is joins +
     * windows with ZERO re-hashing — plan-spec-pinned Generate-free).
@@ -1815,13 +1828,10 @@ object LlmQueries {
     val kept = assigned.withColumn("rk", row_number().over(wKeep))
       .filter(col("rk") === 1)
       .select(col("media_id"), col("source"), col("n_bytes"))
-    val wShard = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("media_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    kept
-      .withColumn("byte_before", sum(col("n_bytes")).over(wShard) - col("n_bytes"))
-      .withColumn("shard_id",
-        floor(col("byte_before") / lit(ShardBudgetBytes)).cast("long"))
+    // the same distributed running-byte assignment as m4 — the
+    // cluster-key window above is per-CLUSTER (bounded partitions);
+    // the per-SOURCE stage is the one that must not single-reduce
+    shardAssign(kept, "media_id")
       .groupBy(col("source"), col("shard_id"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).cast("long").as("shard_bytes"),

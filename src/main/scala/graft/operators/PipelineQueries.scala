@@ -940,8 +940,14 @@ object PipelineQueries {
     * high-scoring ones; per-source quantiles keep the mixture).
     * percent_rank over (quality, doc_id) within source: the ordering
     * key is unique, so ranks are tie-free and (rank−1)/(n−1) is an
-    * exact int ratio — bit-identical across engines. One shuffle on
-    * source; scores are a narrow map.
+    * exact int ratio — bit-identical across engines.
+    *
+    * Scale shape: the rank comes from the distributed prefix-count
+    * (`PrefixSum.rank` — the 6dp-rounded score lives in [0, 1], a
+    * static bucket range) and n from a per-source census, so no stage
+    * sorts a whole source on one reducer; percent_rank is then plain
+    * arithmetic, (rank−1)/(n−1), identical to the window function's
+    * definition.
     */
   def t9QuantileFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -953,10 +959,14 @@ object PipelineQueries {
     val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
       length(col("text")).cast("double")
     val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"), quality.as("q"))
-      .withColumn("pr", round(percent_rank().over(w), 6))
+    val scored = docs.select(col("doc_id"), col("source"), quality.as("q"))
+    val perSource = scored.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    PrefixSum.rank(scored, Seq("source"), Seq(col("q"), col("doc_id")),
+        bucketOn = col("q"), out = "__rk", bounds = Some((0.0, 1.0)))
+      .join(broadcast(perSource), Seq("source"))
+      .withColumn("pr", round(when(col("__n") > 1,
+          (col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+        .otherwise(lit(0.0)), 6))
       .filter(col("pr") >= 0.4)
       .select(col("doc_id"), col("source"), col("pr"))
       .orderBy(col("doc_id"))
@@ -1019,10 +1029,13 @@ object PipelineQueries {
     * best docs (quality-descending) until a per-source token budget is
     * exhausted; the complement of sampling when the target is a token
     * count, not a rate (how training mixtures are actually specified).
-    * Running-sum window over a tie-free (quality desc, doc_id)
-    * ordering; one shuffle on source. Unlike a rank cap the cumsum
-    * cannot early-stop inside a group (every candidate's tokens count
-    * toward the budget), so the group scan is the honest cost.
+    * Running sum over a tie-free (quality desc, doc_id) ordering.
+    * Unlike a rank cap the cumsum cannot early-stop inside a group
+    * (every candidate's tokens count toward the budget), so the group
+    * scan is the honest cost — but it runs as the DISTRIBUTED
+    * prefix-sum (`PrefixSum.running`, bucketed on −q over the static
+    * [−1, 0] range of the 6dp score), never as one reducer sorting a
+    * whole source.
     */
   def p5BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -1034,11 +1047,11 @@ object PipelineQueries {
     val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
       length(col("text")).cast("double")
     val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs.select(col("doc_id"), col("source"), quality.as("q"), nTok.as("n_tok"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+    val scored = docs
+      .select(col("doc_id"), col("source"), quality.as("q"), nTok.as("n_tok"))
+    PrefixSum.running(scored, Seq("source"), Seq(col("q").desc, col("doc_id")),
+        bucketOn = -col("q"), value = col("n_tok"), out = "cum_tok",
+        bounds = Some((-1.0, 0.0)))
       .filter(col("cum_tok") <= 800)
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
       .orderBy(col("doc_id"))
@@ -1733,9 +1746,10 @@ object PipelineQueries {
     * (two floor divisions with identical association both engines —
     * no float summation anywhere).
     *
-    * Scale: ONE source-key shuffle; the rank window and the rollup
-    * share the partitioning, per-source sorts stay executor-sized
-    * (p7's rule). All wide intermediates (Σ i·xᵢ, its ×2×10⁶
+    * Scale: the rank `i` comes from the distributed prefix-count
+    * (`PrefixSum.rank`, bucketed on n_chars) — a naive per-source
+    * row_number would sort the dominant source on one reducer; the
+    * rollup is a partial agg on source. All wide intermediates (Σ i·xᵢ, its ×2×10⁶
     * micro-scaling, and n·Σx) run in decimal(38,0) via
     * `DecimalMath` — int64 wraps silently past 2⁶³ with ANSI off
     * while DuckDB promotes to HUGEINT, an engine divergence the
@@ -1747,11 +1761,11 @@ object PipelineQueries {
     */
   def p12Gini(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.DecimalMath.{dec, microRatio}
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-    table(spark, dir, "documents")
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("i", row_number().over(w).cast("long"))
+    PrefixSum.rank(
+      table(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), Seq(col("n_chars"), col("doc_id")),
+      bucketOn = col("n_chars"), out = "i")
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),

@@ -58,11 +58,32 @@ class PlanSpec extends SparkSpec {
       "event-type filters must reach the scan")
   }
 
-  test("packing: one exchange on the group key; aggregation reuses the window partitioning") {
-    val plan = executed(operators.Extended.t5Packing(spark, sf0))
-    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 1,
-      s"packing must shuffle once (window + agg share the source partitioning), got $hashExchanges")
+  test("the per-source running-sum/rank family never materializes an unbounded per-source window") {
+    // t5/t9/p5/m4/p12 + e2e_media's shard stage all need full
+    // prefix-sums or ranks per `source` — a LOW-cardinality,
+    // skew-guaranteed key: the naive window shape is one reducer
+    // sorting the dominant crawl source at 100 TB. All six must run
+    // as the distributed prefix-sum: the only Window allowed to
+    // partition on raw `source` is the offsets window over the
+    // bounded (source, bucket) census (PlanShape exempts windows
+    // with an aggregate below), and the bucket column must drive the
+    // heavy scan.
+    val entries = Seq(
+      "t5_packing" -> operators.Extended.t5Packing(spark, sf0),
+      "t9_quantile_filter" -> operators.PipelineQueries.t9QuantileFilter(spark, sf0),
+      "p5_budget_select" -> operators.PipelineQueries.p5BudgetSelect(spark, sf0),
+      "m4_shard_plan" -> LlmQueries.m4ShardPlan(spark, sf0),
+      "p12_gini" -> operators.PipelineQueries.p12Gini(spark, sf0),
+      "e2e_media" -> LlmQueries.e2eMedia(spark, sf0),
+      "e2e_curation" -> operators.PipelineQueries.e2eCuration(spark, sf0))
+    entries.foreach { case (name, df) =>
+      val plan = executed(df)
+      val bad = PlanShape.unboundedWindowsOn(plan, "source")
+      assert(bad.isEmpty,
+        s"$name: unbounded per-source window(s) over raw rows:\n${bad.mkString("\n")}")
+      assert(plan.contains("__psb"),
+        s"$name: the prefix-sum bucket must drive the heavy window")
+    }
   }
 
   test("chunking and frame sampling are shuffle-free fan-outs (no hash exchange)") {
@@ -114,8 +135,18 @@ class PlanSpec extends SparkSpec {
 
   test("e2e curation: composed pipeline stays equi-join + partial-agg shaped") {
     val plan = executed(operators.PipelineQueries.e2eCuration(spark, sf0))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       "dedup semi-join must stay an equi-join")
+    // the ONLY nested-loop allowed is the prefix-sum's 1-row bounds
+    // frame (the engine's 1-row-totals crossJoin discipline) — a
+    // broadcast of a global min/max aggregate, never a row-pair loop
+    val nlj = plan.linesIterator.filter(_.contains("NestedLoopJoin")).toSeq
+    assert(nlj.forall(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Cross")),
+      s"only the broadcast 1-row bounds join may nested-loop: $nlj")
+    // the bounds-tagged frame feeds the census AND the scan branch,
+    // so the 1-row join prints once per branch pre-AQE
+    assert(nlj.size <= 2, s"only the bounds join may nested-loop: $nlj")
     assert("partial".r.findFirstIn(plan.toLowerCase).isDefined,
       "rollup must partial-aggregate map-side")
   }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed prefix-sum kernel must be VALUE-IDENTICAL to the
+  * naive unbounded window it replaces (bucket boundaries affect only
+  * parallelism), across ties, skew, tiny buckets, and both bounds
+  * modes — the five re-shaped entries' hash-exactness rides on this.
+  */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed: key "hot" holds 180 of 200 rows; values include ties on
+  // the bucket source (v) broken by id; tok has zeros and repeats
+  private def data = {
+    val rows = (1 to 180).map(i => ("hot", i.toLong, (i % 13).toLong, (i % 7).toLong)) ++
+      (1 to 12).map(i => ("s2", (1000 + i).toLong, (i % 3).toLong, i.toLong)) ++
+      (1 to 8).map(i => ("s3", (2000 + i).toLong, 5L, 2L))
+    rows.toDF("src", "id", "v", "tok")
+  }
+
+  private def naiveCum = {
+    val w = Window.partitionBy($"src").orderBy($"v", $"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    data.withColumn("cum", sum($"tok").over(w))
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+  }
+
+  private def naiveRank = {
+    val w = Window.partitionBy($"src").orderBy($"v", $"id")
+    data.withColumn("rk", row_number().over(w).cast("long"))
+      .select($"src", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+  }
+
+  test("running ≡ naive unbounded window (computed bounds, tiny buckets force crossings)") {
+    for (buckets <- Seq(1, 3, 16, 256)) {
+      val got = PrefixSum.running(data, Seq("src"), Seq($"v", $"id"),
+          bucketOn = $"v", value = $"tok", out = "cum", buckets = buckets)
+        .select($"src", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+      assert(got === naiveCum, s"buckets=$buckets diverged from the naive window")
+    }
+  }
+
+  test("running ≡ naive window under STATIC bounds, incl. bounds wider than the data") {
+    val got = PrefixSum.running(data, Seq("src"), Seq($"v", $"id"),
+        bucketOn = $"v", value = $"tok", out = "cum", buckets = 8,
+        bounds = Some((-5.0, 40.0)))
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+    assert(got === naiveCum)
+  }
+
+  test("rank ≡ naive row_number over the tie-free ordering") {
+    val got = PrefixSum.rank(data, Seq("src"), Seq($"v", $"id"),
+        bucketOn = $"v", out = "rk", buckets = 5)
+      .select($"src", $"id", $"rk").as[(String, Long, Long)].collect().toSet
+    assert(got === naiveRank)
+  }
+
+  test("descending order via a negated bucket source ≡ naive desc window") {
+    val w = Window.partitionBy($"src").orderBy($"v".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = data.withColumn("cum", sum($"tok").over(w))
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+    val got = PrefixSum.running(data, Seq("src"), Seq($"v".desc, $"id"),
+        bucketOn = -$"v", value = $"tok", out = "cum", buckets = 7)
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("degenerate range (all rows one bucket value) still matches") {
+    val one = Seq(("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 5L)).toDF("src", "id", "tok")
+    val w = Window.partitionBy($"src").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = one.withColumn("cum", sum($"tok").over(w))
+      .select($"id", $"cum").as[(Long, Long)].collect().toSet
+    val got = PrefixSum.running(one, Seq("src"), Seq($"id"),
+        bucketOn = lit(7), value = $"tok", out = "cum", buckets = 64)
+      .select($"id", $"cum").as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("the heavy window partitions by (key, bucket); only the census window sees the raw key") {
+    val plan = PrefixSum.running(data, Seq("src"), Seq($"v", $"id"),
+        bucketOn = $"v", value = $"tok", out = "cum", buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(graft.PlanShape.unboundedWindowsOn(plan, "src").isEmpty,
+      s"no unbounded per-key window may touch the raw rows:\n$plan")
+    assert(plan.contains("__psb"), "the bucket must drive the heavy window")
+  }
+}
