@@ -24,7 +24,9 @@ object Bench {
     "m5y_incremental_merge" -> ((s, dir) =>
       operators.IncrementalMedia.benchIncrementalMerge(s, dir)),
     "d24x_incremental_merge" -> ((s, dir) =>
-      operators.IncrementalExactSubstr.benchIncrementalMerge(s, dir)))
+      operators.IncrementalExactSubstr.benchIncrementalMerge(s, dir)),
+    "d8x_incremental_merge" -> ((s, dir) =>
+      operators.IncrementalTrigram.benchIncrementalMerge(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);
@@ -67,6 +69,8 @@ object Bench {
       operators.IncrementalMedia.warmBenchFixture(spark, sfDir)
     if ("d24x_incremental_merge".matches(nameFilter))
       operators.IncrementalExactSubstr.warmBenchFixture(spark, sfDir)
+    if ("d8x_incremental_merge".matches(nameFilter))
+      operators.IncrementalTrigram.warmBenchFixture(spark, sfDir)
     // median-of-3 (first run may absorb one-time codegen/datasource
     // init; single-run numbers at this scale carry ±seconds of
     // environment noise, which has manufactured phantom regressions

@@ -319,8 +319,8 @@ object PipelineQueries {
     * BEFORE the join — they carry no contamination signal and they
     * are exactly the hot keys that would skew it.
     */
-  private val ContamMaxDf = 50
-  private val ContamMinShared = 1
+  private[operators] val ContamMaxDf = 50
+  private[operators] val ContamMinShared = 1
 
   /** The materialized contamination-pair table at the entry operating
     * point — d8's product and d23's input, landed once per corpus
@@ -343,25 +343,49 @@ object PipelineQueries {
     pairs.orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Distinct (doc_id, h) trigram rows of a documents frame — the
+    * trigram family's index row shape (shared by the d8/d23 artifact
+    * build, `IncrementalTrigram`'s index, and the equivalence specs).
+    */
+  private[operators] def trigramRows(docs: DataFrame): DataFrame =
+    triShingles(docs, "doc_id").distinct()
+
+  /** Pair derivation shared by the full d8 pipeline and
+    * `IncrementalTrigram`'s equivalence contract: corpus-df census →
+    * hot trigrams (df > maxDf) dropped via broadcast anti-join →
+    * panel join → shared counts ≥ minShared. Bipartite (train ×
+    * bench), unlike d11's self-join.
+    */
+  private[operators] def pairsFromTrigramRows(corpus: DataFrame,
+      panel: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
+    val hot = corpus.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    corpus.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(panel, Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The benchmark-panel trigram rows (every 50th doc — the held-out
+    * set convention shared with the streaming gate's `panelIndex`).
+    */
+  private[operators] def benchPanelRows(spark: SparkSession, dir: String): DataFrame =
+    trigramRows(table(spark, dir, "documents").filter(col("doc_id") % 50 === 0))
+      .withColumnRenamed("doc_id", "bench_id")
+
+  /** The training-corpus trigram rows (everything off the panel). */
+  private[operators] def trainTrigramRows(spark: SparkSession, dir: String): DataFrame =
+    trigramRows(table(spark, dir, "documents").filter(col("doc_id") % 50 =!= 0))
+
   /** The (train doc, bench doc, n_shared) kernel behind d8 and d23 —
     * unsorted, so d23's flagged-id collapse doesn't inherit d8's
     * presentation range exchange.
     */
   private def d8ContaminationPairs(spark: SparkSession, dir: String,
-      maxDf: Int, minShared: Int): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val bench = triShingles(docs.filter(col("doc_id") % 50 === 0), "doc_id")
-      .withColumnRenamed("doc_id", "bench_id").distinct()
-    val corpus = triShingles(docs.filter(col("doc_id") % 50 =!= 0), "doc_id")
-      .distinct()
-    val hot = corpus.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("h"))
-    corpus.join(broadcast(hot), Seq("h"), "left_anti")
-      .join(bench, Seq("h"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-  }
+      maxDf: Int, minShared: Int): DataFrame =
+    pairsFromTrigramRows(trainTrigramRows(spark, dir),
+      benchPanelRows(spark, dir), maxDf, minShared)
 
   /** The CTE prefix d8's and d23's oracles share — both replay the
     * same shingle→hash→hot-cap→join kernel, so the report and its
