@@ -170,6 +170,90 @@ private[operators] object Artifacts {
     committed(fs, dest)
   }
 
+  /** Retention sweep over `spark.graft.artifactDir` — the garbage
+    * collection `path`'s design needs: every artifact dir is keyed by
+    * (prefix, scope, dir, corpus stamp), so a REWRITTEN corpus gets a
+    * fresh dir and the old one would otherwise live forever (at
+    * 100 TB each artifact is itself large; a daily-rebuilt corpus
+    * leaks its artifact volume daily).
+    *
+    * `live` lists the artifact families this deployment serves, as
+    * the same (prefix, dir, stampSrc) triples their builders pass to
+    * `materializedClustered` — the sweep recomputes each CURRENT key
+    * under the session's scope and never touches those dirs. For
+    * every other dir under a managed prefix:
+    *
+    *   - `_tmp_*` in-flight temps: deleted only when older than
+    *     `graceMs` (a crashed writer's debris; a younger temp may be
+    *     a commit in progress and is left alone);
+    *   - marker-less dirs (crashed before the post-rename marker):
+    *     deleted when older than `graceMs`;
+    *   - committed but non-current stamps: the `keepStamps` most
+    *     recently modified survive (rollback margin — and protection
+    *     for a racer committing under a stamp this sweep predates),
+    *     the rest are deleted.
+    *
+    * Dirs whose prefix is NOT in `live` are never touched — another
+    * team's families in a shared artifact volume are not this
+    * deployment's to reap. Deleted paths are returned; in-JVM memo
+    * entries pointing at them are dropped so a later call rebuilds
+    * instead of serving a dangling path.
+    */
+  def gc(spark: SparkSession, live: Seq[(String, String, String)],
+      keepStamps: Int = 1, graceMs: Long = 3600000L): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(spark.conf.get(
+      "spark.graft.artifactDir", "/root/repo/target/scratch/clusters"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Nil
+    val scope =
+      if (spark.conf.get(ScopeKey, "app") == "shared") "shared"
+      else spark.sparkContext.applicationId
+    val liveNames = live.map { case (prefix, dir, stampSrc) =>
+      val stamp = corpusStamp(spark, s"$dir/$stampSrc")
+      new org.apache.hadoop.fs.Path(
+        path(spark, prefix, s"$prefix|$scope|$dir|$stamp")).getName
+    }.toSet
+    val managedPrefixes = live.map(_._1).toSet
+    def prefixOf(name: String): String = {
+      val i = name.lastIndexOf('_')
+      if (i < 0) name else name.substring(0, i)
+    }
+    val now = System.currentTimeMillis()
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def reap(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      if (fs.delete(st.getPath, true)) deleted += st.getPath.toString
+    }
+    val entries = fs.listStatus(base).filter(_.isDirectory)
+    val (temps, arts) = entries.partition(_.getPath.getName.startsWith("_tmp_"))
+    // temp names are _tmp_<prefix>_<keyhash>_<uuid> — match on the
+    // managed prefix being their leading component
+    temps.filter { st =>
+      val stripped = st.getPath.getName.stripPrefix("_tmp_")
+      managedPrefixes.exists(p => stripped.startsWith(p + "_"))
+    }.filter(st => now - st.getModificationTime > graceMs)
+      .foreach(reap)
+    arts.groupBy(st => prefixOf(st.getPath.getName)).foreach {
+      case (pfx, group) if managedPrefixes.contains(pfx) =>
+        val stale = group.filterNot(st => liveNames.contains(st.getPath.getName))
+        val (committedStale, broken) =
+          stale.partition(st => committed(fs, st.getPath))
+        broken.filter(st => now - st.getModificationTime > graceMs).foreach(reap)
+        committedStale.sortBy(-_.getModificationTime).drop(keepStamps).foreach(reap)
+      case _ => ()
+    }
+    // a memoized path that was just reaped must not be served again
+    // (compare fully-qualified: listStatus paths carry the scheme,
+    // the memoized build path may not)
+    val gone = deleted.toSet
+    memo.foreach { case (k, f) =>
+      if (f.isDone && !f.isCompletedExceptionally &&
+          gone.contains(fs.makeQualified(
+            new org.apache.hadoop.fs.Path(f.join())).toString))
+        memo.remove(k, f)
+    }
+    deleted.toSeq
+  }
+
   /** Atomic cross-driver artifact commit (the ExactlyOnceSink
     * pattern): build to a hidden `_tmp_` sibling, then RENAME into
     * place — one filesystem metadata op, so a concurrent reader sees

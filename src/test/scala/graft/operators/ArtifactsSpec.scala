@@ -118,6 +118,80 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("gc prunes stale stamps, keeps the current artifact, leaves in-flight temps alone") {
+    val dir = tmpDir(s"artifacts_gc_${System.nanoTime()}")
+    val artBase = spark.conf.get("spark.graft.artifactDir",
+      "/root/repo/target/scratch/clusters")
+    val fs = new org.apache.hadoop.fs.Path(artBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var builds = 0
+    def call() = Artifacts.materializedClustered(spark, "gcspec", dir,
+      "documents.parquet", Seq("doc_id")) {
+      builds += 1
+      spark.read.parquet(dir + "/documents.parquet")
+    }
+    // corpus v1 → artifact A1
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val a1 = call().inputFiles.head.replaceAll("/[^/]*$", "")
+    // corpus v2 (distinct mtime second) → artifact A2
+    Thread.sleep(1100)
+    Seq((2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val a2 = call().inputFiles.head.replaceAll("/[^/]*$", "")
+    assert(a1 != a2 && builds === 2)
+    // an in-flight temp (young — a commit in progress) and a crashed
+    // writer's marker-less dir (old — debris)
+    val temp = new org.apache.hadoop.fs.Path(artBase, "_tmp_gcspec_feed_12ab34cd")
+    fs.mkdirs(temp)
+    val crashed = new org.apache.hadoop.fs.Path(artBase, "gcspec_deadbeef")
+    fs.mkdirs(crashed)
+    fs.setTimes(crashed, System.currentTimeMillis() - 7200000L, -1)
+    val deleted = Artifacts.gc(spark,
+      live = Seq(("gcspec", dir, "documents.parquet")),
+      keepStamps = 0, graceMs = 60000L)
+    def gone(p: String) =
+      !fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(gone(a1), s"the stale-stamp artifact must be pruned (deleted: $deleted)")
+    assert(gone(crashed.toString), "old marker-less debris must be pruned")
+    assert(!gone(a2), "the current-stamp artifact must survive")
+    assert(fs.exists(temp), "a young in-flight temp must be left alone")
+    // serving still works and did not rebuild (A2's memo entry is intact)
+    assert(call().as[(Long, String)].collect().toSet === Set((2L, "b")))
+    assert(builds === 2, "gc must not invalidate the current artifact")
+    // a foreign family's dir in the same volume is never touched
+    val foreign = new org.apache.hadoop.fs.Path(artBase, "othersuite_11112222")
+    fs.mkdirs(foreign)
+    fs.setTimes(foreign, System.currentTimeMillis() - 7200000L, -1)
+    Artifacts.gc(spark, live = Seq(("gcspec", dir, "documents.parquet")),
+      keepStamps = 0, graceMs = 60000L)
+    assert(fs.exists(foreign), "unmanaged prefixes are not this deployment's to reap")
+    fs.delete(temp, true); fs.delete(foreign, true)
+  }
+
+  test("gc keepStamps retains a rollback margin of recent stale artifacts") {
+    val dir = tmpDir(s"artifacts_gc2_${System.nanoTime()}")
+    def call() = Artifacts.materializedClustered(spark, "gcspec2", dir,
+      "documents.parquet", Seq("doc_id")) {
+      spark.read.parquet(dir + "/documents.parquet")
+    }
+    val paths = (1 to 3).map { v =>
+      Seq((v.toLong, s"v$v")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir + "/documents.parquet")
+      val p = call().inputFiles.head.replaceAll("/[^/]*$", "")
+      Thread.sleep(1100)
+      p
+    }
+    Artifacts.gc(spark, live = Seq(("gcspec2", dir, "documents.parquet")),
+      keepStamps = 1, graceMs = 60000L)
+    val fs = new org.apache.hadoop.fs.Path(paths.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(!exists(paths(0)), "the oldest stale stamp must be pruned")
+    assert(exists(paths(1)), "keepStamps=1 must retain the most recent stale stamp")
+    assert(exists(paths(2)), "the current stamp must survive")
+  }
+
   test("distinct artifacts build concurrently (per-key single-flight)") {
     // each builder blocks until the OTHER builder has started: under
     // the old global build lock this deadlocks; under per-key latches
