@@ -718,10 +718,32 @@ object LlmQueries {
     * additionally spec-checked (SimilaritySpec). (s3 is the
     * learned-centroid IVF variant.)
     */
+  /** The corpus-side SRP bucket table, materialized once per
+    * embeddings version and landed clustered on the bucket (the
+    * d8/d17 `materializedClustered` discipline): the 8-plane bucket
+    * assignment over ALL embeddings was recomputed on every s2 query
+    * run — the slowest non-conversion, non-floor driver entry in
+    * round 13 (3.03 s median). Serving reads the scan.
+    */
+  private def srpCorpusIndex(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.materializedClustered(spark, "srp8", dir, "embeddings.parquet",
+      Seq("bucket"))(
+      Similarity.srpIndex(table(spark, dir, "embeddings"), "vec_id", "embedding",
+        nBits = 8, dims = 64))
+
+  /** s10's twin: the norm-augmented MIPS bucket index (M² baked in at
+    * build time; query bucketing needs no corpus agg).
+    */
+  private def mipsCorpusIndex(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.materializedClustered(spark, "srpm8", dir, "embeddings.parquet",
+      Seq("bucket"))(
+      Similarity.mipsIndex(table(spark, dir, "embeddings"), "vec_id", "embedding",
+        nBits = 8, dims = 64))
+
   def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    Similarity.bucketedKnn(e, e.filter(col("vec_id") < 64), "vec_id", "embedding",
-        k = 5, nBits = 8)
+    Similarity.bucketedKnnFromIndex(srpCorpusIndex(spark, dir),
+        e.filter(col("vec_id") < 64), "vec_id", "embedding", k = 5, nBits = 8)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -783,7 +805,8 @@ object LlmQueries {
     */
   def s10Mips(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    Similarity.mipsKnn(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+    Similarity.mipsKnnFromIndex(mipsCorpusIndex(spark, dir),
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
       .orderBy(col("qid"), col("rank"))
   }

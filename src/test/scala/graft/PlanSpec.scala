@@ -257,6 +257,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s2/s10 serve the corpus SRP bucket tables from materialized artifacts") {
+    // warm both indexes, then the serving plans must scan the landed
+    // tables (path prefixes srp8_/srpm8_) instead of re-running the
+    // 8-plane bucket assignment (+ the MIPS max-norm agg) over all
+    // embeddings per query run
+    LlmQueries.s2KnnLsh(spark, sf0).count()
+    LlmQueries.s10Mips(spark, sf0).count()
+    val s2 = executed(LlmQueries.s2KnnLsh(spark, sf0))
+    assert(s2.contains("srp8_"),
+      s"s2 must read the SRP bucket artifact:\n${s2.take(2000)}")
+    val s10 = executed(LlmQueries.s10Mips(spark, sf0))
+    assert(s10.contains("srpm8_"),
+      s"s10 must read the MIPS bucket artifact:\n${s10.take(2000)}")
+    assert(!s10.contains("max("),
+      "serving MIPS must not recompute the corpus max-norm agg")
+  }
+
   test("d17 serves its fused corpus pass from the materialized artifact") {
     // warm the artifact, then the serving plan must scan it (path
     // prefix `shsig16_`) instead of re-running the shingle + minhash
