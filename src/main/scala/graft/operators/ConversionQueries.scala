@@ -223,4 +223,45 @@ object ConversionQueries {
       |FROM lineitem
       |WHERE l_quantity > 10.0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Parquet → Avro → parquet roundtrip: the LAST leg of the
+    * conversion matrix (csv ⇄ parquet, jsonl ⇄ parquet, parquet →
+    * ORC, parquet ⇄ Avro) — Avro is the row-oriented interchange
+    * format ingest pipelines actually emit. Driven through
+    * `AvroConversion` (avro-mapred container files — this Spark
+    * distribution bundles Avro core/mapred but not the external
+    * spark-avro datasource; see the module doc). Same oracle trick as
+    * ORC: DuckDB aggregates the ORIGINAL parquet table, so equality
+    * holds iff the typed roundtrip (int64, float64, string, date,
+    * nulls) is lossless.
+    */
+  def refAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val avroDir = scratch(dir, "rt_avro")
+    val pqDir = scratch(dir, "rt_avro_pq")
+    val src = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate"))
+    AvroConversion.write(src, avroDir)
+    AvroConversion.read(spark, avroDir, src.schema)
+      .write.mode("overwrite").parquet(pqDir)
+    spark.read.parquet(pqDir)
+      .filter(col("l_quantity") > 5.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice"))).cast("long").as("sum_price"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val refAvroRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(round(l_extendedprice)) AS BIGINT) AS sum_price,
+      |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship
+      |FROM lineitem
+      |WHERE l_quantity > 5.0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
