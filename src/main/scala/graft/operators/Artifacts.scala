@@ -26,16 +26,21 @@ private[operators] object Artifacts {
     }
   }
 
+  /** The ONE owner of the artifact-volume location (conf key +
+    * default) — `path`, the shared-scope gate, and `gc` must agree on
+    * the directory or the sweep would silently reap nothing.
+    */
+  private def artifactBase(spark: SparkSession): String =
+    spark.conf.get("spark.graft.artifactDir",
+      "/root/repo/target/scratch/clusters")
+
   /** Deterministic artifact location under `spark.graft.artifactDir`
     * (any Hadoop-writable path on a cluster; local scratch default).
     */
-  def path(spark: SparkSession, prefix: String, key: String): String = {
-    val base = spark.conf.get("spark.graft.artifactDir",
-      "/root/repo/target/scratch/clusters")
-    base.stripSuffix("/") + "/" + prefix + "_" +
+  def path(spark: SparkSession, prefix: String, key: String): String =
+    artifactBase(spark).stripSuffix("/") + "/" + prefix + "_" +
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
-  }
 
   private val memo = scala.collection.concurrent
     .TrieMap.empty[String, java.util.concurrent.CompletableFuture[String]]
@@ -87,8 +92,7 @@ private[operators] object Artifacts {
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cosn", "swift")
 
   private def requireAtomicRenameForShared(spark: SparkSession): Unit = {
-    val base = new org.apache.hadoop.fs.Path(spark.conf.get(
-      "spark.graft.artifactDir", "/root/repo/target/scratch/clusters"))
+    val base = new org.apache.hadoop.fs.Path(artifactBase(spark))
     val scheme = Option(base.toUri.getScheme).getOrElse(
       base.getFileSystem(spark.sparkContext.hadoopConfiguration).getUri.getScheme)
     require(!NonAtomicRenameSchemes.contains(scheme),
@@ -111,7 +115,7 @@ private[operators] object Artifacts {
       case None =>
         try {
           val out = path(spark, prefix, key)
-          commitClustered(spark, out, clusterCols)(frame)
+          commitClustered(spark, out, clusterCols, key)(frame)
           fresh.complete(out)
           out
         } catch {
@@ -142,20 +146,41 @@ private[operators] object Artifacts {
 
   private[operators] val CommitMarker = "_GRAFT_COMMITTED"
 
-  /** Stamp the post-rename commit marker. Guarded on `_SUCCESS` still
-    * being present: in the (shared-scope, extreme) race where another
+  /** Stamp the post-rename commit marker. Its CONTENT is the
+    * artifact's full key (`prefix|scope|dir|stamp`) so `gc` can read
+    * ownership back — under `app` scope, two drivers sharing one
+    * volume produce same-prefix dirs whose hashes are mutually
+    * opaque; the embedded scope is what keeps one driver's sweep off
+    * the other's live artifacts. Guarded on `_SUCCESS` still being
+    * present: in the (shared-scope, extreme) race where another
     * pre-commit writer deleted our just-renamed dir, creating the
     * marker would resurrect a marker-only directory — fail instead;
     * `committed` stays false for whatever remains and the next call
     * rebuilds over it.
     */
   private def stampCommitted(fs: org.apache.hadoop.fs.FileSystem,
-      dest: org.apache.hadoop.fs.Path): Unit = {
+      dest: org.apache.hadoop.fs.Path, key: String): Unit = {
     if (!fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS")))
       throw new java.io.IOException(
         s"artifact commit failed: $dest was removed before the commit marker landed")
-    fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), true).close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), true)
+    out.write(key.getBytes("UTF-8"))
+    out.close()
   }
+
+  /** The scope recorded in a committed dir's marker, if readable. */
+  private def markerScope(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dest, CommitMarker))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new String(buf.toByteArray, "UTF-8").split('|') match {
+        case parts if parts.length >= 4 => Some(parts(1))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
 
   /** A racing loser may observe the winner's dir between its rename
     * and its marker stamp — poll briefly before declaring the dir
@@ -183,15 +208,22 @@ private[operators] object Artifacts {
     * under the session's scope and never touches those dirs. For
     * every other dir under a managed prefix:
     *
-    *   - `_tmp_*` in-flight temps: deleted only when older than
-    *     `graceMs` (a crashed writer's debris; a younger temp may be
-    *     a commit in progress and is left alone);
+    *   - `_tmp_*` in-flight temps: deleted only when their NEWEST
+    *     mtime (the dir or any direct child — a running parquet job
+    *     keeps touching its `_temporary` subtree) is older than
+    *     `graceMs` (a crashed writer's debris; anything younger may
+    *     be a commit in progress and is left alone). `graceMs` is the
+    *     caller's liveness contract: set it ABOVE the longest
+    *     expected artifact build, or a slow build reads as a crash;
     *   - marker-less dirs (crashed before the post-rename marker):
     *     deleted when older than `graceMs`;
-    *   - committed but non-current stamps: the `keepStamps` most
-    *     recently modified survive (rollback margin — and protection
-    *     for a racer committing under a stamp this sweep predates),
-    *     the rest are deleted.
+    *   - committed but non-current stamps OWNED BY THIS SCOPE (the
+    *     commit marker records its key's scope — under `app` scope
+    *     another driver's same-prefix artifacts are hash-opaque but
+    *     their markers say whose they are, and they are NOT ours to
+    *     reap): the `keepStamps` most recently modified survive
+    *     (rollback margin — and protection for a racer committing
+    *     under a stamp this sweep predates), the rest are deleted.
     *
     * Dirs whose prefix is NOT in `live` are never touched — another
     * team's families in a shared artifact volume are not this
@@ -201,8 +233,7 @@ private[operators] object Artifacts {
     */
   def gc(spark: SparkSession, live: Seq[(String, String, String)],
       keepStamps: Int = 1, graceMs: Long = 3600000L): Seq[String] = {
-    val base = new org.apache.hadoop.fs.Path(spark.conf.get(
-      "spark.graft.artifactDir", "/root/repo/target/scratch/clusters"))
+    val base = new org.apache.hadoop.fs.Path(artifactBase(spark))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Nil
     val scope =
@@ -227,10 +258,17 @@ private[operators] object Artifacts {
     val (temps, arts) = entries.partition(_.getPath.getName.startsWith("_tmp_"))
     // temp names are _tmp_<prefix>_<keyhash>_<uuid> — match on the
     // managed prefix being their leading component
+    // liveness = the newest mtime anywhere one level down: a running
+    // parquet job touches its _temporary subtree while the temp dir's
+    // own mtime stays at job start
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      try (st.getModificationTime +:
+        fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+      catch { case _: java.io.IOException => st.getModificationTime }
     temps.filter { st =>
       val stripped = st.getPath.getName.stripPrefix("_tmp_")
       managedPrefixes.exists(p => stripped.startsWith(p + "_"))
-    }.filter(st => now - st.getModificationTime > graceMs)
+    }.filter(st => now - newestMtime(st) > graceMs)
       .foreach(reap)
     arts.groupBy(st => prefixOf(st.getPath.getName)).foreach {
       case (pfx, group) if managedPrefixes.contains(pfx) =>
@@ -238,7 +276,11 @@ private[operators] object Artifacts {
         val (committedStale, broken) =
           stale.partition(st => committed(fs, st.getPath))
         broken.filter(st => now - st.getModificationTime > graceMs).foreach(reap)
-        committedStale.sortBy(-_.getModificationTime).drop(keepStamps).foreach(reap)
+        // only OUR scope's artifacts age out; a marker without a
+        // readable scope (legacy dir) is conservatively kept
+        committedStale
+          .filter(st => markerScope(fs, st.getPath).contains(scope))
+          .sortBy(-_.getModificationTime).drop(keepStamps).foreach(reap)
       case _ => ()
     }
     // a memoized path that was just reaped must not be served again
@@ -264,7 +306,7 @@ private[operators] object Artifacts {
     * replaced. No-ops when a committed artifact already exists.
     */
   private[operators] def commitClustered(spark: SparkSession, out: String,
-      clusterCols: Seq[String])(
+      clusterCols: Seq[String], key: String = "")(
       frame: => org.apache.spark.sql.DataFrame): Unit = {
     val dest = new org.apache.hadoop.fs.Path(out)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -273,11 +315,15 @@ private[operators] object Artifacts {
       if (dest.getParent == null) new org.apache.hadoop.fs.Path("/") else dest.getParent,
       s"_tmp_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
     graft.sources.Layout.writeClustered(frame, tmp.toString, clusterCols)
-    // re-check right before the delete: it narrows (not closes — the
-    // residual window is why shared scope is gated to atomic-rename
-    // filesystems) the TOCTOU where a racer commits between our check
-    // and our delete of a marker-less dir
-    if (fs.exists(dest) && !committed(fs, dest)) fs.delete(dest, true)
+    // re-check right before the delete, WAITING OUT a racer's
+    // rename→marker-stamp window (the marker-after-rename protocol
+    // opened a cross-driver gap where a just-renamed complete
+    // artifact looks uncommitted for one marker create; deleting it
+    // there would spuriously fail the winner's stamp). awaitCommitted
+    // narrows — not closes, which is why shared scope is gated to
+    // atomic-rename filesystems — the TOCTOU where a racer commits
+    // between our check and our delete of a genuinely dead dir.
+    if (fs.exists(dest) && !awaitCommitted(fs, dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest)) {
       // lost the race: another writer renamed first — serve the
       // winner if complete (waiting out its marker stamp), otherwise
@@ -304,8 +350,9 @@ private[operators] object Artifacts {
             s"artifact commit failed: $dest exists without its commit markers after race")
       } else {
         // clean rename: our build IS the artifact — stamp the
-        // post-rename marker that `committed` requires
-        stampCommitted(fs, dest)
+        // post-rename marker (carrying the ownership key) that
+        // `committed` requires
+        stampCommitted(fs, dest, key)
       }
     }
   }

@@ -13,20 +13,39 @@ import org.apache.spark.sql.functions._
   * totals MONOTONICALLY (the same census argument as the dedup
   * merges), so folding a batch is exact by construction.
   *
-  * Layout — append-only deltas, not in-place rewrites:
-  *   - `<prefix>_df` (term, df) bucketed on term: each admit APPENDS
-  *     the batch's per-term document counts; the served df is an
-  *     exchange-free group-by-sum riding the bucket layout. Appends
-  *     keep the admit O(batch); `compact` folds the deltas back to
-  *     one row per term when the delta count warrants it (the
-  *     log-structured-merge discipline, Spark-shaped).
-  *   - `<prefix>_tot` (n_docs, sum_dl): one appended row per admit;
-  *     served as a two-scalar sum.
-  *   - `<prefix>_docs` (doc_id) bucketed on doc_id: the admitted-id
-  *     set — the replay guard (an at-least-once driver retrying an
-  *     admit must not double-count; same discipline as the
-  *     d24/trigram appends, but stats deltas are aggregates, so the
-  *     filter has to happen on the DOC side before aggregation).
+  * Layout — append-only deltas, not in-place rewrites, every row
+  * tagged with its admit's BATCH FINGERPRINT:
+  *   - `<prefix>_df` (batch_id, term, df) bucketed on term: each
+  *     admit APPENDS the batch's per-term document counts; the served
+  *     df is an exchange-free group-by-sum riding the bucket layout.
+  *     Appends keep the admit O(batch); `compact` folds the deltas
+  *     back to one row per term when the delta count warrants it
+  *     (the log-structured-merge discipline, Spark-shaped).
+  *   - `<prefix>_tot` (batch_id, n_docs, sum_dl): one appended row
+  *     per admit; served as a two-scalar sum.
+  *   - `<prefix>_docs` (doc_id, batch_id) bucketed on doc_id: which
+  *     docs each admit contributed — the dedup source for
+  *     partially-overlapping batches.
+  *
+  * CRASH-RETRY EXACTNESS (the reason for the fingerprint): the admit
+  * writes THREE tables, and a crash between any two must heal on the
+  * at-least-once retry without double-counting — unlike the
+  * doc-keyed index appends (d24/trigram), stats deltas are
+  * AGGREGATES, so per-table doc presence can't express "this table
+  * already has this batch". Instead:
+  *   - the batch fingerprint derives from the batch's FULL id set
+  *     (count + xor/sum of id hashes), so a retry computes the SAME
+  *     id regardless of which appends already landed;
+  *   - the fresh-doc set excludes docs admitted by OTHER batches
+  *     only (`batch_id != this`), so the current batch's own partial
+  *     `_docs` append cannot change what the retry recomputes;
+  *   - each table is appended only if it does not already hold this
+  *     batch_id — three independent idempotent steps, any crash
+  *     point heals.
+  * `compact` erases `_df`'s batch ids (folded rows carry the
+  * sentinel "compacted"), so it must only run when no admit is
+  * mid-retry — the standard LSM compaction contract, documented
+  * here because violating it re-opens the double-count.
   *
   * Statistics contract (pinned by the equivalence spec): df(term) =
   * |{doc : term ∈ wsTokens(doc)}|, n_docs = all admitted docs,
@@ -55,38 +74,72 @@ object IncrementalDfStats {
     (dfB, totB)
   }
 
-  /** Initialize the three tables from the standing corpus. */
+  /** Deterministic fingerprint of the batch's id set — stable across
+    * retries (derived from the ORIGINAL batch, never from table
+    * state). Order-independent combine (count + xor + decimal sum of
+    * id hashes; decimal so the ANSI sweep can't overflow-throw), one
+    * scalar agg over the batch.
+    */
+  private def batchFingerprint(batchDocs: DataFrame): String = {
+    val r = batchDocs.select(xxhash64(col("doc_id")).as("h")).distinct()
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+        coalesce(sum(col("h").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("s"))
+      .head()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${r.getLong(0)}|${r.getLong(1)}|${r.getDecimal(2)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Initialize the three tables from the standing corpus (batch id
+    * "corpus").
+    */
   def buildIndex(docs: DataFrame, prefix: String = "graft_dfstats",
       buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     val d = Checkpoints.cut(docs.select(col("doc_id"), col("text")))
     val (dfB, totB) = deltas(d)
-    graft.sources.Bucketing.writeBucketed(dfB, s"${prefix}_df", "term", buckets)
     graft.sources.Bucketing.writeBucketed(
-      d.select(col("doc_id")), s"${prefix}_docs", "doc_id", buckets)
-    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tot")
-    totB.write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_tot")
+      dfB.withColumn("batch_id", lit("corpus")), s"${prefix}_df", "term", buckets)
+    graft.sources.Bucketing.writeBucketed(
+      d.select(col("doc_id")).withColumn("batch_id", lit("corpus")),
+      s"${prefix}_docs", "doc_id", buckets)
+    val tot = graft.sources.Bucketing.dropTableAndLocation(spark, s"${prefix}_tot")
+    totB.withColumn("batch_id", lit("corpus"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tot)
   }
 
   /** Fold an ingest batch into the statistics — O(batch) work, zero
-    * corpus-side recompute, replay-idempotent at doc granularity.
+    * corpus-side recompute, crash-retry-exact (see scaladoc).
     */
   def admitBatch(spark: SparkSession, batchDocs: DataFrame,
       prefix: String = "graft_dfstats", buckets: Int = 32): Unit = {
     val b = Checkpoints.cut(batchDocs.select(col("doc_id"), col("text")))
-    // replay guard: drop docs already admitted (broadcast probe of the
-    // bucketed id table — corpus side unshuffled, output ≤ batch)
+    val bid = batchFingerprint(b)
+    // fresh = batch docs not admitted by OTHER batches; this batch's
+    // own partial _docs append is excluded so a retry recomputes the
+    // same set
     val ids = b.select(col("doc_id")).distinct()
     val present = spark.table(s"${prefix}_docs")
+      .filter(col("batch_id") =!= lit(bid))
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select(col("doc_id")).distinct()
     val fresh = Checkpoints.cut(
       b.join(broadcast(present), Seq("doc_id"), "left_anti"))
     val (dfB, totB) = deltas(fresh)
-    graft.sources.Bucketing.appendBucketed(dfB, s"${prefix}_df", "term", buckets)
-    graft.sources.Bucketing.appendBucketed(
-      fresh.select(col("doc_id")), s"${prefix}_docs", "doc_id", buckets)
-    totB.write.mode("append").format("parquet").saveAsTable(s"${prefix}_tot")
+    def lacks(table: String): Boolean =
+      spark.table(table).filter(col("batch_id") === lit(bid)).isEmpty
+    if (lacks(s"${prefix}_df"))
+      graft.sources.Bucketing.appendBucketed(
+        dfB.withColumn("batch_id", lit(bid)), s"${prefix}_df", "term", buckets)
+    if (lacks(s"${prefix}_docs"))
+      graft.sources.Bucketing.appendBucketed(
+        fresh.select(col("doc_id")).withColumn("batch_id", lit(bid)),
+        s"${prefix}_docs", "doc_id", buckets)
+    if (lacks(s"${prefix}_tot"))
+      totB.withColumn("batch_id", lit(bid))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${prefix}_tot".toLowerCase(java.util.Locale.ROOT))
   }
 
   /** The served (term, df) statistics — an exchange-free bucket-key
@@ -102,13 +155,17 @@ object IncrementalDfStats {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
 
   /** Fold the accumulated df deltas back to one row per term — run
-    * when the delta count warrants it (the LSM compaction step; the
-    * group-by rides the bucket layout, so this is one linear pass).
+    * when the delta count warrants it AND no admit is mid-retry (the
+    * LSM compaction contract: folded rows carry the "compacted"
+    * sentinel, so a pre-compact batch retried post-compact would
+    * re-append). One linear pass riding the bucket layout.
     */
   def compact(spark: SparkSession, prefix: String = "graft_dfstats",
       buckets: Int = 32): Unit =
     graft.sources.Bucketing.writeBucketed(
-      Checkpoints.cut(dfStats(spark, prefix), eager = true),
+      Checkpoints.cut(
+        dfStats(spark, prefix).withColumn("batch_id", lit("compacted")),
+        eager = true),
       s"${prefix}_df", "term", buckets)
 
   /** t7's tf-idf top-5 SERVED from the maintained statistics: score

@@ -63,22 +63,12 @@ object IncrementalExactSubstr {
   def appendToIndexes(batchWins: DataFrame, prefix: String = "graft_substr",
       buckets: Int = 32): Unit = {
     val w = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
-    val spark = w.sparkSession
-    val ids = w.select(col("doc_id")).distinct()
-    def absentOnly(table: String): DataFrame = {
-      // docs of the batch already present in THIS table: a broadcast
-      // semi-probe of the bucketed table (corpus side unshuffled),
-      // collapsed to ids — bounded by the batch, broadcast back as
-      // the exclusion
-      val present = spark.table(table)
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")
-        .select(col("doc_id")).distinct()
-      w.join(broadcast(present), Seq("doc_id"), "left_anti")
-    }
     graft.sources.Bucketing.appendBucketed(
-      absentOnly(s"${prefix}_wpos"), s"${prefix}_wpos", "h", buckets)
+      graft.sources.Bucketing.absentOnly(w, s"${prefix}_wpos", "doc_id"),
+      s"${prefix}_wpos", "h", buckets)
     graft.sources.Bucketing.appendBucketed(
-      absentOnly(s"${prefix}_wdoc"), s"${prefix}_wdoc", "doc_id", buckets)
+      graft.sources.Bucketing.absentOnly(w, s"${prefix}_wdoc", "doc_id"),
+      s"${prefix}_wdoc", "doc_id", buckets)
   }
 
   /** DISTINCT-doc window frequency > cap at the current index — NOT

@@ -58,11 +58,8 @@ object IncrementalTrigram {
   def appendToIndex(batchTris: DataFrame, prefix: String = "graft_trigram",
       buckets: Int = 32): Unit = {
     val bw = Checkpoints.cut(batchTris.select(col("doc_id"), col("h")))
-    val present = bw.sparkSession.table(s"${prefix}_tri")
-      .join(broadcast(bw.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
-      .select(col("doc_id")).distinct()
     graft.sources.Bucketing.appendBucketed(
-      bw.join(broadcast(present), Seq("doc_id"), "left_anti"),
+      graft.sources.Bucketing.absentOnly(bw, s"${prefix}_tri", "doc_id"),
       s"${prefix}_tri", "h", buckets)
   }
 

@@ -985,8 +985,11 @@ object PipelineQueries {
     val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
     val scored = docs.select(col("doc_id"), col("source"), quality.as("q"))
     val perSource = scored.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    // NaN (zero-token doc) sorts GREATEST = LAST under q ASC, so its
+    // bucket image sits ABOVE [0, 1] (p5's note, mirrored)
     PrefixSum.rank(scored, Seq("source"), Seq(col("q"), col("doc_id")),
-        bucketOn = col("q"), out = "__rk", bounds = Some((0.0, 1.0)))
+        bucketOn = when(isnan(col("q")), lit(2.0)).otherwise(col("q")),
+        out = "__rk", bounds = Some((0.0, 1.0)))
       .join(broadcast(perSource), Seq("source"))
       .withColumn("pr", round(when(col("__n") > 1,
           (col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double"))
@@ -1073,8 +1076,13 @@ object PipelineQueries {
     val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
     val scored = docs
       .select(col("doc_id"), col("source"), quality.as("q"), nTok.as("n_tok"))
+    // a zero-token doc scores NaN (0.0/0.0), which Spark sorts as
+    // GREATEST — i.e. FIRST under q DESC — so its monotone bucket
+    // image must sit BELOW the [-1, 0] range (the clamp then aligns
+    // it with the sort; PrefixSum itself refuses raw NaN)
     PrefixSum.running(scored, Seq("source"), Seq(col("q").desc, col("doc_id")),
-        bucketOn = -col("q"), value = col("n_tok"), out = "cum_tok",
+        bucketOn = when(isnan(col("q")), lit(-2.0)).otherwise(-col("q")),
+        value = col("n_tok"), out = "cum_tok",
         bounds = Some((-1.0, 0.0)))
       .filter(col("cum_tok") <= 800)
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))

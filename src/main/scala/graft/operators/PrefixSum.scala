@@ -52,11 +52,19 @@ object PrefixSum {
   /** Adds `out` = the INCLUSIVE running sum of `value` over rows
     * ordered by `orderCols` within each distinct value of `part`.
     *
-    * `bucketOn` must be a NUMERIC, non-null expression monotone
-    * NON-DECREASING along `orderCols` within every part — in practice
-    * the leading sort key itself (`doc_id`), or a monotone image of
-    * it (`-q` for a `q DESC` ordering). Ties across a bucket boundary
-    * are fine: alignment needs monotone, not strictly increasing.
+    * `bucketOn` must be a NUMERIC, NON-NULL, NON-NaN expression
+    * monotone NON-DECREASING along `orderCols` within every part —
+    * in practice the leading sort key itself (`doc_id`), or a
+    * monotone image of it (`-q` for a `q DESC` ordering). Ties across
+    * a bucket boundary are fine: alignment needs monotone, not
+    * strictly increasing. Null/NaN raise at runtime rather than
+    * silently mis-bucket: NaN's SORT position depends on the order
+    * direction (Spark treats NaN as greatest — FIRST under DESC,
+    * LAST under ASC) while arithmetic clamping would always land it
+    * in the LAST bucket, silently corrupting every prefix in the
+    * partition; a caller whose order key can be NaN must map it to
+    * an explicit monotone image (below `lo` for NaN-first orderings,
+    * above `hi` for NaN-last — the clamp then aligns it).
     *
     * `bounds`: static (lo, hi) covering `bucketOn`'s range when the
     * domain is known a priori (a 6dp-rounded quality score lives in
@@ -69,7 +77,13 @@ object PrefixSum {
       buckets: Int = DefaultBuckets,
       bounds: Option[(Double, Double)] = None): DataFrame = {
     require(part.nonEmpty, "prefix sum needs at least one partition column")
-    val b = bucketOn.cast("double")
+    // fail loudly on null/NaN (see scaladoc) — a silent clamp would
+    // break order alignment and corrupt every prefix in the partition
+    val raw = bucketOn.cast("double")
+    val b = when(raw.isNull || isnan(raw),
+        raise_error(lit("PrefixSum: bucketOn is null or NaN — map it to an " +
+          "explicit monotone image at the call site")).cast("double"))
+      .otherwise(raw)
     val ranged = bounds match {
       case Some((lo, hi)) =>
         df.withColumn("__pslo", lit(lo)).withColumn("__pshi", lit(hi))

@@ -169,6 +169,44 @@ class ArtifactsSpec extends SparkSpec {
     fs.delete(temp, true); fs.delete(foreign, true)
   }
 
+  test("gc never reaps another driver's artifact (marker records the owner scope)") {
+    // two drivers share one volume under the default app scope: their
+    // same-prefix artifact names are mutually opaque hashes, so the
+    // commit marker's embedded key is what tells the sweep whose dir
+    // is whose — another app's artifact must survive even when it is
+    // older than this app's stale stamps
+    val dir = tmpDir(s"artifacts_gc3_${System.nanoTime()}")
+    def call() = Artifacts.materializedClustered(spark, "gcspec3", dir,
+      "documents.parquet", Seq("doc_id")) {
+      spark.read.parquet(dir + "/documents.parquet")
+    }
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val mine1 = call().inputFiles.head.replaceAll("/[^/]*$", "")
+    Thread.sleep(1100)
+    Seq((2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    call()
+    // a foreign driver's committed artifact, same prefix, OLD mtime
+    val artBase = spark.conf.get("spark.graft.artifactDir",
+      "/root/repo/target/scratch/clusters")
+    val theirs = artBase.stripSuffix("/") + "/gcspec3_feedf00d"
+    Artifacts.commitClustered(spark, theirs, Seq("doc_id"),
+      key = s"gcspec3|app-OTHER-driver|$dir|some-old-stamp")(
+      Seq((9L, "z")).toDF("doc_id", "text"))
+    val fs = new org.apache.hadoop.fs.Path(artBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(theirs),
+      System.currentTimeMillis() - 86400000L, -1)
+    Artifacts.gc(spark, live = Seq(("gcspec3", dir, "documents.parquet")),
+      keepStamps = 0, graceMs = 60000L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mine1)),
+      "this app's stale stamp must still be pruned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(theirs)),
+      "another app's artifact is not this sweep's to reap")
+    fs.delete(new org.apache.hadoop.fs.Path(theirs), true)
+  }
+
   test("gc keepStamps retains a rollback margin of recent stale artifacts") {
     val dir = tmpDir(s"artifacts_gc2_${System.nanoTime()}")
     def call() = Artifacts.materializedClustered(spark, "gcspec2", dir,

@@ -83,6 +83,44 @@ class IncrementalDfStatsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet === fullDf(union))
   }
 
+  test("crash between the three appends heals on retry without double-counting") {
+    // the admit writes THREE tables; stats deltas are aggregates, so
+    // the retry can't doc-heal like the index appends — instead each
+    // table is keyed by the batch fingerprint and appended only if it
+    // lacks it. Simulate both crash orders by erasing one table's
+    // batch rows after a successful admit, then re-admitting.
+    IncrementalDfStats.buildIndex(corpus, prefix = "idf6", buckets = 4)
+    IncrementalDfStats.admitBatch(spark, batch, prefix = "idf6", buckets = 4)
+    val wantDf = IncrementalDfStats.dfStats(spark, "idf6")
+      .as[(String, Long)].collect().toSet
+    val wantTot = IncrementalDfStats.totals(spark, "idf6").as[(Long, Long)].head()
+    // crash BEFORE the _docs append: df/tot landed, docs did not
+    val docsKept = spark.table("idf6_docs").filter($"batch_id" === "corpus")
+      .select($"doc_id", $"batch_id").collect()
+    graft.sources.Bucketing.writeBucketed(
+      spark.createDataFrame(spark.sparkContext.parallelize(docsKept.toSeq),
+        spark.table("idf6_docs").schema),
+      "idf6_docs", "doc_id", 4)
+    IncrementalDfStats.admitBatch(spark, batch, prefix = "idf6", buckets = 4)
+    assert(IncrementalDfStats.dfStats(spark, "idf6")
+      .as[(String, Long)].collect().toSet === wantDf,
+      "the retry must not re-append df deltas the table already has")
+    assert(IncrementalDfStats.totals(spark, "idf6").as[(Long, Long)].head() === wantTot)
+    assert(spark.table("idf6_docs").filter($"batch_id" =!= "corpus").count() ===
+      batch.count(), "the retry must heal the lagging docs table")
+    // crash BEFORE the _tot append: erase the batch's totals row only
+    val totSchema = spark.table("idf6_tot").schema
+    val totKept = spark.table("idf6_tot").filter($"batch_id" === "corpus").collect()
+    val totName = graft.sources.Bucketing.dropTableAndLocation(spark, "idf6_tot")
+    spark.createDataFrame(spark.sparkContext.parallelize(totKept.toSeq), totSchema)
+      .write.mode("overwrite").format("parquet").saveAsTable(totName)
+    IncrementalDfStats.admitBatch(spark, batch, prefix = "idf6", buckets = 4)
+    assert(IncrementalDfStats.totals(spark, "idf6").as[(Long, Long)].head() === wantTot,
+      "the retry must heal the lagging totals table exactly once")
+    assert(IncrementalDfStats.dfStats(spark, "idf6")
+      .as[(String, Long)].collect().toSet === wantDf)
+  }
+
   test("compact folds deltas without changing the served stats; reads stay exchange-free") {
     IncrementalDfStats.buildIndex(corpus, prefix = "idf4", buckets = 4)
     IncrementalDfStats.admitBatch(spark, batch, prefix = "idf4", buckets = 4)

@@ -279,10 +279,18 @@ class MediaRankingSpec extends SparkSpec {
     assert(out.map(_._3).sum === totalChars)
   }
 
-  test("gini plan: rank window and rollup share one source exchange") {
+  test("gini plan: rank comes from the bucketed prefix-count, never a per-source sort") {
+    // the r13 shape shared ONE source exchange between the rank
+    // window and the rollup — which also meant one reducer sorted a
+    // whole source; the r14 re-shape trades that for the distributed
+    // prefix-count (census + bounded offsets + per-(source, bucket)
+    // scan), so the pin is now the PlanShape guard plus the bucket
+    // column driving the heavy window (PlanSpec covers the family;
+    // this keeps the entry-local regression signal)
     val plan = PipelineQueries.p12Gini(spark, sf0)
       .queryExecution.executedPlan.toString
-    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+    val bad = graft.PlanShape.unboundedWindowsOn(plan, "source")
+    assert(bad.isEmpty, s"unbounded per-source window(s):\n${bad.mkString("\n")}")
+    assert(plan.contains("__psb"), "the prefix-count bucket must drive the heavy window")
   }
 }

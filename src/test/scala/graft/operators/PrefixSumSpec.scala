@@ -81,6 +81,38 @@ class PrefixSumSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("null/NaN bucketOn fails loudly — a silent clamp would corrupt every prefix") {
+    // NaN sorts GREATEST (first under DESC, last under ASC) but a
+    // clamp always lands it in the LAST bucket: order alignment
+    // breaks in the DESC case, so the kernel refuses raw NaN/null
+    val withNaN = Seq(("a", 1L, 1.0, 2L), ("a", 2L, Double.NaN, 3L))
+      .toDF("src", "id", "q", "tok")
+    val e = intercept[Exception] {
+      PrefixSum.running(withNaN, Seq("src"), Seq($"q".desc, $"id"),
+        bucketOn = -$"q", value = $"tok", out = "cum", buckets = 8,
+        bounds = Some((-2.0, 0.0))).collect()
+    }
+    assert(e.getMessage.contains("bucketOn is null or NaN"))
+  }
+
+  test("an explicitly mapped NaN image stays aligned with the DESC ordering") {
+    // the p5 pattern: NaN-first under q DESC → image BELOW the range;
+    // must equal the naive window, which handles NaN natively
+    val withNaN = Seq(
+      ("a", 1L, 0.9, 2L), ("a", 2L, Double.NaN, 3L), ("a", 3L, 0.1, 5L),
+      ("a", 4L, 0.9, 7L), ("b", 5L, Double.NaN, 11L))
+      .toDF("src", "id", "q", "tok")
+    val w = Window.partitionBy($"src").orderBy($"q".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = withNaN.withColumn("cum", sum($"tok").over(w))
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+    val got = PrefixSum.running(withNaN, Seq("src"), Seq($"q".desc, $"id"),
+        bucketOn = when(isnan($"q"), lit(-2.0)).otherwise(-$"q"),
+        value = $"tok", out = "cum", buckets = 8, bounds = Some((-1.0, 0.0)))
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("the heavy window partitions by (key, bucket); only the census window sees the raw key") {
     val plan = PrefixSum.running(data, Seq("src"), Seq($"v", $"id"),
         bucketOn = $"v", value = $"tok", out = "cum", buckets = 16)
