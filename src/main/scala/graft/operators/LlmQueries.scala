@@ -1848,9 +1848,12 @@ object LlmQueries {
         coalesce(col("cluster_id"), col("media_id")).as("cluster"))
     val wKeep = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("n_bytes").desc, col("media_id"))
-    val kept = assigned.withColumn("rk", row_number().over(wKeep))
+    // lineage-cut: PrefixSum's bounds/census branches re-evaluate
+    // their input, and this input is the retention join + window —
+    // the cut runs that once instead of three times
+    val kept = Checkpoints.cut(assigned.withColumn("rk", row_number().over(wKeep))
       .filter(col("rk") === 1)
-      .select(col("media_id"), col("source"), col("n_bytes"))
+      .select(col("media_id"), col("source"), col("n_bytes")))
     // the same distributed running-byte assignment as m4 — the
     // cluster-key window above is per-CLUSTER (bounded partitions);
     // the per-SOURCE stage is the one that must not single-reduce

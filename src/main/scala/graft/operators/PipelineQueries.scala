@@ -1238,8 +1238,16 @@ object PipelineQueries {
     // sits within last-ulp drift of 0.55 must not flip inclusion between
     // engines (FMA/association differences in DuckDB vs the JVM)
     val filtered = deduped.filter(round(quality, 6) > 0.55)
-    val sampled = Sampling.hashSample(filtered, "doc_id", 0.6)
-      .withColumn("n_tok", size(wsTokens(col("text"))).cast("long"))
+    // lineage-cut before packing: PrefixSum's bounds and census
+    // branches re-evaluate their input, and this input is the whole
+    // dedup (a shuffle) + quality + sample pipeline — without the cut
+    // the plan runs that pipeline three times; with it, once. Project
+    // FIRST: the cut materializes its columns, and only (source, id,
+    // n_tok) survive the rollup — carrying text would checkpoint the
+    // corpus body for nothing
+    val sampled = Checkpoints.cut(Sampling.hashSample(filtered, "doc_id", 0.6)
+      .select(col("source"), col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok")))
     Packing.assignPacks(sampled, "source", "doc_id", col("n_tok"), 512)
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
