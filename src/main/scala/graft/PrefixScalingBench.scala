@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   * grows sublinearly. Both are timed on the same frames and must
   * agree on a checksum (the kernel's exactness, measured at scale,
   * not just spec'd).
+  *
+  * Three VALUE DISTRIBUTIONS of the bucket source, because the
+  * equi-width form only ever scaled on the first:
+  *   - `uniform`: dense doc ids — any bucketing scheme spreads these;
+  *   - `const`:   every row carries the SAME order value (a template
+  *     source whose docs all score identically) — pure tie mass,
+  *     spread only by the tie sub-split on doc_id;
+  *   - `zipf`:    heavy-tailed lengths plus one extreme outlier that
+  *     stretches the value range 10⁵× — equi-width ranges collapsed
+  *     the bulk into bucket 0; equi-depth boundaries follow row mass.
+  *
+  * A final FAN-OUT row grows one source 1×→32× with a small
+  * per-bucket row target: the auto-sized fan-out must keep per-bucket
+  * mass (≈ one reducer's sort) flat instead of re-concentrating past
+  * a static bucket knob. Checksummed against the closed form
+  * Σ rank = n(n+1)/2.
   */
 object PrefixScalingBench {
 
@@ -45,41 +61,80 @@ object PrefixScalingBench {
       (runs.map(_._1).sorted.apply(1), runs.head._2)
     }
 
-    val rows = Seq(1, 2, 4, 8).map { mult =>
-      val n = baseN * mult
-      val path = s"$scratch/rows_$mult"
-      // ONE source — the skew-guaranteed worst case; value/order cols
-      // are cheap longs so the timing isolates the window machinery
-      spark.range(n)
+    // ONE source — the skew-guaranteed worst case; the three value
+    // distributions of the ORDER KEY the kernel buckets on
+    def gen(dist: String, n: Long): DataFrame = {
+      val base = spark.range(n)
         .select(lit("hot").as("source"), col("id").as("doc_id"),
           (col("id") % 7).as("n_tok"))
-        .write.mode("overwrite").parquet(path)
-      val df = spark.read.parquet(path)
-      df.count() // warm the file listing out of both timed paths
+      dist match {
+        case "uniform" => base.withColumn("v", col("doc_id"))
+        case "const" => base.withColumn("v", lit(42L))
+        case "zipf" => base.withColumn("v",
+          when(col("doc_id") === 0, lit(100000000L))
+            .otherwise(lit(50) + pmod(col("doc_id") * 2654435761L, lit(1000L))))
+      }
+    }
 
-      val wNaive = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val (naiveS, naiveSum) = time(
-        df.withColumn("cum", sum(col("n_tok")).over(wNaive))
-          .agg(sum(col("cum"))).head().getLong(0))
-      val (kernelS, kernelSum) = time(
-        operators.PrefixSum.running(df, Seq("source"), Seq(col("doc_id")),
-            bucketOn = col("doc_id"), value = col("n_tok"), out = "cum")
-          .agg(sum(col("cum"))).head().getLong(0))
-      require(naiveSum == kernelSum,
-        s"checksum diverged at $mult×: naive $naiveSum vs kernel $kernelSum")
-      println(f"[prefixscale] mult=$mult%2d rows=$n%9d " +
-        f"naive=$naiveS%6.2fs kernel=$kernelS%6.2fs checksum=$kernelSum")
-      (mult, n, naiveS, kernelS)
+    for (dist <- Seq("uniform", "const", "zipf")) {
+      val rows = Seq(1, 2, 4, 8).map { mult =>
+        val n = baseN * mult
+        val path = s"$scratch/${dist}_$mult"
+        gen(dist, n).write.mode("overwrite").parquet(path)
+        val df = spark.read.parquet(path)
+        df.count() // warm the file listing out of both timed paths
+
+        val wNaive = Window.partitionBy(col("source"))
+          .orderBy(col("v"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val (naiveS, naiveSum) = time(
+          df.withColumn("cum", sum(col("n_tok")).over(wNaive))
+            .agg(sum(col("cum"))).head().getLong(0))
+        val (kernelS, kernelSum) = time(
+          operators.PrefixSum.running(df, Seq("source"),
+              Seq(col("v"), col("doc_id")), bucketOn = col("v"),
+              value = col("n_tok"), out = "cum",
+              tieBreakOn = Some(col("doc_id")))
+            .agg(sum(col("cum"))).head().getLong(0))
+        require(naiveSum == kernelSum,
+          s"checksum diverged at $dist $mult×: naive $naiveSum vs kernel $kernelSum")
+        println(f"[prefixscale] dist=$dist%-7s mult=$mult%2d rows=$n%9d " +
+          f"naive=$naiveS%6.2fs kernel=$kernelS%6.2fs checksum=$kernelSum")
+        (mult, n, naiveS, kernelS)
+      }
+      val (n1, k1) = (rows.head._3, rows.head._4)
+      val (n8, k8) = (rows.last._3, rows.last._4)
+      println(f"[prefixscale] $dist%-7s 1×→8× growth: naive ${n8 / n1}%.1f× " +
+        f"(single-reducer sort) vs kernel ${k8 / k1}%.1f× on $cpus cores")
     }
-    println("[prefixscale] mult | rows | naive-window s | prefix-sum s")
-    rows.foreach { case (m, n, ns, ks) =>
-      println(f"[prefixscale] $m%4d | $n%9d | $ns%13.2f | $ks%11.2f")
+
+    // fan-out auto-sizing: 1×→32×, floor 8 buckets, 250k rows/bucket
+    // target — per-bucket mass must stay ≈ flat as the data grows
+    val fanRows = Seq(1, 8, 32).map { mult =>
+      val n = (baseN / 2) * mult
+      val path = s"$scratch/fan_$mult"
+      gen("uniform", n).write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path)
+      df.count()
+      val tagged = operators.PrefixSum.taggedBuckets(df, col("v"), None, 8, 250000L)
+      val fan = tagged.select(countDistinct(col("__psb"))).head().getLong(0)
+      val maxBucket = tagged.groupBy(col("__psb")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val (kernelS, rkSum) = time(
+        operators.PrefixSum.rank(df, Seq("source"), Seq(col("v"), col("doc_id")),
+            bucketOn = col("v"), out = "rk", buckets = 8,
+            targetRowsPerBucket = 250000L)
+          .agg(sum(col("rk"))).head().getLong(0))
+      require(rkSum == n * (n + 1) / 2,
+        s"rank checksum diverged at $mult×: $rkSum vs ${n * (n + 1) / 2}")
+      println(f"[prefixscale] fanout mult=$mult%2d rows=$n%9d fan=$fan%4d " +
+        f"maxBucketRows=$maxBucket%8d kernel=$kernelS%6.2fs")
+      (mult, n, fan, maxBucket, kernelS)
     }
-    val (n1, k1) = (rows.head._3, rows.head._4)
-    val (n8, k8) = (rows.last._3, rows.last._4)
-    println(f"[prefixscale] 1×→8× growth: naive ${n8 / n1}%.1f× (single-reducer sort) " +
-      f"vs kernel ${k8 / k1}%.1f× on $cpus cores")
+    val flat = fanRows.map(r => r._4)
+    println(f"[prefixscale] fanout 1×→32×: per-bucket mass " +
+      f"${flat.head}%d → ${flat.last}%d (auto-sized fan " +
+      f"${fanRows.head._3}%d → ${fanRows.last._3}%d)")
     spark.stop()
   }
 }

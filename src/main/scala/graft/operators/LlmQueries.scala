@@ -1848,7 +1848,7 @@ object LlmQueries {
         coalesce(col("cluster_id"), col("media_id")).as("cluster"))
     val wKeep = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("n_bytes").desc, col("media_id"))
-    // lineage-cut: PrefixSum's bounds/census branches re-evaluate
+    // lineage-cut: PrefixSum's stats/census branches re-evaluate
     // their input, and this input is the retention join + window —
     // the cut runs that once instead of three times
     val kept = Checkpoints.cut(assigned.withColumn("rk", row_number().over(wKeep))

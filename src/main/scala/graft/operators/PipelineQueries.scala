@@ -967,11 +967,15 @@ object PipelineQueries {
     * exact int ratio — bit-identical across engines.
     *
     * Scale shape: the rank comes from the distributed prefix-count
-    * (`PrefixSum.rank` — the 6dp-rounded score lives in [0, 1], a
-    * static bucket range) and n from a per-source census, so no stage
+    * (`PrefixSum.rank`, equi-depth over the score's observed
+    * quantiles, with doc_id as the tie sub-split — a template source
+    * whose docs all score the SAME value would otherwise collapse
+    * into one bucket) and n from a per-source census, so no stage
     * sorts a whole source on one reducer; percent_rank is then plain
     * arithmetic, (rank−1)/(n−1), identical to the window function's
-    * definition.
+    * definition. The scored frame is lineage-cut first: the kernel's
+    * stats/census/scan branches each re-evaluate their input, and the
+    * tokenization upstream is the expensive part.
     */
   def t9QuantileFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -983,13 +987,14 @@ object PipelineQueries {
     val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
       length(col("text")).cast("double")
     val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
-    val scored = docs.select(col("doc_id"), col("source"), quality.as("q"))
+    val scored = Checkpoints.cut(
+      docs.select(col("doc_id"), col("source"), quality.as("q")))
     val perSource = scored.groupBy(col("source")).agg(count(lit(1)).as("__n"))
     // NaN (zero-token doc) sorts GREATEST = LAST under q ASC, so its
-    // bucket image sits ABOVE [0, 1] (p5's note, mirrored)
+    // bucket image sits ABOVE the score range (p5's note, mirrored)
     PrefixSum.rank(scored, Seq("source"), Seq(col("q"), col("doc_id")),
         bucketOn = when(isnan(col("q")), lit(2.0)).otherwise(col("q")),
-        out = "__rk", bounds = Some((0.0, 1.0)))
+        out = "__rk", tieBreakOn = Some(col("doc_id")))
       .join(broadcast(perSource), Seq("source"))
       .withColumn("pr", round(when(col("__n") > 1,
           (col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double"))
@@ -1060,9 +1065,11 @@ object PipelineQueries {
     * Unlike a rank cap the cumsum cannot early-stop inside a group
     * (every candidate's tokens count toward the budget), so the group
     * scan is the honest cost — but it runs as the DISTRIBUTED
-    * prefix-sum (`PrefixSum.running`, bucketed on −q over the static
-    * [−1, 0] range of the 6dp score), never as one reducer sorting a
-    * whole source.
+    * prefix-sum (`PrefixSum.running`, equi-depth over −q's observed
+    * quantiles with doc_id as the tie sub-split, so a constant-score
+    * template source spreads instead of collapsing into one bucket),
+    * never as one reducer sorting a whole source. The scored frame is
+    * lineage-cut: the kernel's branches re-evaluate their input.
     */
   def p5BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -1074,16 +1081,16 @@ object PipelineQueries {
     val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
       length(col("text")).cast("double")
     val quality = round(uniq * 0.5 + stop * 0.3 + (lit(1.0) - punct) * 0.2, 6)
-    val scored = docs
-      .select(col("doc_id"), col("source"), quality.as("q"), nTok.as("n_tok"))
+    val scored = Checkpoints.cut(docs
+      .select(col("doc_id"), col("source"), quality.as("q"), nTok.as("n_tok")))
     // a zero-token doc scores NaN (0.0/0.0), which Spark sorts as
     // GREATEST — i.e. FIRST under q DESC — so its monotone bucket
-    // image must sit BELOW the [-1, 0] range (the clamp then aligns
-    // it with the sort; PrefixSum itself refuses raw NaN)
+    // image must sit BELOW −q's [-1, 0] range (PrefixSum itself
+    // refuses raw NaN)
     PrefixSum.running(scored, Seq("source"), Seq(col("q").desc, col("doc_id")),
         bucketOn = when(isnan(col("q")), lit(-2.0)).otherwise(-col("q")),
         value = col("n_tok"), out = "cum_tok",
-        bounds = Some((-1.0, 0.0)))
+        tieBreakOn = Some(col("doc_id")))
       .filter(col("cum_tok") <= 800)
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
       .orderBy(col("doc_id"))
@@ -1787,7 +1794,11 @@ object PipelineQueries {
     * no float summation anywhere).
     *
     * Scale: the rank `i` comes from the distributed prefix-count
-    * (`PrefixSum.rank`, bucketed on n_chars) — a naive per-source
+    * (`PrefixSum.rank`, EQUI-DEPTH over n_chars — doc lengths are
+    * heavy-tailed, the exact concentration this query measures, so
+    * equi-width ranges would re-concentrate the bulk into the first
+    * buckets whenever one outlier stretches the range; doc_id
+    * sub-splits the ties at common lengths) — a naive per-source
     * row_number would sort the dominant source on one reducer; the
     * rollup is a partial agg on source. All wide intermediates (Σ i·xᵢ, its ×2×10⁶
     * micro-scaling, and n·Σx) run in decimal(38,0) via
@@ -1805,7 +1816,8 @@ object PipelineQueries {
       table(spark, dir, "documents")
         .select(col("source"), col("doc_id"), col("n_chars")),
       Seq("source"), Seq(col("n_chars"), col("doc_id")),
-      bucketOn = col("n_chars"), out = "i")
+      bucketOn = col("n_chars"), out = "i",
+      tieBreakOn = Some(col("doc_id")))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),

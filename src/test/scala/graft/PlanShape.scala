@@ -10,9 +10,17 @@ package graft
   *     raw skewed key alone, or a global window; a spec that also
   *     carries a bucket column (`source, __psb`) spreads the key and
   *     is fine, as is a spec on some OTHER (high-cardinality) key;
-  *   - no aggregate sits below it in the plan (an aggregate child
-  *     means the window's input is a bounded census — the offsets
-  *     step of the distributed prefix-sum — not the raw rows).
+  *   - its IMMEDIATE input stage is not an aggregate: the only
+  *     legitimate per-key window is the prefix-sum's offsets step,
+  *     whose input is the bounded (key, bucket) census — reached
+  *     through narrow unary wrappers only (Sort/Exchange/AQE reads/
+  *     Project/Filter). An aggregate merely SOMEWHERE below the
+  *     window (the old rule) is not enough: a window over a join of
+  *     raw rows with some unrelated aggregate is still unbounded.
+  *     A `ReusedExchange` leaf (the census exchange deduplicated by
+  *     ReuseExchange) hides its subtree from the walk; it is exempt
+  *     only when the window itself carries the census's `__psb`
+  *     column — the kernel's own offsets signature.
   *
   * String-tree based (the PlanSpec idiom — typed traversal stops at
   * the AQE boundary, the plan text does not).
@@ -62,6 +70,39 @@ object PlanShape {
   private val AggregateNodes =
     Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
+  /** Narrow unary wrappers a window's input legitimately routes
+    * through between the window and its real input stage. Joins,
+    * generates, unions — anything that can re-widen the input back
+    * to raw rows — are NOT here, so the walk stops at them.
+    */
+  private val InputWrappers =
+    Seq("Sort ", "Sort\t", "Exchange ", "AQEShuffleRead", "ShuffleQueryStage",
+      "InputAdapter", "Project ", "Project[", "Filter ", "Coalesce",
+      "ColumnarToRow")
+
+  private def strip(line: String): String = {
+    val ind = indentOf(line)
+    if (ind < 0) "" else line.drop(ind).replaceFirst("^\\*\\(\\d+\\) ", "")
+  }
+
+  /** The node the window actually consumes: walk the first-child
+    * chain through narrow unary wrappers; the first non-wrapper node
+    * is the input stage.
+    */
+  private def immediateInput(lines: Vector[String], winIdx: Int): Option[String] = {
+    var i = winIdx + 1
+    var prevIndent = indentOf(lines(winIdx))
+    while (i < lines.length) {
+      val ind = indentOf(lines(i))
+      if (ind <= prevIndent) return None // subtree ended
+      val content = strip(lines(i))
+      if (!InputWrappers.exists(content.startsWith)) return Some(content)
+      prevIndent = ind
+      i += 1
+    }
+    None
+  }
+
   /** The Window node lines whose partition spec is ⊆ {`key`} over
     * raw (non-census) input — the single-reducer-per-key scale
     * killer for a low-cardinality `key`. Empty for a correctly
@@ -72,25 +113,23 @@ object PlanShape {
     val lines = plan.linesIterator.toVector
     val keyAttr = (key + "#\\d+L?$").r
     lines.indices.flatMap { i =>
-      val line = lines(i)
-      val ind = indentOf(line)
-      if (ind < 0) None
+      val content = strip(lines(i))
+      if (!content.startsWith("Window ")) None
       else {
-        val content = line.drop(ind).replaceFirst("^\\*\\(\\d+\\) ", "")
-        if (!content.startsWith("Window ")) None
+        val groups = bracketGroups(content)
+        val partCols =
+          if (groups.length >= 3) topLevelSplit(groups(groups.length - 2))
+          else Vector.empty
+        val onlyKey =
+          partCols.forall(c => keyAttr.findFirstIn(c).isDefined)
+        if (!onlyKey) None
         else {
-          val groups = bracketGroups(content)
-          val partCols =
-            if (groups.length >= 3) topLevelSplit(groups(groups.length - 2))
-            else Vector.empty
-          val onlyKey =
-            partCols.forall(c => keyAttr.findFirstIn(c).isDefined)
-          val subtree = lines.drop(i + 1).takeWhile { l =>
-            val li = indentOf(l); li > ind
-          }
-          val hasCensusBelow =
-            subtree.exists(l => AggregateNodes.exists(l.contains))
-          if (onlyKey && !hasCensusBelow) Some(content) else None
+          val input = immediateInput(lines, i)
+          val censusInput =
+            input.exists(in => AggregateNodes.exists(in.startsWith)) ||
+              (input.exists(_.startsWith("ReusedExchange")) &&
+                content.contains("__psb"))
+          if (censusInput) None else Some(content)
         }
       }
     }
