@@ -10,48 +10,66 @@ import org.apache.spark.sql.functions._
   * "every corpus-derived artifact is incrementally maintainable"
   * story beyond dedup (SURVEY §2.3/§2.5): the statistics currently
   * recompute per corpus version; an ingest batch shifts df and the
-  * totals MONOTONICALLY (the same census argument as the dedup
-  * merges), so folding a batch is exact by construction.
+  * totals MONOTONICALLY, and a TAKEDOWN batch shifts them by exactly
+  * the negative of what its docs contributed (docs are immutable —
+  * see the fingerprint), so folding either direction is exact by
+  * construction.
   *
   * Layout — append-only deltas, not in-place rewrites, every row
-  * tagged with its admit's BATCH FINGERPRINT:
+  * tagged with its operation's BATCH ID:
   *   - `<prefix>_df` (batch_id, term, df) bucketed on term: each
-  *     admit APPENDS the batch's per-term document counts; the served
-  *     df is an exchange-free group-by-sum riding the bucket layout.
-  *     Appends keep the admit O(batch); `compact` folds the deltas
-  *     back to one row per term when the delta count warrants it
-  *     (the log-structured-merge discipline, Spark-shaped).
+  *     admit APPENDS the batch's per-term document counts; each
+  *     retract appends the NEGATIVE counts. The served df is an
+  *     exchange-free group-by-sum riding the bucket layout (zero
+  *     nets — terms whose every holder was retracted — are filtered
+  *     out, matching a from-scratch recompute). `compact` folds the
+  *     deltas back to one row per term (the log-structured-merge
+  *     discipline, Spark-shaped).
   *   - `<prefix>_tot` (batch_id, n_docs, sum_dl): one appended row
-  *     per admit; served as a two-scalar sum.
-  *   - `<prefix>_docs` (doc_id, batch_id) bucketed on doc_id: which
-  *     docs each admit contributed — the dedup source for
-  *     partially-overlapping batches.
+  *     per operation (negative for retracts); served as a
+  *     two-scalar sum. Written LAST — its batch_id row doubles as
+  *     the operation's COMPLETION marker.
+  *   - `<prefix>_docs` (doc_id, batch_id, sign) bucketed on doc_id:
+  *     +1 rows for admits, −1 for retracts; a doc is LIVE iff its
+  *     net sign is positive. Written FIRST, so a later operation
+  *     can never observe counted-but-unclaimed docs.
   *
-  * CRASH-RETRY EXACTNESS (the reason for the fingerprint): the admit
-  * writes THREE tables, and a crash between any two must heal on the
-  * at-least-once retry without double-counting — unlike the
-  * doc-keyed index appends (d24/trigram), stats deltas are
-  * AGGREGATES, so per-table doc presence can't express "this table
-  * already has this batch". Instead:
-  *   - the batch fingerprint derives from the batch's FULL id set
-  *     (count + xor/sum of id hashes), so a retry computes the SAME
-  *     id regardless of which appends already landed;
-  *   - the fresh-doc set excludes docs admitted by OTHER batches
-  *     only (`batch_id != this`), so the current batch's own partial
-  *     `_docs` append cannot change what the retry recomputes;
-  *   - each table is appended only if it does not already hold this
-  *     batch_id — three independent idempotent steps, any crash
-  *     point heals.
-  * `compact` erases `_df`'s batch ids (folded rows carry the
-  * sentinel "compacted"), so it must only run when no admit is
-  * mid-retry — the standard LSM compaction contract, documented
-  * here because violating it re-opens the double-count.
+  * SINGLE-WRITER ENFORCEMENT (the lease): every operation — admit,
+  * retract, compact — holds a lease file under
+  * `<warehouse>/<prefix>_lease/` for its duration. Acquiring while
+  * ANOTHER operation's lease exists throws: a crashed operation must
+  * be retried to completion (same batch → same lease file → the
+  * retry re-enters) before any other operation starts. This turns
+  * two previously documentation-only contracts into errors:
+  *   - an overlapping batch admitted between a crash and its retry
+  *     could double-count (the retry's fresh-set would exclude docs
+  *     the other batch admitted meanwhile);
+  *   - `compact` erases `_df`'s batch ids, so folding while an admit
+  *     is mid-retry re-opens the double-count its lacks()-guard
+  *     exists to prevent.
+  * An ABANDONED operation's lease blocks the family until it is
+  * retried or the stale lease file is removed by an operator — the
+  * deliberate failure mode (loud, not wrong).
+  *
+  * CRASH-RETRY EXACTNESS: the three appends land `_docs` → `_df` →
+  * `_tot`, each guarded by "append only if the table lacks this
+  * batch_id". The batch id derives from the batch's (id, content)
+  * hashes — stable across retries — plus the count of COMPLETED
+  * operations of the same kind over the same id set (read from
+  * `_tot`, the completion table): a retry of an incomplete operation
+  * reuses its id and heals exactly the lagging tables, while a NEW
+  * operation over the same ids (re-admit after retract) mints a new
+  * one. A replay of a COMPLETED operation computes an empty
+  * fresh/target set and no-ops. Content hashes in the fingerprint
+  * pin the docs-are-immutable assumption: re-admitting an id with
+  * different text is a DIFFERENT batch (and would corrupt a later
+  * retract's decrements — immutability is the family's contract).
   *
   * Statistics contract (pinned by the equivalence spec): df(term) =
-  * |{doc : term ∈ wsTokens(doc)}|, n_docs = all admitted docs,
+  * |{live doc : term ∈ wsTokens(doc)}|, n_docs = live docs,
   * sum_dl = Σ |wsTokens(doc)| — exactly the quantities t7/t24 derive
   * from scratch, so serving from the maintained tables reproduces
-  * their scores on the union corpus. The t7/t24 ENTRIES stay
+  * their scores on the live corpus. The t7/t24 ENTRIES stay
   * recompute-per-corpus-version (they are oracled); this module is
   * the ingest path a 100 TB deployment runs instead.
   */
@@ -74,21 +92,66 @@ object IncrementalDfStats {
     (dfB, totB)
   }
 
-  /** Deterministic fingerprint of the batch's id set — stable across
-    * retries (derived from the ORIGINAL batch, never from table
-    * state). Order-independent combine (count + xor + decimal sum of
-    * id hashes; decimal so the ANSI sweep can't overflow-throw), one
-    * scalar agg over the batch.
+  /** Deterministic operation key over the batch's (id, content)
+    * hashes — stable across retries (derived from the ORIGINAL
+    * batch, never from table state). Order-independent combine
+    * (count + xor + decimal sum of per-doc hashes; decimal so the
+    * ANSI sweep can't overflow-throw), one scalar agg over the
+    * batch. The content hash makes re-admitting an id with changed
+    * text a different batch rather than a silently-absorbed replay.
     */
-  private def batchFingerprint(batchDocs: DataFrame): String = {
-    val r = batchDocs.select(xxhash64(col("doc_id")).as("h")).distinct()
+  private def opKey(batchDocs: DataFrame, kind: String): String = {
+    val r = batchDocs
+      .select(xxhash64(col("doc_id"), col("text")).as("h")).distinct()
       .agg(count(lit(1)).cast("long").as("n"),
         coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
-        coalesce(sum(col("h").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("s"))
+        coalesce(sum(col("h").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
       .head()
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${r.getLong(0)}|${r.getLong(1)}|${r.getDecimal(2)}".getBytes("UTF-8"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$kind|${r.getLong(0)}|${r.getLong(1)}|${r.getDecimal(2)}"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+    s"$kind-$digest"
+  }
+
+  /** The operation's batch id: opKey plus the number of COMPLETED
+    * same-key operations (rows in `_tot`, the completion table) — a
+    * crashed operation's retry reuses its id (no `_tot` row landed),
+    * a genuinely new same-docs operation gets a fresh one.
+    */
+  private def opId(spark: SparkSession, prefix: String, key: String): String = {
+    val g = spark.table(s"${prefix}_tot")
+      .filter(col("batch_id").startsWith(key))
+      .select(col("batch_id")).distinct().count()
+    s"$key-$g"
+  }
+
+  // ---------------------------------------------------------------
+  // The single-writer lease
+  // ---------------------------------------------------------------
+
+  private def leaseDir(spark: SparkSession, prefix: String) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      s"${prefix.toLowerCase(java.util.Locale.ROOT)}_lease")
+
+  private def withLease[A](spark: SparkSession, prefix: String, opId: String)(
+      body: => A): A = {
+    val dir = leaseDir(spark, prefix)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val others = fs.listStatus(dir).map(_.getPath.getName).filterNot(_ == opId)
+    if (others.nonEmpty) throw new IllegalStateException(
+      s"dfstats '$prefix': operation(s) in flight: ${others.mkString(", ")} — " +
+        "retry them to completion (or remove the stale lease file) first")
+    val mine = new org.apache.hadoop.fs.Path(dir, opId)
+    fs.create(mine, true).close()
+    val out = body
+    // released only on success: a crashed operation leaves its lease
+    // so nothing else (including compact) runs until its retry heals
+    fs.delete(mine, false)
+    out
   }
 
   /** Initialize the three tables from the standing corpus (batch id
@@ -102,71 +165,136 @@ object IncrementalDfStats {
     graft.sources.Bucketing.writeBucketed(
       dfB.withColumn("batch_id", lit("corpus")), s"${prefix}_df", "term", buckets)
     graft.sources.Bucketing.writeBucketed(
-      d.select(col("doc_id")).withColumn("batch_id", lit("corpus")),
+      d.select(col("doc_id")).withColumn("batch_id", lit("corpus"))
+        .withColumn("sign", lit(1)),
       s"${prefix}_docs", "doc_id", buckets)
     val tot = graft.sources.Bucketing.dropTableAndLocation(spark, s"${prefix}_tot")
     totB.withColumn("batch_id", lit("corpus"))
       .write.mode("overwrite").format("parquet").saveAsTable(tot)
   }
 
+  /** Per-doc net sign over `_docs` rows of OTHER operations
+    * (batch_id != self — the current operation's own partial append
+    * must not change what its retry computes), restricted to the
+    * batch's ids. Positive net = live.
+    */
+  private def netPresence(spark: SparkSession, prefix: String, self: String,
+      ids: DataFrame): DataFrame =
+    spark.table(s"${prefix}_docs")
+      .filter(col("batch_id") =!= lit(self))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("sign")).as("net"))
+
+  private def lacks(spark: SparkSession, table: String, bid: String): Boolean =
+    spark.table(table).filter(col("batch_id") === lit(bid)).isEmpty
+
   /** Fold an ingest batch into the statistics — O(batch) work, zero
-    * corpus-side recompute, crash-retry-exact (see scaladoc).
+    * corpus-side recompute, crash-retry-exact, lease-serialized (see
+    * scaladoc).
     */
   def admitBatch(spark: SparkSession, batchDocs: DataFrame,
       prefix: String = "graft_dfstats", buckets: Int = 32): Unit = {
     val b = Checkpoints.cut(batchDocs.select(col("doc_id"), col("text")))
-    val bid = batchFingerprint(b)
-    // fresh = batch docs not admitted by OTHER batches; this batch's
-    // own partial _docs append is excluded so a retry recomputes the
-    // same set
-    val ids = b.select(col("doc_id")).distinct()
-    val present = spark.table(s"${prefix}_docs")
-      .filter(col("batch_id") =!= lit(bid))
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val fresh = Checkpoints.cut(
-      b.join(broadcast(present), Seq("doc_id"), "left_anti"))
-    val (dfB, totB) = deltas(fresh)
-    def lacks(table: String): Boolean =
-      spark.table(table).filter(col("batch_id") === lit(bid)).isEmpty
-    if (lacks(s"${prefix}_df"))
-      graft.sources.Bucketing.appendBucketed(
-        dfB.withColumn("batch_id", lit(bid)), s"${prefix}_df", "term", buckets)
-    if (lacks(s"${prefix}_docs"))
-      graft.sources.Bucketing.appendBucketed(
-        fresh.select(col("doc_id")).withColumn("batch_id", lit(bid)),
-        s"${prefix}_docs", "doc_id", buckets)
-    if (lacks(s"${prefix}_tot"))
-      totB.withColumn("batch_id", lit(bid))
-        .write.mode("append").format("parquet")
-        .saveAsTable(s"${prefix}_tot".toLowerCase(java.util.Locale.ROOT))
+    val bid = opId(spark, prefix, opKey(b, "admit"))
+    withLease(spark, prefix, bid) {
+      val ids = b.select(col("doc_id")).distinct()
+      val present = netPresence(spark, prefix, bid, ids)
+        .filter(col("net") > 0).select(col("doc_id"))
+      val fresh = Checkpoints.cut(
+        b.join(broadcast(present), Seq("doc_id"), "left_anti"))
+      if (!fresh.isEmpty) {
+        val (dfB, totB) = deltas(fresh)
+        // _docs FIRST (claims visible before counts), _tot LAST (the
+        // completion marker) — each append lacks()-guarded
+        if (lacks(spark, s"${prefix}_docs", bid))
+          graft.sources.Bucketing.appendBucketed(
+            fresh.select(col("doc_id")).withColumn("batch_id", lit(bid))
+              .withColumn("sign", lit(1)),
+            s"${prefix}_docs", "doc_id", buckets)
+        if (lacks(spark, s"${prefix}_df", bid))
+          graft.sources.Bucketing.appendBucketed(
+            dfB.withColumn("batch_id", lit(bid)), s"${prefix}_df", "term", buckets)
+        if (lacks(spark, s"${prefix}_tot", bid))
+          totB.withColumn("batch_id", lit(bid))
+            .write.mode("append").format("parquet")
+            .saveAsTable(s"${prefix}_tot".toLowerCase(java.util.Locale.ROOT))
+      }
+    }
+  }
+
+  /** Remove a takedown batch from the statistics — the REVERSE
+    * lifecycle (right-to-be-forgotten / opt-out batches are routine
+    * on a crawl corpus): appends the negative of exactly what the
+    * docs contributed, O(batch), zero corpus-side recompute. The
+    * batch must carry the docs' ORIGINAL text (immutability is the
+    * family contract — the deltas re-derive from it). Docs not
+    * currently live are ignored; a replay of a completed retract
+    * no-ops; retract-then-re-admit counts the docs again.
+    */
+  def retractBatch(spark: SparkSession, batchDocs: DataFrame,
+      prefix: String = "graft_dfstats", buckets: Int = 32): Unit = {
+    val b = Checkpoints.cut(batchDocs.select(col("doc_id"), col("text")))
+    val rbid = opId(spark, prefix, opKey(b, "retract"))
+    withLease(spark, prefix, rbid) {
+      val ids = b.select(col("doc_id")).distinct()
+      val live = netPresence(spark, prefix, rbid, ids)
+        .filter(col("net") > 0).select(col("doc_id"))
+      val targets = Checkpoints.cut(
+        b.join(broadcast(live), Seq("doc_id"), "left_semi"))
+      if (!targets.isEmpty) {
+        val (dfB, totB) = deltas(targets)
+        if (lacks(spark, s"${prefix}_docs", rbid))
+          graft.sources.Bucketing.appendBucketed(
+            targets.select(col("doc_id")).withColumn("batch_id", lit(rbid))
+              .withColumn("sign", lit(-1)),
+            s"${prefix}_docs", "doc_id", buckets)
+        if (lacks(spark, s"${prefix}_df", rbid))
+          graft.sources.Bucketing.appendBucketed(
+            dfB.withColumn("df", -col("df"))
+              .withColumn("batch_id", lit(rbid)),
+            s"${prefix}_df", "term", buckets)
+        if (lacks(spark, s"${prefix}_tot", rbid))
+          totB.select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+            .withColumn("batch_id", lit(rbid))
+            .write.mode("append").format("parquet")
+            .saveAsTable(s"${prefix}_tot".toLowerCase(java.util.Locale.ROOT))
+      }
+    }
   }
 
   /** The served (term, df) statistics — an exchange-free bucket-key
-    * group-by over the delta rows.
+    * group-by over the delta rows. Zero nets (every holder
+    * retracted) are dropped, matching a from-scratch recompute.
     */
   def dfStats(spark: SparkSession, prefix: String = "graft_dfstats"): DataFrame =
     spark.table(s"${prefix}_df")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
 
   /** The served (n_docs, sum_dl) totals. */
   def totals(spark: SparkSession, prefix: String = "graft_dfstats"): DataFrame =
     spark.table(s"${prefix}_tot")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
 
-  /** Fold the accumulated df deltas back to one row per term — run
-    * when the delta count warrants it AND no admit is mid-retry (the
-    * LSM compaction contract: folded rows carry the "compacted"
-    * sentinel, so a pre-compact batch retried post-compact would
-    * re-append). One linear pass riding the bucket layout.
+  /** Fold the accumulated df deltas back to one row per term — one
+    * linear pass riding the bucket layout. Holds the lease for its
+    * duration, so it CANNOT run while an admit/retract is mid-flight
+    * or mid-retry (folding erases `_df`'s batch ids, which would
+    * re-open the double-count the lacks()-guards prevent) — the LSM
+    * compaction contract, enforced rather than documented. The
+    * rewrite itself is not atomic: a compact crashed mid-write needs
+    * a re-run of compact (its lease persists, blocking admits until
+    * then) over the pre-fold deltas preserved by the eager cut.
     */
   def compact(spark: SparkSession, prefix: String = "graft_dfstats",
       buckets: Int = 32): Unit =
-    graft.sources.Bucketing.writeBucketed(
-      Checkpoints.cut(
-        dfStats(spark, prefix).withColumn("batch_id", lit("compacted")),
-        eager = true),
-      s"${prefix}_df", "term", buckets)
+    withLease(spark, prefix, "compact") {
+      graft.sources.Bucketing.writeBucketed(
+        Checkpoints.cut(
+          dfStats(spark, prefix).withColumn("batch_id", lit("compacted")),
+          eager = true),
+        s"${prefix}_df", "term", buckets)
+    }
 
   /** t7's tf-idf top-5 SERVED from the maintained statistics: score
     * any document set (the standing corpus, an arriving batch, a

@@ -40,8 +40,10 @@ object StreamingDfScore {
         log(col("n_docs").cast("double") / col("df").cast("double")).as("idf"))
 
   /** Score arriving docs: per (event window, doc) — token count,
-    * distinct known terms hit, unseen-token count, and the 6dp tf-idf
-    * mass Σ tf·idf. Stream schema: (doc_id, `tsCol`, text).
+    * known-token OCCURRENCE count (each occurrence of a term the
+    * stats know counts once — NOT distinct terms; `n_unseen`
+    * likewise counts unseen occurrences), and the 6dp tf-idf mass
+    * Σ tf·idf. Stream schema: (doc_id, `tsCol`, text).
     */
   def scoreAgainstStats(stream: DataFrame, idf: DataFrame, tsCol: String,
       watermark: String = "10 minutes",
