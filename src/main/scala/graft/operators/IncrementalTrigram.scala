@@ -51,26 +51,64 @@ object IncrementalTrigram {
       panel.select(col("bench_id"), col("h")), s"${prefix}_panel", "h", buckets)
   }
 
+  /** Net-dead doc ids (tombstone net sign < 0) — empty when the
+    * tombstone table has never been created (pure-append
+    * deployments pay nothing for the retraction lifecycle).
+    */
+  private def deadIds(spark: SparkSession, prefix: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(s"${prefix}_gone")) None
+    else Some(spark.table(s"${prefix}_gone")
+      .groupBy(col("doc_id")).agg(sum(col("sign")).as("net"))
+      .filter(col("net") < 0).select(col("doc_id")))
+
+  /** The LIVE corpus index: `_tri` minus net-dead docs. Retraction is
+    * tombstone-append, not rewrite (O(batch), and a physical rewrite
+    * of a by-h-bucketed index would touch every bucket anyway); the
+    * broadcast anti-join preserves the bucket layout, so every
+    * downstream per-h census/probe stays exchange-free.
+    */
+  def liveTri(spark: SparkSession, prefix: String = "graft_trigram"): DataFrame = {
+    val tri = spark.table(s"${prefix}_tri")
+    deadIds(spark, prefix) match {
+      case Some(dead) => tri.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      case None => tri
+    }
+  }
+
   /** Append a merged batch's trigram rows to the corpus index —
     * idempotently at doc granularity (replayed ingests are absorbed,
-    * not contracted away).
+    * not contracted away). A RE-ADMIT of a previously retracted doc
+    * resurrects it instead: its rows are still physically in `_tri`
+    * (docs are immutable — same id, same trigrams), so the append is
+    * a +1 tombstone row flipping the net sign back to zero, and a
+    * replay of the resurrection sees net ≥ 0 and no-ops.
     */
   def appendToIndex(batchTris: DataFrame, prefix: String = "graft_trigram",
       buckets: Int = 32): Unit = {
     val bw = Checkpoints.cut(batchTris.select(col("doc_id"), col("h")))
+    val spark = bw.sparkSession
     graft.sources.Bucketing.appendBucketed(
       graft.sources.Bucketing.absentOnly(bw, s"${prefix}_tri", "doc_id"),
       s"${prefix}_tri", "h", buckets)
+    deadIds(spark, prefix).foreach { dead =>
+      val resurrect = bw.select(col("doc_id")).distinct()
+        .join(broadcast(dead), Seq("doc_id"), "left_semi")
+      if (!resurrect.isEmpty)
+        resurrect.withColumn("sign", lit(1))
+          .write.mode("append").format("parquet")
+          .saveAsTable(s"${prefix}_gone".toLowerCase(java.util.Locale.ROOT))
+    }
   }
 
-  /** Trigrams with corpus df > cap at the current index — rows are
-    * distinct (doc, h) by construction, so the raw per-h row count IS
-    * the document frequency (no d24-style distinct needed), and the
-    * group-by rides the bucket layout exchange-free.
+  /** Trigrams with corpus df > cap at the current LIVE index — rows
+    * are distinct (doc, h) by construction, so the raw per-h row
+    * count IS the document frequency (no d24-style distinct needed),
+    * and the group-by rides the bucket layout exchange-free.
     */
   def hotTrigrams(spark: SparkSession, prefix: String = "graft_trigram",
       cap: Int = PipelineQueries.ContamMaxDf): DataFrame =
-    graft.sources.Bucketing.overCapKeys(spark, s"${prefix}_tri", "h", cap)
+    liveTri(spark, prefix).groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap).select(col("h"))
 
   /** Land the hot census as `<prefix>_hot` — the exclusion the
     * streaming gate (`StreamingTrigram.flagAgainstPanel`) broadcasts
@@ -93,7 +131,7 @@ object IncrementalTrigram {
     val bw = Checkpoints.cut(batchTris.select(col("doc_id"), col("h")))
     // corpus-as-of-before-this-batch (replay safety — see scaladoc)
     val batchIds = bw.select(col("doc_id")).distinct()
-    val idx = spark.table(s"${prefix}_tri")
+    val idx = liveTri(spark, prefix)
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
     val panel = spark.table(s"${prefix}_panel")
     val oldP = Checkpoints.cut(oldPairs)
@@ -149,6 +187,116 @@ object IncrementalTrigram {
     val merged = Checkpoints.cut(
       mergeBatch(spark, bw, oldPairs, prefix, cap, minShared), eager = true)
     appendToIndex(bw, prefix, buckets)
+    refreshHotTrigrams(spark, prefix, cap, hotBuckets)
+    merged
+  }
+
+  /** Fold a TAKEDOWN batch out of the contamination-pair table
+    * EXACTLY — the reverse lifecycle (right-to-be-forgotten / opt-out
+    * batches are routine on a crawl corpus; before this, any removal
+    * forced a full corpus re-shingle). The admit merge's census
+    * argument runs in reverse: corpus dfs only DECREASE, so a
+    * retraction can only
+    *
+    *   - DELETE the batch docs' own pairs (a broadcast anti-join);
+    *   - UN-CROSS trigrams whose df drops back to ≤ cap — which
+    *     requires the batch to CONTAIN the trigram (the batch-scoped
+    *     census argument, symmetric to the admit's crossing case).
+    *     Each un-crossed trigram has ≤ cap remaining live holders (by
+    *     the ≤-cap definition), so the affected train docs are a
+    *     BOUNDED set; their pair rows are recomputed from scratch
+    *     against the post-retraction hot set — increments alone can't
+    *     restore a pair the old cap had pushed below `minShared` out
+    *     of the table, but a bounded recompute restores it exactly.
+    *
+    * `batchTris` must be the trigram rows of the docs' ORIGINAL text
+    * (docs are immutable — the family contract), and the batch docs
+    * must be currently admitted and live; like the admit merge, the
+    * computation reads the live index MINUS the batch's ids, so a
+    * replayed retract (tombstones landed, merge crashed) reproduces
+    * the same result. Retract ≡ full recompute on corpus-minus-batch
+    * is spec-pinned, including a below-`minShared` pair resurrected
+    * by an un-crossing trigram, and admit∘retract round-trips.
+    */
+  def retractMerge(spark: SparkSession, batchTris: DataFrame, oldPairs: DataFrame,
+      prefix: String = "graft_trigram",
+      cap: Int = PipelineQueries.ContamMaxDf,
+      minShared: Int = PipelineQueries.ContamMinShared): DataFrame = {
+    val bw = Checkpoints.cut(batchTris.select(col("doc_id"), col("h")))
+    val batchIds = bw.select(col("doc_id")).distinct()
+    // corpus-as-of-after-this-retract, whether or not the tombstones
+    // have landed (replay safety)
+    val idx = liveTri(spark, prefix)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    val panel = spark.table(s"${prefix}_panel")
+    val oldP = Checkpoints.cut(oldPairs)
+    // 1. batch-scoped census: only trigrams the batch CONTAINS can
+    // un-cross; df_before = remaining live holders + batch holders
+    val dfR = bw.groupBy(col("h")).agg(count(lit(1)).as("df_r"))
+    val dfA = idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("df_a"))
+    val census = Checkpoints.cut(dfR.join(dfA, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("df_a"), lit(0L)).as("df_a"),
+        (coalesce(col("df_a"), lit(0L)) + col("df_r")).as("df_before")))
+    val uncross = census.filter(col("df_before") > cap && col("df_a") <= cap)
+      .select(col("h"))
+    // 2. affected train docs: the ≤-cap remaining live holders of any
+    // un-crossed trigram — recompute their pair rows from scratch
+    // against the post-retraction hot set (restricted to the trigrams
+    // those docs hold; every other trigram's df is untouched)
+    val affIds = Checkpoints.cut(
+      idx.join(broadcast(uncross), Seq("h")).select(col("doc_id")).distinct())
+    val affRows = Checkpoints.cut(
+      idx.join(broadcast(affIds), Seq("doc_id"), "left_semi"))
+    val affH = affRows.select(col("h")).distinct()
+    val hotA = idx.join(broadcast(affH), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).select(col("h"))
+    val recomputed = affRows
+      .join(broadcast(hotA), Seq("h"), "left_anti")
+      .join(panel.select(col("h"), col("bench_id")), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // 3. keep everything else: batch pairs deleted, affected docs'
+    // rows replaced by the recompute
+    val keep = oldP
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(affIds), Seq("doc_id"), "left_anti")
+    keep.unionByName(recomputed)
+  }
+
+  /** One-owner takedown step (admitBatch's reverse parity): eager
+    * retract-merge, then the idempotent tombstone append and the hot
+    * refresh — the next stream micro-batch reads an exclusion with
+    * the un-crossed trigrams restored. Returns the merged pair table.
+    */
+  def retractBatch(spark: SparkSession, batchTris: DataFrame, oldPairs: DataFrame,
+      prefix: String = "graft_trigram",
+      cap: Int = PipelineQueries.ContamMaxDf,
+      minShared: Int = PipelineQueries.ContamMinShared,
+      hotBuckets: Int = 8): DataFrame = {
+    val bw = Checkpoints.cut(batchTris.select(col("doc_id"), col("h")))
+    val merged = Checkpoints.cut(
+      retractMerge(spark, bw, oldPairs, prefix, cap, minShared), eager = true)
+    // tombstones: only ids still live (a replayed retract is absorbed)
+    val gone = s"${prefix}_gone".toLowerCase(java.util.Locale.ROOT)
+    if (!spark.catalog.tableExists(gone))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sign",
+            org.apache.spark.sql.types.IntegerType))))
+        .write.mode("overwrite").format("parquet").saveAsTable(gone)
+    val live = liveTri(spark, prefix).select(col("doc_id")).distinct()
+    val targets = bw.select(col("doc_id")).distinct()
+      .join(live, Seq("doc_id"), "left_semi")
+    if (!targets.isEmpty)
+      targets.withColumn("sign", lit(-1))
+        .write.mode("append").format("parquet").saveAsTable(gone)
     refreshHotTrigrams(spark, prefix, cap, hotBuckets)
     merged
   }

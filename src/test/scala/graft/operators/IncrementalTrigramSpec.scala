@@ -145,6 +145,87 @@ class IncrementalTrigramSpec extends SparkSpec {
       s"bucket-key census must reuse the bucket layout:\n$censusPlan")
   }
 
+  test("retractBatch ≡ full recompute on corpus-minus-batch, incl. un-crossing resurrection") {
+    val union = trainDocs.unionByName(batchDocs)
+    IncrementalTrigram.buildIndex(tris(union), panel, prefix = "itr7", buckets = 4)
+    val oldPairs = PipelineQueries.pairsFromTrigramRows(
+      tris(union), panel, maxDf = 3, minShared = 1)
+    assert(pairs(oldPairs) === mergedExpected)
+    // retract the batch: B's df drops 4 → 3 (un-crosses the cap), so
+    // docs 1/2/3's B-pairs with 101 must RESURRECT — doc 3 from total
+    // absence (its only shared trigrams were hot)
+    val merged = IncrementalTrigram.retractBatch(spark, tris(batchDocs), oldPairs,
+      prefix = "itr7", cap = 3)
+    val full = PipelineQueries.pairsFromTrigramRows(
+      tris(trainDocs), panel, maxDf = 3, minShared = 1)
+    assert(pairs(merged) === pairs(full))
+    assert(pairs(merged) === oldExpected)
+    // the live index no longer serves the batch docs
+    assert(IncrementalTrigram.liveTri(spark, "itr7")
+      .filter($"doc_id".isin(10L, 11L)).isEmpty)
+    // the refreshed hot table reflects the un-crossing (B no longer hot)
+    assert(spark.table("itr7_hot").isEmpty)
+  }
+
+  test("partial retract (one doc) ≡ full recompute without it") {
+    val union = trainDocs.unionByName(batchDocs)
+    IncrementalTrigram.buildIndex(tris(union), panel, prefix = "itr8", buckets = 4)
+    val oldPairs = PipelineQueries.pairsFromTrigramRows(
+      tris(union), panel, maxDf = 3, minShared = 1)
+    val only10 = batchDocs.filter($"doc_id" === 10L)
+    val merged = IncrementalTrigram.retractBatch(spark, tris(only10), oldPairs,
+      prefix = "itr8", cap = 3)
+    val full = PipelineQueries.pairsFromTrigramRows(
+      tris(trainDocs.unionByName(batchDocs.filter($"doc_id" === 11L))),
+      panel, maxDf = 3, minShared = 1)
+    assert(pairs(merged) === pairs(full))
+    assert(pairs(merged) === (oldExpected + ((11L, 101L, 3L))))
+  }
+
+  test("admit∘retract round-trips; re-admit resurrects without duplicate index rows") {
+    IncrementalTrigram.buildIndex(tris(trainDocs), panel, prefix = "itr9", buckets = 4)
+    val oldPairs = PipelineQueries.pairsFromTrigramRows(
+      tris(trainDocs), panel, maxDf = 3, minShared = 1)
+    val admitted = IncrementalTrigram.admitBatch(spark, tris(batchDocs), oldPairs,
+      prefix = "itr9", cap = 3, buckets = 4)
+    val retracted = IncrementalTrigram.retractBatch(spark, tris(batchDocs), admitted,
+      prefix = "itr9", cap = 3)
+    assert(pairs(retracted) === oldExpected, "admit then retract must round-trip")
+    // a REPLAYED retract is absorbed: same pairs, no extra tombstones
+    val goneN = spark.table("itr9_gone").count()
+    val replay = IncrementalTrigram.retractBatch(spark, tris(batchDocs), admitted,
+      prefix = "itr9", cap = 3)
+    assert(pairs(replay) === oldExpected)
+    assert(spark.table("itr9_gone").count() === goneN,
+      "a replayed retract must not append duplicate tombstones")
+    // re-admit: the rows are still physically present, so the append
+    // resurrects via a +1 tombstone instead of duplicating them
+    val physN = spark.table("itr9_tri").count()
+    val readmitted = IncrementalTrigram.admitBatch(spark, tris(batchDocs), retracted,
+      prefix = "itr9", cap = 3, buckets = 4)
+    assert(pairs(readmitted) === mergedExpected, "re-admit after retract ≡ first admit")
+    assert(spark.table("itr9_tri").count() === physN,
+      "resurrection must not duplicate physical index rows")
+    assert(IncrementalTrigram.liveTri(spark, "itr9")
+      .filter($"doc_id" === 10L).count() > 0, "re-admitted doc is live again")
+  }
+
+  test("real corpus: retract of a train-doc slice ≡ the d8 kernel without it") {
+    val all = PipelineQueries.trainTrigramRows(spark, sf0)
+    val slice = all.filter($"doc_id" % 7 === 0)
+    val realPanel = PipelineQueries.benchPanelRows(spark, sf0)
+    IncrementalTrigram.buildIndex(all, realPanel, prefix = "itr10", buckets = 8)
+    val oldPairs = PipelineQueries.pairsFromTrigramRows(all, realPanel,
+      PipelineQueries.ContamMaxDf, PipelineQueries.ContamMinShared)
+    val merged = IncrementalTrigram.retractBatch(spark, slice, oldPairs,
+      prefix = "itr10")
+    val full = PipelineQueries.pairsFromTrigramRows(
+      all.filter($"doc_id" % 7 =!= 0), realPanel,
+      PipelineQueries.ContamMaxDf, PipelineQueries.ContamMinShared)
+    assert(pairs(merged) === pairs(full))
+    assert(pairs(merged).nonEmpty)
+  }
+
   test("real corpus: merge over a train-doc split ≡ the d8 kernel on the union") {
     val corpus = PipelineQueries.trainTrigramRows(spark, sf0)
       .filter($"doc_id" % 7 =!= 0)
