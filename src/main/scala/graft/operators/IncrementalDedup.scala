@@ -118,7 +118,12 @@ object IncrementalDedup {
   def buildIndexes(corpus: DataFrame, buckets: Int = 32,
       prefix: String = "graft_dedup",
       numHashes: Int = 16, bands: Int = 4): Unit = {
-    val fp = corpus.select(fingerprintMd5(col("text")).as("fp")).distinct()
+    // fp rows carry their HOLDER id: existence semantics are
+    // unchanged (probe joins on fp and distincts the verdict), but a
+    // retraction can then remove exactly one doc's claim — a shared
+    // fingerprint stays as long as any live holder remains
+    val fp = corpus.select(fingerprintMd5(col("text")).as("fp"),
+      col("doc_id").as("id_b")).distinct()
     graft.sources.Bucketing.writeBucketed(fp, s"${prefix}_fp", "fp", buckets)
     graft.sources.Bucketing.writeBucketed(
       bandRows(corpus, numHashes, bands), s"${prefix}_bands", "bkey", buckets)
@@ -149,11 +154,31 @@ object IncrementalDedup {
     val kept = Checkpoints.cut(batch.join(
       verdicts.filter(col("status") === "kept").select(col("doc_id")), "doc_id"))
     graft.sources.Bucketing.appendBucketed(
-      kept.select(fingerprintMd5(col("text")).as("fp")).distinct(),
+      graft.sources.Bucketing.absentOnly(
+        kept.select(fingerprintMd5(col("text")).as("fp"),
+          col("doc_id").as("id_b")).distinct(),
+        s"${prefix}_fp", "id_b"),
       s"${prefix}_fp", "fp", buckets)
     graft.sources.Bucketing.appendBucketed(
-      bandRows(kept, numHashes, bands), s"${prefix}_bands", "bkey", buckets)
+      graft.sources.Bucketing.absentOnly(
+        bandRows(kept, numHashes, bands), s"${prefix}_bands", "id_b"),
+      s"${prefix}_bands", "bkey", buckets)
+    // a re-admit of a retracted doc: rows still present in both tables
+    Tombstones.resurrect(spark, prefix, kept.select(col("doc_id").as("id_b")), "id_b")
   }
+
+  /** Remove a TAKEDOWN batch of docs from the dedup indexes — the
+    * reverse lifecycle, O(batch): signed tombstones ([[Tombstones]],
+    * one table governing both index copies) flip the docs dead; the
+    * next probe's live reads no longer match their fingerprints or
+    * band postings. A fingerprint SHARED with a surviving doc keeps
+    * matching through the survivor's own (fp, id_b) row — removal is
+    * per-claim, not per-value. Only doc ids are needed (no text).
+    */
+  def retractBatch(spark: SparkSession, docIds: DataFrame,
+      prefix: String = "graft_dedup"): Unit =
+    Tombstones.retract(spark, prefix,
+      docIds.select(col(docIds.columns.head).as("id_b")), "id_b")
 
   /** The (numHashes, bands) stamp `buildIndexes` wrote, or None for a
     * pre-stamp index (accepted for compatibility — the caller's
@@ -185,8 +210,8 @@ object IncrementalDedup {
           s"banding ($nh, $b) — band keys would never match; rebuild the index " +
           "or probe with its stamped operating point")
     }
-    val fpC = spark.table(s"${prefix}_fp")
-    val bandsC = spark.table(s"${prefix}_bands")
+    val fpC = Tombstones.live(spark, spark.table(s"${prefix}_fp"), prefix, "id_b")
+    val bandsC = Tombstones.live(spark, spark.table(s"${prefix}_bands"), prefix, "id_b")
     val exactDup = batch.select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .join(fpC, "fp").select(col("doc_id")).distinct()
     val bB = Dedup.minhashBands(batch, "doc_id", "text",

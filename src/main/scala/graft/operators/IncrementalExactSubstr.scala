@@ -69,17 +69,31 @@ object IncrementalExactSubstr {
     graft.sources.Bucketing.appendBucketed(
       graft.sources.Bucketing.absentOnly(w, s"${prefix}_wdoc", "doc_id"),
       s"${prefix}_wdoc", "doc_id", buckets)
+    // a re-admit of a retracted doc: both tables still hold its rows
+    // (absentOnly skipped them), so flip the net sign back instead
+    Tombstones.resurrect(w.sparkSession, prefix, w.select(col("doc_id")), "doc_id")
   }
 
-  /** DISTINCT-doc window frequency > cap at the current index — NOT
-    * `Bucketing.overCapKeys` (raw row counts): a doc repeating a
+  /** The LIVE h-keyed index: `_wpos` minus net-dead docs (the
+    * [[Tombstones]] discipline; one tombstone table governs both
+    * physical copies).
+    */
+  def liveWpos(spark: SparkSession, prefix: String = "graft_substr"): DataFrame =
+    Tombstones.live(spark, spark.table(s"${prefix}_wpos"), prefix, "doc_id")
+
+  /** The LIVE doc-keyed index: `_wdoc` minus net-dead docs. */
+  def liveWdoc(spark: SparkSession, prefix: String = "graft_substr"): DataFrame =
+    Tombstones.live(spark, spark.table(s"${prefix}_wdoc"), prefix, "doc_id")
+
+  /** DISTINCT-doc window frequency > cap at the current live index —
+    * NOT `Bucketing.overCapKeys` (raw row counts): a doc repeating a
     * window internally contributes several (pos) rows but ONE doc to
     * df. The distinct + group-by both ride the h bucket layout
     * exchange-free.
     */
   def hotWindows(spark: SparkSession, prefix: String = "graft_substr",
       cap: Int = 100): DataFrame =
-    spark.table(s"${prefix}_wpos")
+    liveWpos(spark, prefix)
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("h"))
@@ -97,7 +111,8 @@ object IncrementalExactSubstr {
     */
   def servableIndex(spark: SparkSession,
       prefix: String = "graft_substr"): DataFrame =
-    graft.sources.Bucketing.minusHot(spark, s"${prefix}_wpos", s"${prefix}_hot", "h")
+    liveWpos(spark, prefix)
+      .join(broadcast(spark.table(s"${prefix}_hot")), Seq("h"), "left_anti")
 
   /** Fold an ingest batch into the repeat table EXACTLY. `batchWins`
     * is `ExactSubstr.windowPositions` of the NEW docs (ids new to the
@@ -118,7 +133,7 @@ object IncrementalExactSubstr {
     // census double-counts it and matches arrive duplicated — the
     // broadcast anti is a narrow filter over the bucketed scan
     val batchIds = bw.select(col("doc_id")).distinct()
-    val idx = spark.table(s"${prefix}_wpos")
+    val idx = liveWpos(spark, prefix)
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
     val oldR = Checkpoints.cut(oldRepeats)
     // batch-scoped census over DISTINCT docs (disjoint ids ⇒ union df
@@ -156,7 +171,7 @@ object IncrementalExactSubstr {
     // docs' OWN windows, never a corpus scan
     val riskDocs = atRisk.select(col("doc_a").as("doc_id"))
       .unionByName(atRisk.select(col("doc_b").as("doc_id"))).distinct()
-    val riskWins = Checkpoints.cut(spark.table(s"${prefix}_wdoc")
+    val riskWins = Checkpoints.cut(liveWdoc(spark, prefix)
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .join(broadcast(riskDocs), "doc_id"))
     val riskH = riskWins.select(col("h")).distinct()
@@ -212,6 +227,109 @@ object IncrementalExactSubstr {
     val merged = Checkpoints.cut(
       mergeBatch(spark, bw, oldRepeats, prefix, cap, minTok), eager = true)
     appendToIndexes(bw, prefix, buckets)
+    refreshHotWindows(spark, prefix, cap, hotBuckets)
+    merged
+  }
+
+  /** Fold a TAKEDOWN batch out of the maximal-repeat table EXACTLY —
+    * the reverse lifecycle. Distinct-doc window frequency only
+    * DECREASES on removal, so a retraction can only
+    *
+    *   - DELETE repeat rows involving a batch doc;
+    *   - UN-CROSS windows whose df drops back to ≤ cap — which
+    *     requires the batch to CONTAIN the window. Un-crossing can
+    *     REJOIN split runs, EXTEND fragments, and CREATE repeat rows
+    *     between pairs that had none (their only matches ran through
+    *     hot windows) — so, unlike the admit merge, the at-risk set is
+    *     every pair of remaining docs both holding an un-crossed
+    *     window (≤ cap² per window, never corpus-sized), NOT just
+    *     pairs with existing rows. At-risk pairs are recomputed from
+    *     the doc-keyed index at post-retraction counts, the same
+    *     bounded repair the admit merge runs.
+    *
+    * `batchWins` must be `windowPositions` of the docs' ORIGINAL text
+    * (immutability is the family contract). Reads the live indexes
+    * MINUS the batch ids, so a replayed retract reproduces the same
+    * result. Retract ≡ `maximalRepeats` full recompute on
+    * corpus-minus-batch is spec-pinned, including a run resurrected
+    * by an un-crossing window.
+    */
+  def retractMerge(spark: SparkSession, batchWins: DataFrame,
+      oldRepeats: DataFrame, prefix: String = "graft_substr",
+      cap: Int = 100, minTok: Int = 10): DataFrame = {
+    val bw = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
+    val batchIds = bw.select(col("doc_id")).distinct()
+    // corpus-as-of-after-this-retract, tombstones landed or not
+    val idx = liveWpos(spark, prefix)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    val oldR = Checkpoints.cut(oldRepeats)
+    // batch-scoped distinct-doc census: only windows the batch's docs
+    // HOLD can un-cross
+    val dfR = bw.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df_r"))
+    val dfA = idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df_a"))
+    val census = Checkpoints.cut(dfR.join(dfA, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("df_a"), lit(0L)).as("df_a"),
+        (coalesce(col("df_a"), lit(0L)) + col("df_r")).as("df_before")))
+    val uncross = census.filter(col("df_before") > cap && col("df_a") <= cap)
+      .select(col("h"))
+    // at-risk pairs: ALL remaining-doc pairs sharing an un-crossed
+    // window (runs can appear where none existed)
+    val crossDocs = idx.join(broadcast(uncross), Seq("h"))
+      .select(col("h"), col("doc_id")).distinct()
+    val atRisk = Checkpoints.cut(
+      crossDocs.select(col("h"), col("doc_id").as("doc_a"))
+        .join(crossDocs.select(col("h"), col("doc_id").as("doc_b")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct())
+    // bounded recompute of the at-risk pairs from the doc-keyed index,
+    // hotness at POST-retraction counts over the docs' own windows
+    val riskDocs = atRisk.select(col("doc_a").as("doc_id"))
+      .unionByName(atRisk.select(col("doc_b").as("doc_id"))).distinct()
+    val riskWins = Checkpoints.cut(liveWdoc(spark, prefix)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(riskDocs), "doc_id"))
+    val riskH = riskWins.select(col("h")).distinct()
+    val hotRisk = idx.join(riskH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df_after"))
+      .filter(col("df_after") > cap).select(col("h"))
+    val okRisk = riskWins.join(broadcast(hotRisk), Seq("h"), "left_anti")
+    val riskMatches = okRisk
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(okRisk.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .join(broadcast(atRisk), Seq("doc_a", "doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val riskRepaired = runsFromMatches(riskMatches, minTok)
+    // keep everything else: batch rows deleted, at-risk rows replaced
+    oldR
+      .join(broadcast(batchIds.withColumnRenamed("doc_id", "doc_a")),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(batchIds.withColumnRenamed("doc_id", "doc_b")),
+        Seq("doc_b"), "left_anti")
+      .join(atRisk, Seq("doc_a", "doc_b"), "left_anti")
+      // using-joins front their keys — restore the repeat schema order
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("len_tok"))
+      .unionByName(riskRepaired)
+  }
+
+  /** One-owner takedown step (admitBatch's reverse parity): eager
+    * retract-merge, signed tombstones ([[Tombstones]] — one table
+    * governing both physical index copies), hot refresh. Returns the
+    * merged repeat table.
+    */
+  def retractBatch(spark: SparkSession, batchWins: DataFrame,
+      oldRepeats: DataFrame, prefix: String = "graft_substr",
+      cap: Int = 100, minTok: Int = 10, hotBuckets: Int = 8): DataFrame = {
+    val bw = Checkpoints.cut(batchWins.select(col("doc_id"), col("pos"), col("h")))
+    val merged = Checkpoints.cut(
+      retractMerge(spark, bw, oldRepeats, prefix, cap, minTok), eager = true)
+    Tombstones.retract(spark, prefix, bw.select(col("doc_id")), "doc_id")
     refreshHotWindows(spark, prefix, cap, hotBuckets)
     merged
   }

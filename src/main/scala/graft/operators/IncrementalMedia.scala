@@ -45,12 +45,29 @@ object IncrementalMedia {
     graft.sources.Bucketing.writeBucketed(
       bandedRows(hashed, idCol, hashCol), s"${prefix}_band", "bkey", buckets)
 
-  /** Append a merged batch's band rows under the existing layout. */
+  /** The LIVE band index: `_band` minus net-dead assets (the
+    * [[Tombstones]] discipline — retraction appends signed
+    * tombstones, never rewrites the by-bkey-bucketed index).
+    */
+  def liveBand(spark: SparkSession, prefix: String = "graft_media",
+      idCol: String = "media_id"): DataFrame =
+    Tombstones.live(spark, spark.table(s"${prefix}_band"), prefix, idCol)
+
+  /** Append a merged batch's band rows under the existing layout —
+    * idempotently at asset granularity: a replayed ingest is
+    * absorbed, and a RE-ADMIT of a retracted asset resurrects its
+    * still-present physical rows via a +1 tombstone instead of
+    * duplicating them (assets are immutable).
+    */
   def appendToIndex(batchHashed: DataFrame, idCol: String = "media_id",
       hashCol: String = "phash", prefix: String = "graft_media",
-      buckets: Int = 32): Unit =
+      buckets: Int = 32): Unit = {
+    val rows = Checkpoints.cut(bandedRows(batchHashed, idCol, hashCol))
     graft.sources.Bucketing.appendBucketed(
-      bandedRows(batchHashed, idCol, hashCol), s"${prefix}_band", "bkey", buckets)
+      graft.sources.Bucketing.absentOnly(rows, s"${prefix}_band", idCol),
+      s"${prefix}_band", "bkey", buckets)
+    Tombstones.resurrect(rows.sparkSession, prefix, rows.select(col(idCol)), idCol)
+  }
 
   /** Combined (corpus + batch) census for the BATCH's buckets —
     * never a corpus scan: a bucket can only cross the cap, and only
@@ -86,7 +103,7 @@ object IncrementalMedia {
   def crossingBuckets(spark: SparkSession, batchHashed: DataFrame,
       idCol: String = "media_id", hashCol: String = "phash",
       prefix: String = "graft_media", maxBucket: Int = 10000): DataFrame =
-    census(spark.table(s"${prefix}_band"), bandedRows(batchHashed, idCol, hashCol))
+    census(liveBand(spark, prefix, idCol), bandedRows(batchHashed, idCol, hashCol))
       .filter(col("n_c") <= maxBucket && col("n_new") > maxBucket)
 
   private def probeFrom(index: DataFrame, batchRows: DataFrame,
@@ -114,11 +131,12 @@ object IncrementalMedia {
       idCol: String = "media_id", hashCol: String = "phash",
       prefix: String = "graft_media", maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
-    val index = spark.table(s"${prefix}_band")
     // lineage-cut the batch band frame (t15's rule): it feeds the
     // census AND both probe sides, and its producer is the batch's
     // whole pHash pipeline
     val batchRows = Checkpoints.cut(bandedRows(batchHashed, idCol, hashCol))
+    val index = liveBand(spark, prefix, idCol)
+      .join(broadcast(batchRows.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
     val oversized = Checkpoints.cut(census(index, batchRows)
       .filter(col("n_new") > maxBucket).select(col("bkey")))
     probeFrom(index, batchRows, oversized, idCol, maxHamming)
@@ -132,10 +150,13 @@ object IncrementalMedia {
       oldPairs: DataFrame, idCol: String = "media_id",
       hashCol: String = "phash", prefix: String = "graft_media",
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val index = spark.table(s"${prefix}_band")
     // lineage-cut: the batch band frame feeds the census and both
     // probe sides; the census feeds the oversized AND crossing sets
     val batchRows = Checkpoints.cut(bandedRows(batchHashed, idCol, hashCol))
+    // corpus-as-of-before-this-batch: live rows minus the batch's own
+    // ids (replay discipline shared with the passage/trigram merges)
+    val index = liveBand(spark, prefix, idCol)
+      .join(broadcast(batchRows.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
     val cen = Checkpoints.cut(census(index, batchRows))
     val oversizedNew = cen.filter(col("n_new") > maxBucket).select(col("bkey"))
     // buckets the batch pushes over the cap — ≤ maxBucket corpus rows each
@@ -196,7 +217,8 @@ object IncrementalMedia {
     */
   def hotBuckets(spark: SparkSession, prefix: String = "graft_media",
       maxBucket: Int = 10000): DataFrame =
-    graft.sources.Bucketing.overCapKeys(spark, s"${prefix}_band", "bkey", maxBucket)
+    liveBand(spark, prefix).groupBy(col("bkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket).select(col("bkey"))
 
   /** Land the hot-bucket census as `<prefix>_hot` (one exchange-free
     * scan per batch append — never per micro-batch).
@@ -214,7 +236,8 @@ object IncrementalMedia {
     */
   def servableIndex(spark: SparkSession,
       prefix: String = "graft_media"): DataFrame =
-    graft.sources.Bucketing.minusHot(spark, s"${prefix}_band", s"${prefix}_hot", "bkey")
+    liveBand(spark, prefix)
+      .join(broadcast(spark.table(s"${prefix}_hot")), Seq("bkey"), "left_anti")
 
   /** One-owner ingest step — d10-`admitBatch` parity for the media
     * family, including the CLUSTER artifact the pair table feeds:
@@ -261,6 +284,101 @@ object IncrementalMedia {
           Seq("id_a", "id_b"), "left_anti")
         DedupClusters.mergeBatch(clusters, newEdges, "id_a", "id_b")
       }
+    (merged, Checkpoints.cut(labels))
+  }
+
+  /** Fold a TAKEDOWN batch out of the pHash pair table EXACTLY — the
+    * reverse lifecycle. Bucket counts only DECREASE on removal, so a
+    * retraction can only
+    *
+    *   - DELETE pairs involving a batch asset (broadcast anti-joins
+    *     on both pair sides);
+    *   - UN-OVERSIZE buckets whose count drops back to ≤ maxBucket —
+    *     which requires the batch to have rows IN the bucket. Each
+    *     un-crossed bucket has ≤ maxBucket remaining live rows, so
+    *     the candidate pairs the old cap suppressed are a bounded
+    *     co-location self-join; their Hamming distances come from the
+    *     band ints the index rows carry (no re-hash), and candidates
+    *     already present (they agreed on another live band) dedup via
+    *     an anti-join. No OTHER pair can change: survival predicates
+    *     only improve when the oversized set shrinks, and Hamming is
+    *     immutable.
+    *
+    * `batchHashed` must carry the assets' ORIGINAL hashes
+    * (immutability is the family contract). Reads the live index
+    * MINUS the batch ids, so a replayed retract reproduces the same
+    * result. Retract ≡ `hexHashPairs` full recompute on
+    * corpus-minus-batch is spec-pinned, including a pair restored by
+    * an un-crossing bucket.
+    */
+  def retractMerge(spark: SparkSession, batchHashed: DataFrame,
+      oldPairs: DataFrame, idCol: String = "media_id",
+      hashCol: String = "phash", prefix: String = "graft_media",
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val batchRows = Checkpoints.cut(bandedRows(batchHashed, idCol, hashCol))
+    val batchIds = batchRows.select(col(idCol)).distinct()
+    // corpus-as-of-after-this-retract, tombstones landed or not
+    val idx = liveBand(spark, prefix, idCol)
+      .join(broadcast(batchIds), Seq(idCol), "left_anti")
+    val oldP = Checkpoints.cut(oldPairs)
+    // 1. batch-scoped census: only buckets the batch has rows in can
+    // un-cross
+    val nR = batchRows.groupBy(col("bkey")).agg(count(lit(1)).as("n_r"))
+    val nA = idx.join(broadcast(nR.select(col("bkey"))), Seq("bkey"), "left_semi")
+      .groupBy(col("bkey")).agg(count(lit(1)).as("n_a"))
+    val cen = Checkpoints.cut(nR.join(nA, Seq("bkey"), "left")
+      .select(col("bkey"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        (coalesce(col("n_a"), lit(0L)) + col("n_r")).as("n_before")))
+    val uncross = cen.filter(col("n_before") > maxBucket && col("n_a") <= maxBucket)
+      .select(col("bkey"))
+    // 2. candidates the cap suppressed: remaining co-located rows of
+    // each un-crossed bucket (≤ maxBucket each), Hamming from the
+    // carried band ints
+    val rows2 = Checkpoints.cut(idx.join(broadcast(uncross), Seq("bkey")))
+    def side(id: String, p: String) = rows2.select(
+      col("bkey") +: col(idCol).as(id) +:
+        (0 until 4).map(b => col(s"b$b").as(s"$p$b")): _*)
+    val restored = side("id_new", "a").join(side("id_other", "c"), Seq("bkey"))
+      .filter(col("id_new") < col("id_other"))
+      .select(col("id_new").as("id_a"), col("id_other").as("id_b"),
+        hamming("a", "c").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    // 3. keep non-batch pairs; add restored candidates not already kept
+    val keep = Checkpoints.cut(oldP
+      .join(broadcast(batchIds.withColumnRenamed(idCol, "id_a")),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(batchIds.withColumnRenamed(idCol, "id_b")),
+        Seq("id_b"), "left_anti")
+      // using-joins front their key — restore the pair schema's order
+      .select(col("id_a"), col("id_b"), col("hamming")))
+    keep.unionByName(
+      restored.join(keep.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti"))
+  }
+
+  /** One-owner takedown step (admitBatch's reverse parity): eager
+    * retract-merge, signed tombstones ([[Tombstones]]), hot refresh,
+    * and a cluster recompute from the merged pairs — node removal can
+    * SPLIT a component (and an un-crossed bucket can add edges), so
+    * the label fold never applies; the recompute runs over the pair
+    * table, cheap relative to re-hashing the corpus. Returns
+    * (merged pair table, new cluster labels).
+    */
+  def retractBatch(spark: SparkSession, batchHashed: DataFrame,
+      oldPairs: DataFrame, idCol: String = "media_id",
+      hashCol: String = "phash", prefix: String = "graft_media",
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      hotBuckets: Int = 8): (DataFrame, DataFrame) = {
+    val batch = Checkpoints.cut(batchHashed)
+    val merged = Checkpoints.cut(
+      retractMerge(spark, batch, oldPairs, idCol, hashCol, prefix, maxHamming,
+        maxBucket), eager = true)
+    Tombstones.retract(spark, prefix,
+      batch.select(col(idCol)), idCol)
+    refreshHotBuckets(spark, prefix, maxBucket, hotBuckets)
+    val labels = DedupClusters.connectedComponents(merged, "id_a", "id_b")
     (merged, Checkpoints.cut(labels))
   }
 

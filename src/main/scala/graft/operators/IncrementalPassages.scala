@@ -102,15 +102,31 @@ object IncrementalPassages {
     graft.sources.Bucketing.writeBucketed(
       wins.select(col("doc_id"), col("h")), s"${prefix}_win", "h", buckets)
 
+  /** The LIVE corpus index: `_win` minus net-dead docs (the
+    * [[Tombstones]] discipline — retraction appends signed
+    * tombstones, never rewrites the by-h-bucketed index; the
+    * broadcast anti-join preserves the bucket layout).
+    */
+  def liveWin(spark: SparkSession, prefix: String = "graft_passages"): DataFrame =
+    Tombstones.live(spark, spark.table(s"${prefix}_win"), prefix, "doc_id")
+
   /** Append a merged batch's windows to the index (bucket spec must
-    * match `buildWindowIndex`'s).
+    * match `buildWindowIndex`'s) — idempotently at doc granularity: a
+    * replayed ingest is absorbed, and a RE-ADMIT of a retracted doc
+    * resurrects its still-present physical rows via a +1 tombstone
+    * instead of duplicating them (docs are immutable).
     */
   def appendToIndex(batchWins: DataFrame, prefix: String = "graft_passages",
-      buckets: Int = 32): Unit =
+      buckets: Int = 32): Unit = {
+    val bw = Checkpoints.cut(batchWins.select(col("doc_id"), col("h")))
     graft.sources.Bucketing.appendBucketed(
-      batchWins.select(col("doc_id"), col("h")), s"${prefix}_win", "h", buckets)
+      graft.sources.Bucketing.absentOnly(bw, s"${prefix}_win", "doc_id"),
+      s"${prefix}_win", "h", buckets)
+    Tombstones.resurrect(bw.sparkSession, prefix,
+      bw.select(col("doc_id")), "doc_id")
+  }
 
-  /** The hot-window set at the CURRENT index contents — the df > cap
+  /** The hot-window set at the CURRENT live index — the df > cap
     * census, exchange-free on the bucketed key. Maintained as a tiny
     * `<prefix>_hot` table (`refreshHotWindows`) so consumers that
     * must exclude boilerplate (the streaming gate) read a maintained
@@ -121,7 +137,8 @@ object IncrementalPassages {
     */
   def hotWindows(spark: SparkSession, prefix: String = "graft_passages",
       cap: Int = 100): DataFrame =
-    graft.sources.Bucketing.overCapKeys(spark, s"${prefix}_win", "h", cap)
+    liveWin(spark, prefix).groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap).select(col("h"))
 
   /** Land the hot census as `<prefix>_hot` (one linear, exchange-free
     * scan per batch — never per micro-batch).
@@ -140,7 +157,8 @@ object IncrementalPassages {
     */
   def servableIndex(spark: SparkSession,
       prefix: String = "graft_passages"): DataFrame =
-    graft.sources.Bucketing.minusHot(spark, s"${prefix}_win", s"${prefix}_hot", "h")
+    liveWin(spark, prefix)
+      .join(broadcast(spark.table(s"${prefix}_hot")), Seq("h"), "left_anti")
 
   /** Merge an ingest batch into the passage-pair table EXACTLY —
     * returns the pair table of the union corpus without re-windowing
@@ -152,11 +170,15 @@ object IncrementalPassages {
   def mergeBatch(spark: SparkSession, batchWins: DataFrame, oldPairs: DataFrame,
       prefix: String = "graft_passages", cap: Int = 100,
       minShared: Int = 3): DataFrame = {
-    val index = spark.table(s"${prefix}_win")
     // lineage-cut the batch window frame (t15's rule): it feeds the
     // census AND both new-pair sides, and its producer is the batch's
     // whole tokenize→window→hash pipeline
     val bw = Checkpoints.cut(batchWins)
+    // corpus-as-of-before-this-batch: live rows minus the batch's own
+    // ids, so a replayed admit (append landed, merge re-run) computes
+    // the same result — the trigram/exact-substr replay discipline
+    val index = liveWin(spark, prefix)
+      .join(broadcast(bw.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
     // 1. df census — BATCH-SCOPED, never a corpus scan: a window can
     // only cross the cap (and only then disturb anything) if the
     // batch CONTAINS it, and windows absent from the batch can never
@@ -242,6 +264,105 @@ object IncrementalPassages {
     val merged = Checkpoints.cut(
       mergeBatch(spark, bw, oldPairs, prefix, cap, minShared), eager = true)
     appendToIndex(bw, prefix, buckets)
+    refreshHotWindows(spark, prefix, cap, hotBuckets)
+    merged
+  }
+
+  /** Fold a TAKEDOWN batch out of the passage-pair table EXACTLY —
+    * the reverse lifecycle. The admit merge's census argument runs in
+    * reverse: dfs only DECREASE on removal, so a retraction can only
+    *
+    *   - DELETE pairs involving a batch doc (broadcast anti-joins on
+    *     both pair sides);
+    *   - UN-CROSS windows whose df drops back to ≤ cap — which
+    *     requires the batch to CONTAIN the window. Each un-crossed
+    *     window has ≤ cap remaining live holders, so the AFFECTED
+    *     docs are a bounded set; their pair rows are recomputed from
+    *     scratch against the post-retraction hot set (restricted to
+    *     the windows those docs hold — every other window's df is
+    *     untouched). A bounded recompute, not increments: the old cap
+    *     may have pushed a pair below `minShared` OUT of the table,
+    *     and only a recompute can resurrect it exactly.
+    *
+    * `batchWins` must be `windowHashes` of the docs' ORIGINAL text
+    * (immutability is the family contract). Reads the live index
+    * MINUS the batch ids, so a replayed retract (tombstones landed,
+    * merge crashed) reproduces the same result. Retract ≡ full
+    * recompute on corpus-minus-batch is spec-pinned, including a pair
+    * resurrected from absence by an un-crossing window.
+    */
+  def retractMerge(spark: SparkSession, batchWins: DataFrame, oldPairs: DataFrame,
+      prefix: String = "graft_passages", cap: Int = 100,
+      minShared: Int = 3): DataFrame = {
+    val bw = Checkpoints.cut(batchWins)
+    val batchIds = bw.select(col("doc_id")).distinct()
+    // corpus-as-of-after-this-retract, whether or not the tombstones
+    // have landed (replay safety)
+    val idx = liveWin(spark, prefix)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    val oldP = Checkpoints.cut(oldPairs)
+    // 1. batch-scoped census: only windows the batch CONTAINS can
+    // un-cross
+    val dfR = bw.groupBy(col("h")).agg(count(lit(1)).as("df_r"))
+    val dfA = idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("df_a"))
+    val census = Checkpoints.cut(dfR.join(dfA, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("df_a"), lit(0L)).as("df_a"),
+        (coalesce(col("df_a"), lit(0L)) + col("df_r")).as("df_before")))
+    val uncross = census.filter(col("df_before") > cap && col("df_a") <= cap)
+      .select(col("h"))
+    // 2. affected docs: the ≤-cap remaining live holders of any
+    // un-crossed window; recompute ALL their pairs against the
+    // post-retraction hot set over the windows they hold
+    val affIds = Checkpoints.cut(
+      idx.join(broadcast(uncross), Seq("h")).select(col("doc_id")).distinct())
+    val affRows = Checkpoints.cut(
+      idx.join(broadcast(affIds), Seq("doc_id"), "left_semi"))
+    val affH = affRows.select(col("h")).distinct()
+    val hotA = idx.join(broadcast(affH), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).select(col("h"))
+    val aOk = affRows.join(broadcast(hotA), Seq("h"), "left_anti")
+    val pOk = idx.join(broadcast(hotA), Seq("h"), "left_anti")
+    val recomputed = aOk.select(col("h"), col("doc_id").as("doc_new"))
+      .join(pOk.select(col("h"), col("doc_id").as("doc_other")), "h")
+      .filter(col("doc_new") =!= col("doc_other"))
+      .select(least(col("doc_new"), col("doc_other")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_other")).as("doc_b"),
+        col("h"))
+      .distinct() // affected-affected pairs arrive once per side
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // 3. keep everything else: batch pairs deleted, affected docs'
+    // rows replaced by the recompute (pairs of two unaffected docs
+    // share no un-crossed window — else both docs would be affected —
+    // so their counts are untouched)
+    val drop = Checkpoints.cut(batchIds.unionByName(affIds).distinct())
+    val keep = oldP
+      .join(broadcast(drop.withColumnRenamed("doc_id", "doc_a")),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(drop.withColumnRenamed("doc_id", "doc_b")),
+        Seq("doc_b"), "left_anti")
+      // using-joins front their key — restore the pair schema's order
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+    keep.unionByName(recomputed)
+  }
+
+  /** One-owner takedown step (admitBatch's reverse parity): eager
+    * retract-merge, signed tombstones ([[Tombstones]]), hot refresh —
+    * the next probe or stream micro-batch serves a live index without
+    * the batch and an exclusion with the un-crossed windows restored.
+    * Returns the merged pair table.
+    */
+  def retractBatch(spark: SparkSession, batchWins: DataFrame, oldPairs: DataFrame,
+      prefix: String = "graft_passages", cap: Int = 100, minShared: Int = 3,
+      hotBuckets: Int = 8): DataFrame = {
+    val bw = Checkpoints.cut(batchWins)
+    val merged = Checkpoints.cut(
+      retractMerge(spark, bw, oldPairs, prefix, cap, minShared), eager = true)
+    Tombstones.retract(spark, prefix, bw.select(col("doc_id")), "doc_id")
     refreshHotWindows(spark, prefix, cap, hotBuckets)
     merged
   }

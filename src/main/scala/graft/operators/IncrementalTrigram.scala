@@ -51,29 +51,13 @@ object IncrementalTrigram {
       panel.select(col("bench_id"), col("h")), s"${prefix}_panel", "h", buckets)
   }
 
-  /** Net-dead doc ids (tombstone net sign < 0) — empty when the
-    * tombstone table has never been created (pure-append
-    * deployments pay nothing for the retraction lifecycle).
+  /** The LIVE corpus index: `_tri` minus net-dead docs (the
+    * [[Tombstones]] discipline — retraction is tombstone-append, not
+    * rewrite; the broadcast anti-join preserves the bucket layout, so
+    * every downstream per-h census/probe stays exchange-free).
     */
-  private def deadIds(spark: SparkSession, prefix: String): Option[DataFrame] =
-    if (!spark.catalog.tableExists(s"${prefix}_gone")) None
-    else Some(spark.table(s"${prefix}_gone")
-      .groupBy(col("doc_id")).agg(sum(col("sign")).as("net"))
-      .filter(col("net") < 0).select(col("doc_id")))
-
-  /** The LIVE corpus index: `_tri` minus net-dead docs. Retraction is
-    * tombstone-append, not rewrite (O(batch), and a physical rewrite
-    * of a by-h-bucketed index would touch every bucket anyway); the
-    * broadcast anti-join preserves the bucket layout, so every
-    * downstream per-h census/probe stays exchange-free.
-    */
-  def liveTri(spark: SparkSession, prefix: String = "graft_trigram"): DataFrame = {
-    val tri = spark.table(s"${prefix}_tri")
-    deadIds(spark, prefix) match {
-      case Some(dead) => tri.join(broadcast(dead), Seq("doc_id"), "left_anti")
-      case None => tri
-    }
-  }
+  def liveTri(spark: SparkSession, prefix: String = "graft_trigram"): DataFrame =
+    Tombstones.live(spark, spark.table(s"${prefix}_tri"), prefix, "doc_id")
 
   /** Append a merged batch's trigram rows to the corpus index —
     * idempotently at doc granularity (replayed ingests are absorbed,
@@ -86,18 +70,11 @@ object IncrementalTrigram {
   def appendToIndex(batchTris: DataFrame, prefix: String = "graft_trigram",
       buckets: Int = 32): Unit = {
     val bw = Checkpoints.cut(batchTris.select(col("doc_id"), col("h")))
-    val spark = bw.sparkSession
     graft.sources.Bucketing.appendBucketed(
       graft.sources.Bucketing.absentOnly(bw, s"${prefix}_tri", "doc_id"),
       s"${prefix}_tri", "h", buckets)
-    deadIds(spark, prefix).foreach { dead =>
-      val resurrect = bw.select(col("doc_id")).distinct()
-        .join(broadcast(dead), Seq("doc_id"), "left_semi")
-      if (!resurrect.isEmpty)
-        resurrect.withColumn("sign", lit(1))
-          .write.mode("append").format("parquet")
-          .saveAsTable(s"${prefix}_gone".toLowerCase(java.util.Locale.ROOT))
-    }
+    Tombstones.resurrect(bw.sparkSession, prefix,
+      bw.select(col("doc_id")), "doc_id")
   }
 
   /** Trigrams with corpus df > cap at the current LIVE index — rows
@@ -280,23 +257,7 @@ object IncrementalTrigram {
     val bw = Checkpoints.cut(batchTris.select(col("doc_id"), col("h")))
     val merged = Checkpoints.cut(
       retractMerge(spark, bw, oldPairs, prefix, cap, minShared), eager = true)
-    // tombstones: only ids still live (a replayed retract is absorbed)
-    val gone = s"${prefix}_gone".toLowerCase(java.util.Locale.ROOT)
-    if (!spark.catalog.tableExists(gone))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sign",
-            org.apache.spark.sql.types.IntegerType))))
-        .write.mode("overwrite").format("parquet").saveAsTable(gone)
-    val live = liveTri(spark, prefix).select(col("doc_id")).distinct()
-    val targets = bw.select(col("doc_id")).distinct()
-      .join(live, Seq("doc_id"), "left_semi")
-    if (!targets.isEmpty)
-      targets.withColumn("sign", lit(-1))
-        .write.mode("append").format("parquet").saveAsTable(gone)
+    Tombstones.retract(spark, prefix, bw.select(col("doc_id")), "doc_id")
     refreshHotTrigrams(spark, prefix, cap, hotBuckets)
     merged
   }

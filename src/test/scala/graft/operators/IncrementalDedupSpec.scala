@@ -93,6 +93,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("retractBatch: dead docs stop matching; shared fps survive via live holders; re-admit resurrects") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val shared = words("dup", 40)
+    val corpus = Seq(
+      (1L, shared), (2L, shared), // two holders of one fingerprint
+      (3L, words("aa", 40)), (4L, words("bb", 40))).toDF("doc_id", "text")
+    IncrementalDedup.buildIndexes(corpus, buckets = 4, prefix = "d10_ret")
+    def verdictOf(): String = IncrementalDedup.probeBatch(spark, corpus,
+        Seq((100L, shared)).toDF("doc_id", "text"), prefix = "d10_ret")
+      .select($"status").as[String].head()
+    assert(verdictOf() === "exact_dup")
+    // retract doc 1: doc 2 still holds the fingerprint → still exact
+    IncrementalDedup.retractBatch(spark, Seq(1L).toDF("doc_id"), prefix = "d10_ret")
+    assert(verdictOf() === "exact_dup",
+      "a shared fingerprint must survive while any holder is live")
+    // retract doc 2 too: no live holder left → the upload is kept
+    IncrementalDedup.retractBatch(spark, Seq(2L).toDF("doc_id"), prefix = "d10_ret")
+    assert(verdictOf() === "kept",
+      "retracting the last holder must stop the match")
+    // re-admit doc 1 (same id, same immutable text): resurrection, no
+    // duplicate physical rows, and the match returns
+    val fpN = spark.table("d10_ret_fp").count()
+    val bandN = spark.table("d10_ret_bands").count()
+    val readmit = Seq((1L, shared)).toDF("doc_id", "text")
+    val v = IncrementalDedup.probeBatch(spark, corpus, readmit, prefix = "d10_ret")
+    IncrementalDedup.admitBatch(spark, readmit, v, buckets = 4, prefix = "d10_ret")
+    assert(verdictOf() === "exact_dup", "re-admit must restore the match")
+    assert(spark.table("d10_ret_fp").count() === fpN &&
+      spark.table("d10_ret_bands").count() === bandN,
+      "resurrection must not duplicate physical index rows")
+  }
+
   test("persisted indexes: corpus side of each probe join reads buckets, zero exchange") {
     val docs = graft.GraftSession.table(spark, sf0, "documents")
       .select(col("doc_id"), col("text"))

@@ -155,6 +155,100 @@ class IncrementalExactSubstrSpec extends SparkSpec {
       s"post-admit probe: ${rows(flagged)}")
   }
 
+  test("retractBatch ≡ full recompute, incl. the un-crossing run REJOIN") {
+    val union = corpusDocs.unionByName(batchDocs)
+    IncrementalExactSubstr.buildIndexes(
+      ExactSubstr.windowPositions(union), prefix = "ixr1", buckets = 4)
+    val oldRepeats = ExactSubstr.maximalRepeats(union, cap = 3)
+    assert(rows(oldRepeats) === Set(
+      (1L, 2L, 1L, 1L, 18L), (1L, 2L, 13L, 13L, 18L),
+      (5L, 11L, 1L, 3L, 12L), (12L, 13L, 1L, 5L, 12L)))
+    // retract the batch: w's df drops 4 → 3 (un-crosses), so the
+    // (1,2) split must HEAL back into the unbroken 30-token run;
+    // every batch pair vanishes
+    val merged = IncrementalExactSubstr.retractBatch(spark,
+      ExactSubstr.windowPositions(batchDocs), oldRepeats,
+      prefix = "ixr1", cap = 3)
+    val full = ExactSubstr.maximalRepeats(corpusDocs, cap = 3)
+    assert(rows(merged) === rows(full),
+      s"retracted ${rows(merged)} != full recompute ${rows(full)}")
+    assert(rows(merged) === Set((1L, 2L, 1L, 1L, 30L)))
+    // the live indexes no longer serve the batch docs
+    assert(IncrementalExactSubstr.liveWpos(spark, "ixr1")
+      .filter($"doc_id".isin(10L, 11L, 12L, 13L)).isEmpty)
+    assert(IncrementalExactSubstr.liveWdoc(spark, "ixr1")
+      .filter($"doc_id".isin(10L, 11L, 12L, 13L)).isEmpty)
+  }
+
+  test("retract: un-crossing RESURRECTS a run from absence (pair had no row)") {
+    // (1,2) share a 10-token passage P whose MIDDLE window w2 is hot
+    // at union counts (docs 1,2,3 + batch 10 = 4 > cap 3): the
+    // surviving fragments are 8 tokens < minTok 10, so the pair has
+    // NO row at all. Retracting doc 10 drops df(w2) to 3 ≤ cap and
+    // the full 10-token run must appear — the case increments can
+    // never repair, only the bounded at-risk recompute can.
+    val P = toks("p", 10)
+    val w2slice = P.slice(1, 9)
+    val R2 = toks("r", 12)
+    val corpus = Seq(
+      (1L, toks("u", 3) ++ P),
+      (2L, toks("v", 2) ++ P),
+      (3L, toks("a", 3) ++ w2slice ++ toks("b", 3)),
+      (5L, R2 ++ toks("e", 3)),  // (5,6): untouched row rides keep
+      (6L, toks("f", 4) ++ R2)).toDF("doc_id", "tk")
+    val batch = Seq(
+      (10L, toks("c", 2) ++ w2slice ++ toks("d", 2))).toDF("doc_id", "tk")
+    val union = corpus.unionByName(batch)
+    IncrementalExactSubstr.buildIndexes(
+      ExactSubstr.windowPositions(union), prefix = "ixr2", buckets = 4)
+    val oldRepeats = ExactSubstr.maximalRepeats(union, cap = 3)
+    assert(rows(oldRepeats) === Set((5L, 6L, 1L, 5L, 12L)),
+      "pre-retract: the hot middle window keeps (1,2) out of the table")
+    val merged = IncrementalExactSubstr.retractBatch(spark,
+      ExactSubstr.windowPositions(batch), oldRepeats, prefix = "ixr2", cap = 3)
+    val full = ExactSubstr.maximalRepeats(corpus, cap = 3)
+    assert(rows(merged) === rows(full),
+      s"retracted ${rows(merged)} != full recompute ${rows(full)}")
+    assert(rows(merged) === Set((1L, 2L, 4L, 3L, 10L), (5L, 6L, 1L, 5L, 12L)))
+  }
+
+  test("admit∘retract round-trips; re-admit resurrects without duplicate index rows") {
+    IncrementalExactSubstr.buildIndexes(
+      ExactSubstr.windowPositions(corpusDocs), prefix = "ixr3", buckets = 4)
+    val oldRepeats = ExactSubstr.maximalRepeats(corpusDocs, cap = 3)
+    val batchWins = ExactSubstr.windowPositions(batchDocs)
+    val admitted = IncrementalExactSubstr.admitBatch(spark, batchWins, oldRepeats,
+      prefix = "ixr3", cap = 3, buckets = 4)
+    val retracted = IncrementalExactSubstr.retractBatch(spark, batchWins, admitted,
+      prefix = "ixr3", cap = 3)
+    assert(rows(retracted) === Set((1L, 2L, 1L, 1L, 30L)),
+      "admit then retract must round-trip")
+    val wposN = spark.table("ixr3_wpos").count()
+    val wdocN = spark.table("ixr3_wdoc").count()
+    val readmitted = IncrementalExactSubstr.admitBatch(spark, batchWins, retracted,
+      prefix = "ixr3", cap = 3, buckets = 4)
+    assert(rows(readmitted) === Set(
+      (1L, 2L, 1L, 1L, 18L), (1L, 2L, 13L, 13L, 18L),
+      (5L, 11L, 1L, 3L, 12L), (12L, 13L, 1L, 5L, 12L)),
+      "re-admit after retract ≡ first admit")
+    assert(spark.table("ixr3_wpos").count() === wposN &&
+      spark.table("ixr3_wdoc").count() === wdocN,
+      "resurrection must not duplicate physical index rows in either layout")
+  }
+
+  test("real corpus: retract of a planted-doc slice ≡ full recompute without it") {
+    val toksAll = PipelineQueries.plantedSpanToks(spark, sf0)
+    IncrementalExactSubstr.buildIndexes(
+      ExactSubstr.windowPositions(toksAll), prefix = "ixr4", buckets = 8)
+    val oldRepeats = ExactSubstr.maximalRepeats(toksAll)
+    val merged = IncrementalExactSubstr.retractBatch(spark,
+      ExactSubstr.windowPositions(toksAll.filter($"doc_id" % 7 === 0)),
+      oldRepeats, prefix = "ixr4")
+    val full = ExactSubstr.maximalRepeats(toksAll.filter($"doc_id" % 7 =!= 0))
+    assert(rows(merged) === rows(full))
+    assert(rows(merged).nonEmpty)
+  }
+
   test("a REPLAYED admitBatch is idempotent: same merge, no duplicate index rows") {
     // an at-least-once driver retries the whole admit after a crash —
     // a duplicated (doc_id, pos, h) row would silently shift the

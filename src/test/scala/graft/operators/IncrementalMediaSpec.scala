@@ -218,6 +218,101 @@ class IncrementalMediaSpec extends SparkSpec {
       "folded labels must equal a rebuild when no bucket crossed")
   }
 
+  test("retractBatch ≡ full recompute on corpus-minus-batch, incl. un-oversize restore") {
+    val union = corpusHashed.unionByName(batchHashed)
+    IncrementalMedia.buildPhashIndex(union, prefix = "imedr1", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(union, "media_id", "phash",
+      maxHamming = 3, maxBucket = 3)
+    assert(oldPairs.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 1L), (7L, 12L, 1L), (13L, 14L, 1L)))
+    // retract the batch: 'eeee' drops back to 3 ≤ cap, so the
+    // suppressed (4,5) pair must be RESTORED; batch pairs vanish
+    val (merged, labels) = IncrementalMedia.retractBatch(spark, batchHashed,
+      oldPairs, prefix = "imedr1", maxBucket = 3)
+    val mergedSet = merged.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
+        maxHamming = 3, maxBucket = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mergedSet === full, s"retracted $mergedSet != full recompute $full")
+    assert(mergedSet === Set((1L, 2L, 1L), (4L, 5L, 3L)))
+    // labels recomputed from the merged pairs
+    assert(labels.as[(Long, Long)].collect().toSet ===
+      DedupClusters.connectedComponents(
+        Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
+          maxHamming = 3, maxBucket = 3), "id_a", "id_b")
+        .as[(Long, Long)].collect().toSet)
+    // the live index no longer serves the batch assets
+    assert(IncrementalMedia.liveBand(spark, "imedr1")
+      .filter($"media_id".isin(10L, 11L, 12L, 13L, 14L)).isEmpty)
+  }
+
+  test("partial retract (one asset) ≡ full recompute without it") {
+    val union = corpusHashed.unionByName(batchHashed)
+    IncrementalMedia.buildPhashIndex(union, prefix = "imedr2", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(union, "media_id", "phash",
+      maxHamming = 3, maxBucket = 3)
+    // retract only asset 11: 'eeee' un-crosses (4→3) restoring (4,5);
+    // 'aaaa' stays oversized (1,2,3,10 → 4 > 3)
+    val (merged, _) = IncrementalMedia.retractBatch(spark,
+      batchHashed.filter($"media_id" === 11L), oldPairs,
+      prefix = "imedr2", maxBucket = 3)
+    val remaining = corpusHashed.unionByName(
+      batchHashed.filter($"media_id" =!= 11L))
+    val full = Dedup.hexHashPairs(remaining, "media_id", "phash",
+        maxHamming = 3, maxBucket = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet === full)
+    assert(full.contains((4L, 5L, 3L)), "the un-oversize restore case is live")
+  }
+
+  test("admit∘retract round-trips; re-admit resurrects without duplicate index rows") {
+    IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedr3", buckets = 4)
+    val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
+      maxHamming = 3, maxBucket = 3)
+    val oldSet = oldPairs.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val oldClusters = DedupClusters.connectedComponents(oldPairs, "id_a", "id_b")
+    val (admitted, _) = IncrementalMedia.admitBatch(spark, batchHashed,
+      oldPairs, oldClusters, prefix = "imedr3", maxBucket = 3, buckets = 4)
+    val (retracted, _) = IncrementalMedia.retractBatch(spark, batchHashed,
+      admitted, prefix = "imedr3", maxBucket = 3)
+    assert(retracted.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet === oldSet,
+      "admit then retract must round-trip")
+    val physN = spark.table("imedr3_band").count()
+    val (readmitted, _) = IncrementalMedia.admitBatch(spark, batchHashed,
+      retracted, DedupClusters.connectedComponents(retracted, "id_a", "id_b"),
+      prefix = "imedr3", maxBucket = 3, buckets = 4)
+    assert(readmitted.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 1L), (7L, 12L, 1L), (13L, 14L, 1L)),
+      "re-admit after retract ≡ first admit")
+    assert(spark.table("imedr3_band").count() === physN,
+      "resurrection must not duplicate physical index rows")
+  }
+
+  test("real corpus: retract of an asset slice ≡ full recompute at production caps") {
+    val hashed = Dedup.phashChar(
+      graft.GraftSession.table(spark, sf0, "documents")
+        .select(col("doc_id").as("media_id"), col("text")),
+      "media_id", "text", k = 4)
+    IncrementalMedia.buildPhashIndex(hashed, prefix = "imedr4", buckets = 8)
+    val oldPairs = Dedup.hexHashPairs(hashed, "media_id", "phash")
+    val (merged, _) = IncrementalMedia.retractBatch(spark,
+      hashed.filter($"media_id" % 9 === 0), oldPairs, prefix = "imedr4")
+    val full = Dedup.hexHashPairs(hashed.filter($"media_id" % 9 =!= 0),
+        "media_id", "phash")
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged.select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet === full)
+  }
+
   test("merged clusters: DedupClusters.mergeBatch folds the new pairs into the artifact") {
     // the downstream composition e2e_media serves from: pair merge →
     // cluster merge, no corpus re-hash anywhere. The fold is sound

@@ -149,6 +149,69 @@ class IncrementalPassagesSpec extends SparkSpec {
     assert(fromTable === full)
   }
 
+  test("retractBatch ≡ full recompute on corpus-minus-batch, incl. un-crossing resurrection") {
+    val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
+    val batchWins = IncrementalPassages.windowHashes(batchDocs)
+    val unionWins = corpusWins.unionByName(batchWins)
+    IncrementalPassages.buildWindowIndex(unionWins, prefix = "ippr1", buckets = 4)
+    val oldPairs = IncrementalPassages.pairsFromWindows(unionWins, cap = 3)
+    assert(oldPairs.as[(Long, Long, Long)].collect().toSet === Set(
+      (1L, 2L, 5L), (3L, 4L, 3L), (3L, 10L, 3L), (4L, 10L, 3L), (10L, 11L, 3L)))
+    // retract the batch: B's df drops 4 → 3 (un-crosses the cap), so
+    // (1,2) must regain B's 3 windows (5→8) and the B-only pairs
+    // (1,3)/(2,3) must RESURRECT from absence
+    val merged = IncrementalPassages.retractBatch(spark, batchWins, oldPairs,
+        prefix = "ippr1", cap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = IncrementalPassages.pairsFromWindows(corpusWins, cap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full, s"retracted $merged != full recompute $full")
+    assert(merged === Set((1L, 2L, 8L), (1L, 3L, 3L), (2L, 3L, 3L), (3L, 4L, 3L)))
+    // the live index no longer serves the batch docs; the refreshed
+    // hot table reflects the un-crossing (B no longer hot)
+    assert(IncrementalPassages.liveWin(spark, "ippr1")
+      .filter(col("doc_id").isin(10L, 11L)).isEmpty)
+    assert(spark.table("ippr1_hot").isEmpty)
+  }
+
+  test("admit∘retract round-trips; re-admit resurrects without duplicate index rows") {
+    val corpusWins = IncrementalPassages.windowHashes(corpusDocs)
+    val batchWins = IncrementalPassages.windowHashes(batchDocs)
+    IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippr2", buckets = 4)
+    val oldPairs = IncrementalPassages.pairsFromWindows(corpusWins, cap = 3)
+    val oldSet = oldPairs.as[(Long, Long, Long)].collect().toSet
+    val admitted = IncrementalPassages.admitBatch(spark, batchWins, oldPairs,
+      prefix = "ippr2", cap = 3, buckets = 4)
+    val retracted = IncrementalPassages.retractBatch(spark, batchWins, admitted,
+      prefix = "ippr2", cap = 3)
+    assert(retracted.as[(Long, Long, Long)].collect().toSet === oldSet,
+      "admit then retract must round-trip")
+    // re-admit: rows still physically present → +1 resurrection, no dup
+    val physN = spark.table("ippr2_win").count()
+    val readmitted = IncrementalPassages.admitBatch(spark, batchWins, retracted,
+      prefix = "ippr2", cap = 3, buckets = 4)
+    assert(readmitted.as[(Long, Long, Long)].collect().toSet === Set(
+      (1L, 2L, 5L), (3L, 4L, 3L), (3L, 10L, 3L), (4L, 10L, 3L), (10L, 11L, 3L)),
+      "re-admit after retract ≡ first admit")
+    assert(spark.table("ippr2_win").count() === physN,
+      "resurrection must not duplicate physical index rows")
+  }
+
+  test("real corpus: retract of a doc slice ≡ d11's window kernel without it") {
+    val docs = graft.GraftSession.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+    val wins = IncrementalPassages.windowHashes(docs)
+    IncrementalPassages.buildWindowIndex(wins, prefix = "ippr3", buckets = 8)
+    val oldPairs = IncrementalPassages.pairsFromWindows(wins)
+    val merged = IncrementalPassages.retractBatch(spark,
+        wins.filter(col("doc_id") % 7 === 0), oldPairs, prefix = "ippr3")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = IncrementalPassages.pairsFromWindows(
+        wins.filter(col("doc_id") % 7 =!= 0))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full)
+  }
+
   test("real corpus: incremental over a doc split ≡ d11's window kernel on the union") {
     // windows from the sf0.001 documents (plain text, no plant): hold
     // out every 7th doc as the "batch" and check the merge reproduces
