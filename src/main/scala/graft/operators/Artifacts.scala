@@ -81,24 +81,49 @@ private[operators] object Artifacts {
   val ScopeKey = "spark.graft.artifactScope"
 
   /** Object stores whose "rename" is a file-by-file server-side copy:
-    * a reader can list the destination mid-copy, so the cross-driver
-    * commit below is NOT atomic there. `shared` scope (two drivers
-    * racing one path) therefore requires a real-rename filesystem
-    * (HDFS, POSIX-local, viewfs); on these stores each driver must
-    * keep the default `app` scope, where the in-JVM single-flight is
-    * the only writer of its own path.
+    * a reader can list the destination mid-copy, so the rename-based
+    * commit below is NOT atomic there. These stores default to the
+    * MANIFEST commit protocol instead (see [[CommitModeKey]]), which
+    * never renames a directory at all.
     */
   private val NonAtomicRenameSchemes =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cosn", "swift")
 
-  private def requireAtomicRenameForShared(spark: SparkSession): Unit = {
+  /** Commit protocol for the deterministic artifact path:
+    *   - `rename` (default on atomic-rename filesystems — HDFS,
+    *     POSIX-local, viewfs): build to a `_tmp_` sibling, rename into
+    *     place; one metadata op, readers see nothing or everything.
+    *   - `manifest` (default on object stores): build into an
+    *     IMMUTABLE uniquely-named `<name>__v_<uuid>` directory, then
+    *     publish a single small `<name>.manifest` file naming it — a
+    *     one-file put is atomic on every object store, so readers
+    *     (which only ever follow the manifest) can never observe a
+    *     partial artifact, racing writers degrade to last-put-wins
+    *     over two COMPLETE versions, and `shared` scope works on
+    *     s3a-likes. Unreferenced race-loser dirs are `gc`'s to reap.
+    * Force either with this conf key (the spec forces `manifest` on
+    * local fs to simulate the object-store protocol).
+    */
+  val CommitModeKey = "spark.graft.artifactCommit"
+
+  private def baseScheme(spark: SparkSession): String = {
     val base = new org.apache.hadoop.fs.Path(artifactBase(spark))
-    val scheme = Option(base.toUri.getScheme).getOrElse(
+    Option(base.toUri.getScheme).getOrElse(
       base.getFileSystem(spark.sparkContext.hadoopConfiguration).getUri.getScheme)
+  }
+
+  private[operators] def commitMode(spark: SparkSession): String =
+    spark.conf.get(CommitModeKey,
+      if (NonAtomicRenameSchemes.contains(baseScheme(spark))) "manifest"
+      else "rename")
+
+  private def requireAtomicRenameForShared(spark: SparkSession): Unit = {
+    val scheme = baseScheme(spark)
     require(!NonAtomicRenameSchemes.contains(scheme),
-      s"$ScopeKey=shared needs an atomic-rename filesystem, but " +
-        s"spark.graft.artifactDir is on '$scheme://' where rename is a " +
-        "non-atomic copy; use the default app scope there")
+      s"$ScopeKey=shared with $CommitModeKey=rename needs an atomic-rename " +
+        s"filesystem, but spark.graft.artifactDir is on '$scheme://' where " +
+        "rename is a non-atomic copy; use the manifest commit protocol " +
+        s"($CommitModeKey=manifest, the default there) or the app scope")
   }
 
   def materializedClustered(spark: SparkSession, prefix: String, dir: String,
@@ -106,7 +131,8 @@ private[operators] object Artifacts {
       frame: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stamp = corpusStamp(spark, s"$dir/$stampSrc")
     val shared = spark.conf.get(ScopeKey, "app") == "shared"
-    if (shared) requireAtomicRenameForShared(spark)
+    val mode = commitMode(spark)
+    if (shared && mode == "rename") requireAtomicRenameForShared(spark)
     val scope = if (shared) "shared" else spark.sparkContext.applicationId
     val key = s"$prefix|$scope|$dir|$stamp"
     val fresh = new java.util.concurrent.CompletableFuture[String]()
@@ -115,9 +141,11 @@ private[operators] object Artifacts {
       case None =>
         try {
           val out = path(spark, prefix, key)
-          commitClustered(spark, out, clusterCols, key)(frame)
-          fresh.complete(out)
-          out
+          val served =
+            if (mode == "manifest") commitManifest(spark, out, clusterCols, key)(frame)
+            else { commitClustered(spark, out, clusterCols, key)(frame); out }
+          fresh.complete(served)
+          served
         } catch {
           case e: Throwable =>
             fresh.completeExceptionally(e)
@@ -126,6 +154,81 @@ private[operators] object Artifacts {
         }
     }
     spark.read.parquet(p)
+  }
+
+  // ---------------------------------------------------------------
+  // The manifest commit protocol (object stores)
+  // ---------------------------------------------------------------
+
+  private[operators] def manifestFor(out: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(out + ".manifest")
+
+  /** Parse a manifest's (referenced dir name, key) — None when absent
+    * or unreadable (a partial manifest read maps to ABSENT, never to a
+    * partial artifact).
+    */
+  private[operators] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      mf: org.apache.hadoop.fs.Path): Option[(String, String)] =
+    try {
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        val buf = new java.io.ByteArrayOutputStream()
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        finally in.close()
+        new String(buf.toByteArray, "UTF-8").split('\n') match {
+          case Array(dirName, key, _*) if dirName.nonEmpty => Some((dirName, key))
+          case _ => None
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Resolve the deterministic path's manifest to its COMPLETE
+    * referenced dir — the only way a manifest-mode reader ever reaches
+    * artifact data, which is the protocol's safety argument: a dir
+    * mid-build (or a race loser) is simply never named.
+    */
+  private[operators] def resolveManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] =
+    readManifest(fs, manifestFor(dest.toString)).flatMap { case (dirName, _) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        if (dest.getParent == null) new org.apache.hadoop.fs.Path("/") else dest.getParent,
+        dirName)
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) Some(dir)
+      else None
+    }
+
+  /** Manifest-pointer commit: build into an immutable uniquely-named
+    * dir, publish the one-file manifest naming it, serve whatever the
+    * manifest names afterwards (a racer's complete version is as good
+    * as ours — last put wins; the loser dir is unreferenced and gc
+    * reaps it after the grace window). Returns the served data dir.
+    */
+  private[operators] def commitManifest(spark: SparkSession, out: String,
+      clusterCols: Seq[String], key: String = "")(
+      frame: => org.apache.spark.sql.DataFrame): String = {
+    val dest = new org.apache.hadoop.fs.Path(out)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveManifest(fs, dest) match {
+      case Some(dir) => return dir.toString
+      case None =>
+    }
+    val ver = new org.apache.hadoop.fs.Path(
+      if (dest.getParent == null) new org.apache.hadoop.fs.Path("/") else dest.getParent,
+      s"${dest.getName}__v_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.sources.Layout.writeClustered(frame, ver.toString, clusterCols)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(ver, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"artifact build failed: $ver lacks its parquet job marker")
+    // the publish: one small file, created complete on close — atomic
+    // on every object store (and the narrow create window on
+    // rename-capable filesystems is read-repaired: an unreadable
+    // manifest resolves to ABSENT and the caller rebuilds a fresh
+    // version; no reader ever follows a pointer to partial data)
+    val mfOut = fs.create(manifestFor(out), true)
+    mfOut.write(s"${ver.getName}\n$key".getBytes("UTF-8"))
+    mfOut.close()
+    resolveManifest(fs, dest).map(_.toString).getOrElse(ver.toString)
   }
 
   /** An artifact directory is servable iff BOTH markers exist: the
@@ -232,7 +335,8 @@ private[operators] object Artifacts {
     * instead of serving a dangling path.
     */
   def gc(spark: SparkSession, live: Seq[(String, String, String)],
-      keepStamps: Int = 1, graceMs: Long = 3600000L): Seq[String] = {
+      keepStamps: Int = 1, graceMs: Long = 3600000L,
+      orphanTtlMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(artifactBase(spark))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Nil
@@ -249,13 +353,25 @@ private[operators] object Artifacts {
       val i = name.lastIndexOf('_')
       if (i < 0) name else name.substring(0, i)
     }
+    // an ORPHAN is a committed artifact (dir marker or manifest) whose
+    // recorded scope is some OTHER driver's applicationId: not ours to
+    // reap at stale-stamp cadence, but a dead application never sweeps
+    // its own leavings, so anything that old is debris (ADVICE r14).
+    // `shared`-scope artifacts are the fleet's, never orphans.
+    def orphan(ownerScope: Option[String], mtime: Long): Boolean =
+      ownerScope.exists(s => s != scope && s != "shared") &&
+        (System.currentTimeMillis() - mtime) > orphanTtlMs
     val now = System.currentTimeMillis()
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def reap(st: org.apache.hadoop.fs.FileStatus): Unit = {
       if (fs.delete(st.getPath, true)) deleted += st.getPath.toString
     }
-    val entries = fs.listStatus(base).filter(_.isDirectory)
-    val (temps, arts) = entries.partition(_.getPath.getName.startsWith("_tmp_"))
+    val all = fs.listStatus(base)
+    val manifests = all.filter(st =>
+      !st.isDirectory && st.getPath.getName.endsWith(".manifest"))
+    val entries = all.filter(_.isDirectory)
+    val (temps, artsAll) = entries.partition(_.getPath.getName.startsWith("_tmp_"))
+    val (versioned, arts) = artsAll.partition(_.getPath.getName.contains("__v_"))
     // temp names are _tmp_<prefix>_<keyhash>_<uuid> — match on the
     // managed prefix being their leading component
     // liveness = the newest mtime anywhere one level down: a running
@@ -276,13 +392,57 @@ private[operators] object Artifacts {
         val (committedStale, broken) =
           stale.partition(st => committed(fs, st.getPath))
         broken.filter(st => now - st.getModificationTime > graceMs).foreach(reap)
-        // only OUR scope's artifacts age out; a marker without a
-        // readable scope (legacy dir) is conservatively kept
+        // OUR scope's artifacts age out under keepStamps; a marker
+        // without a readable scope (legacy dir) is conservatively
+        // kept; a dead application's leavings go by the orphan TTL
         committedStale
           .filter(st => markerScope(fs, st.getPath).contains(scope))
           .sortBy(-_.getModificationTime).drop(keepStamps).foreach(reap)
+        committedStale
+          .filter(st => orphan(markerScope(fs, st.getPath), st.getModificationTime))
+          .foreach(reap)
       case _ => ()
     }
+    // manifest-committed artifacts: the manifest at <name>.manifest is
+    // the commit marker; its referenced dir is the data
+    def mfBase(st: org.apache.hadoop.fs.FileStatus): String =
+      st.getPath.getName.stripSuffix(".manifest")
+    def mfScope(st: org.apache.hadoop.fs.FileStatus): Option[String] =
+      readManifest(fs, st.getPath).map(_._2).flatMap(_.split('|') match {
+        case parts if parts.length >= 4 => Some(parts(1))
+        case _ => None
+      })
+    def reapManifest(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      // referenced dir first, then the pointer — a crash between the
+      // two leaves a dangling manifest that resolves to ABSENT
+      readManifest(fs, st.getPath).foreach { case (dirName, _) =>
+        val dir = new org.apache.hadoop.fs.Path(base, dirName)
+        if (fs.exists(dir) && fs.delete(dir, true)) deleted += dir.toString
+      }
+      reap(st)
+    }
+    val referenced = manifests
+      .flatMap(st => readManifest(fs, st.getPath).map(_._1)).toSet
+    manifests.groupBy(st => prefixOf(mfBase(st))).foreach {
+      case (pfx, group) if managedPrefixes.contains(pfx) =>
+        val stale = group.filterNot(st => liveNames.contains(mfBase(st)))
+        stale.filter(st => mfScope(st).contains(scope))
+          .sortBy(-_.getModificationTime).drop(keepStamps).foreach(reapManifest)
+        stale.filter(st => orphan(mfScope(st), st.getModificationTime))
+          .foreach(reapManifest)
+      case _ => ()
+    }
+    // unreferenced versioned dirs — race losers and crashed builds
+    // (their manifest names another version or never landed); grace-
+    // gated so a build racing this sweep keeps its not-yet-published
+    // version
+    versioned.filter { st =>
+      val baseName = st.getPath.getName.split("__v_").head
+      managedPrefixes.contains(prefixOf(baseName)) &&
+        !referenced.contains(st.getPath.getName) &&
+        !deleted.contains(st.getPath.toString)
+    }.filter(st => now - newestMtime(st) > graceMs)
+      .foreach(reap)
     // a memoized path that was just reaped must not be served again
     // (compare fully-qualified: listStatus paths carry the scheme,
     // the memoized build path may not)

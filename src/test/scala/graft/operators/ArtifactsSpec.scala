@@ -94,15 +94,21 @@ class ArtifactsSpec extends SparkSpec {
       Set((10L, "w")), "a dir without the post-rename marker must be rebuilt over")
   }
 
-  test("shared scope is refused on non-atomic-rename filesystems") {
-    // scope=shared means two drivers race one path and readers trust
-    // the rename's atomicity; on s3a-style stores rename is a copy,
-    // so the gate must reject the configuration up front
+  test("shared scope with a FORCED rename commit is refused on object stores; manifest is the default there") {
+    // scope=shared under the rename protocol means two drivers race
+    // one path and readers trust the rename's atomicity; on s3a-style
+    // stores rename is a copy, so that combination must be rejected —
+    // but the DEFAULT commit mode on those stores is `manifest`, which
+    // never renames and is allowed
     val prevScope = spark.conf.getOption(Artifacts.ScopeKey)
     val prevDir = spark.conf.getOption("spark.graft.artifactDir")
+    val prevMode = spark.conf.getOption(Artifacts.CommitModeKey)
     try {
       spark.conf.set(Artifacts.ScopeKey, "shared")
       spark.conf.set("spark.graft.artifactDir", "s3a://some-bucket/artifacts")
+      assert(Artifacts.commitMode(spark) === "manifest",
+        "object-store schemes must default to the manifest protocol")
+      spark.conf.set(Artifacts.CommitModeKey, "rename")
       val e = intercept[IllegalArgumentException] {
         Artifacts.materializedClustered(spark, "aspec_gate",
           tmpDir("artifacts_gate"), "documents.parquet", Seq("doc_id")) {
@@ -115,7 +121,163 @@ class ArtifactsSpec extends SparkSpec {
         spark.conf.set(Artifacts.ScopeKey, _))
       prevDir.fold(spark.conf.unset("spark.graft.artifactDir"))(
         spark.conf.set("spark.graft.artifactDir", _))
+      prevMode.fold(spark.conf.unset(Artifacts.CommitModeKey))(
+        spark.conf.set(Artifacts.CommitModeKey, _))
     }
+  }
+
+  test("manifest commit: readers resolve only complete versions — a mid-copy dir is invisible") {
+    // the object-store protocol, forced on local fs: data lands in an
+    // immutable uniquely-named dir, a one-file manifest names it, and
+    // a reader NEVER lists the deterministic path itself — so the
+    // partial state a non-atomic rename would expose (files appearing
+    // one by one) cannot be observed through the manifest
+    val prevMode = spark.conf.getOption(Artifacts.CommitModeKey)
+    val prevScope = spark.conf.getOption(Artifacts.ScopeKey)
+    try {
+      spark.conf.set(Artifacts.CommitModeKey, "manifest")
+      spark.conf.set(Artifacts.ScopeKey, "shared") // allowed under manifest
+      val dir = tmpDir(s"artifacts_mf_${System.nanoTime()}")
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir + "/documents.parquet")
+      var builds = 0
+      def call() = Artifacts.materializedClustered(spark, "mfspec", dir,
+        "documents.parquet", Seq("doc_id")) {
+        builds += 1
+        spark.read.parquet(dir + "/documents.parquet")
+          .select(col("doc_id"), upper(col("text")).as("t"))
+      }
+      assert(call().as[(Long, String)].collect().toSet === Set((1L, "A"), (2L, "B")))
+      assert(builds === 1)
+      val artBase = spark.conf.get("spark.graft.artifactDir",
+        "/root/repo/target/scratch/clusters")
+      val fs = new org.apache.hadoop.fs.Path(artBase)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the layout: one __v_ dir + one .manifest naming it; the
+      // deterministic path itself does not exist
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(artBase))
+        .map(_.getPath.getName).filter(_.startsWith("mfspec_")).toSeq
+      val vdirs = names.filter(_.contains("__v_"))
+      val mfs = names.filter(_.endsWith(".manifest"))
+      assert(vdirs.size === 1 && mfs.size === 1, s"layout: $names")
+      assert(names.size === 2, s"no renamed deterministic dir may exist: $names")
+      // SIMULATED mid-copy state: a second version dir appears file by
+      // file (as a non-atomic rename would materialize it) but the
+      // manifest still names the complete version — a fresh reader
+      // (cold memo: new key via corpus rewrite is NOT simulated here,
+      // so resolve directly) sees only the complete artifact
+      val partial = new org.apache.hadoop.fs.Path(artBase, "mfspec_0000__v_partial")
+      fs.mkdirs(partial)
+      fs.create(new org.apache.hadoop.fs.Path(partial, "part-00000.parquet"), true).close()
+      // no _SUCCESS, not referenced by any manifest
+      val mfPath = new org.apache.hadoop.fs.Path(artBase, mfs.head)
+      val resolved = Artifacts.resolveManifest(fs,
+        new org.apache.hadoop.fs.Path(artBase, mfs.head.stripSuffix(".manifest")))
+      assert(resolved.exists(_.getName === vdirs.head),
+        "the reader must resolve to the complete referenced version")
+      // a DANGLING manifest (names a dir with no _SUCCESS) resolves to
+      // absent — rebuild, never a partial read
+      val bogus = fs.create(mfPath, true)
+      bogus.write("mfspec_0000__v_partial\nmfspec|shared|x|y".getBytes("UTF-8"))
+      bogus.close()
+      assert(Artifacts.resolveManifest(fs,
+        new org.apache.hadoop.fs.Path(artBase, mfs.head.stripSuffix(".manifest"))).isEmpty,
+        "a manifest naming an incomplete dir must resolve to absent")
+      fs.delete(partial, true)
+      fs.delete(mfPath, false)
+      fs.delete(new org.apache.hadoop.fs.Path(artBase, vdirs.head), true)
+    } finally {
+      prevMode.fold(spark.conf.unset(Artifacts.CommitModeKey))(
+        spark.conf.set(Artifacts.CommitModeKey, _))
+      prevScope.fold(spark.conf.unset(Artifacts.ScopeKey))(
+        spark.conf.set(Artifacts.ScopeKey, _))
+    }
+  }
+
+  test("manifest commit: gc reaps unreferenced race-loser versions and stale manifests") {
+    val prevMode = spark.conf.getOption(Artifacts.CommitModeKey)
+    try {
+      spark.conf.set(Artifacts.CommitModeKey, "manifest")
+      val dir = tmpDir(s"artifacts_mfgc_${System.nanoTime()}")
+      def call() = Artifacts.materializedClustered(spark, "mfgc", dir,
+        "documents.parquet", Seq("doc_id")) {
+        spark.read.parquet(dir + "/documents.parquet")
+      }
+      // corpus v1 → manifest M1 + dir V1; corpus v2 → M2 + V2
+      Seq((1L, "a")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir + "/documents.parquet")
+      val v1 = call().inputFiles.head.replaceAll("/[^/]*$", "")
+      Thread.sleep(1100)
+      Seq((2L, "b")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir + "/documents.parquet")
+      val v2 = call().inputFiles.head.replaceAll("/[^/]*$", "")
+      assert(v1 != v2)
+      val artBase = spark.conf.get("spark.graft.artifactDir",
+        "/root/repo/target/scratch/clusters")
+      val fs = new org.apache.hadoop.fs.Path(artBase)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // an unreferenced OLD race-loser version of the current artifact
+      val loser = new org.apache.hadoop.fs.Path(artBase,
+        new org.apache.hadoop.fs.Path(v2).getName.split("__v_").head + "__v_loser")
+      fs.mkdirs(loser)
+      fs.setTimes(loser, System.currentTimeMillis() - 7200000L, -1)
+      val deleted = Artifacts.gc(spark,
+        live = Seq(("mfgc", dir, "documents.parquet")),
+        keepStamps = 0, graceMs = 60000L)
+      def gone(p: String) = !fs.exists(new org.apache.hadoop.fs.Path(p))
+      assert(gone(v1), s"stale-stamp version dir must be pruned (deleted: $deleted)")
+      assert(gone(v1.replaceAll("__v_.*$", "") + ".manifest"),
+        "the stale stamp's manifest must be pruned with it")
+      assert(gone(loser.toString), "an old unreferenced race-loser must be pruned")
+      assert(!gone(v2), "the current version must survive")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        v2.replaceAll("__v_.*$", "") + ".manifest")),
+        "the current manifest must survive")
+      // serving still works from the intact memo/manifest
+      assert(call().as[(Long, String)].collect().toSet === Set((2L, "b")))
+    } finally {
+      prevMode.fold(spark.conf.unset(Artifacts.CommitModeKey))(
+        spark.conf.set(Artifacts.CommitModeKey, _))
+    }
+  }
+
+  test("gc orphan TTL: a dead application's artifacts age out; young foreigners survive") {
+    // ADVICE r14: under the default app scope every artifact is keyed
+    // by applicationId, so a finished application's dirs were
+    // previously immortal — foreign-scope committed dirs older than
+    // the orphan TTL are now debris (shared-scope artifacts are the
+    // fleet's and never orphans)
+    val dir = tmpDir(s"artifacts_gc4_${System.nanoTime()}")
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    Artifacts.materializedClustered(spark, "gcspec4", dir,
+      "documents.parquet", Seq("doc_id")) {
+      spark.read.parquet(dir + "/documents.parquet")
+    }
+    val artBase = spark.conf.get("spark.graft.artifactDir",
+      "/root/repo/target/scratch/clusters")
+    val fs = new org.apache.hadoop.fs.Path(artBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def foreignDir(name: String, scopeName: String, ageMs: Long): String = {
+      val p = artBase.stripSuffix("/") + "/" + name
+      Artifacts.commitClustered(spark, p, Seq("doc_id"),
+        key = s"gcspec4|$scopeName|$dir|stamp-$name")(
+        Seq((9L, "z")).toDF("doc_id", "text"))
+      fs.setTimes(new org.apache.hadoop.fs.Path(p),
+        System.currentTimeMillis() - ageMs, -1)
+      p
+    }
+    val deadApp = foreignDir("gcspec4_deadapp1", "app-DEAD-driver", 86400000L)
+    val youngApp = foreignDir("gcspec4_young001", "app-YOUNG-driver", 3600000L)
+    val fleet = foreignDir("gcspec4_fleet001", "shared", 86400000L)
+    Artifacts.gc(spark, live = Seq(("gcspec4", dir, "documents.parquet")),
+      keepStamps = 0, graceMs = 60000L, orphanTtlMs = 43200000L) // 12h TTL
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(!exists(deadApp), "a foreign app's artifact past the orphan TTL is debris")
+    assert(exists(youngApp), "a foreign app's artifact inside the TTL must survive")
+    assert(exists(fleet), "shared-scope artifacts are the fleet's, never orphans")
+    fs.delete(new org.apache.hadoop.fs.Path(youngApp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(fleet), true)
   }
 
   test("gc prunes stale stamps, keeps the current artifact, leaves in-flight temps alone") {
