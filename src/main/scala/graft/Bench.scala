@@ -26,7 +26,17 @@ object Bench {
     "d24x_incremental_merge" -> ((s, dir) =>
       operators.IncrementalExactSubstr.benchIncrementalMerge(s, dir)),
     "d8x_incremental_merge" -> ((s, dir) =>
-      operators.IncrementalTrigram.benchIncrementalMerge(s, dir)))
+      operators.IncrementalTrigram.benchIncrementalMerge(s, dir)),
+    // per-takedown cost of the retraction merges (r15) vs the same
+    // full pipelines — the reverse-lifecycle price, same fixtures
+    "d11r_retract_merge" -> ((s, dir) =>
+      operators.IncrementalPassages.benchRetractMerge(s, dir)),
+    "m5r_retract_merge" -> ((s, dir) =>
+      operators.IncrementalMedia.benchRetractMerge(s, dir)),
+    "d24r_retract_merge" -> ((s, dir) =>
+      operators.IncrementalExactSubstr.benchRetractMerge(s, dir)),
+    "d8r_retract_merge" -> ((s, dir) =>
+      operators.IncrementalTrigram.benchRetractMerge(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);
@@ -63,13 +73,17 @@ object Bench {
     // merge — building them inside the first timed run made the
     // round-12 d11x driver median (8.3 s, 30 s worst) measure fixture
     // construction, not the merge
-    if ("d11x_incremental_merge".matches(nameFilter))
+    if ("d11x_incremental_merge".matches(nameFilter) ||
+        "d11r_retract_merge".matches(nameFilter))
       operators.IncrementalPassages.warmBenchFixture(spark, sfDir)
-    if ("m5y_incremental_merge".matches(nameFilter))
+    if ("m5y_incremental_merge".matches(nameFilter) ||
+        "m5r_retract_merge".matches(nameFilter))
       operators.IncrementalMedia.warmBenchFixture(spark, sfDir)
-    if ("d24x_incremental_merge".matches(nameFilter))
+    if ("d24x_incremental_merge".matches(nameFilter) ||
+        "d24r_retract_merge".matches(nameFilter))
       operators.IncrementalExactSubstr.warmBenchFixture(spark, sfDir)
-    if ("d8x_incremental_merge".matches(nameFilter))
+    if ("d8x_incremental_merge".matches(nameFilter) ||
+        "d8r_retract_merge".matches(nameFilter))
       operators.IncrementalTrigram.warmBenchFixture(spark, sfDir)
     // median-of-3 (first run may absorb one-time codegen/datasource
     // init; single-run numbers at this scale carry ±seconds of
@@ -78,7 +92,10 @@ object Bench {
     // real regression distinguishable from a noisy run).
     // A throwing query reports -1 sec (sentinel), never its
     // time-to-exception — a broken query must not read as a fast one.
-    val runsPer = 3
+    // SPARK_GRAFT_RUNS=1: single-pass mode for the §8o scale sweep
+    // (one full run at a 10× SF; medians there would triple an
+    // already-long wall time for no gate the sweep needs)
+    val runsPer = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var reruns = 0
     val results = (SparkEntry.queries ++ extraQueries)

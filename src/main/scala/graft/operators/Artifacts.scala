@@ -353,6 +353,11 @@ private[operators] object Artifacts {
       val i = name.lastIndexOf('_')
       if (i < 0) name else name.substring(0, i)
     }
+    // age tests below compare the DRIVER's clock against filesystem
+    // mtimes: skew between a driver and a remote store eats into (or
+    // pads) the grace/TTL windows — the defaults (1 h grace, 7 d TTL)
+    // dwarf realistic skew, but a caller tightening graceMs below
+    // minutes on an object store should account for it
     // an ORPHAN is a committed artifact (dir marker or manifest) whose
     // recorded scope is some OTHER driver's applicationId: not ours to
     // reap at stale-stamp cadence, but a dead application never sweeps

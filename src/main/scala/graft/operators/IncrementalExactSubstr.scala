@@ -365,4 +365,17 @@ object IncrementalExactSubstr {
     mergeBatch(spark, ExactSubstr.windowPositions(batch), oldRepeats,
       prefix = prefix)
   }
+
+  /** Bench entry (`d24r_retract_merge`): the per-takedown cost of
+    * folding an indexed-doc slice OUT of the repeat table vs the full
+    * window self-join — `retractMerge` only (pure reads; tombstones
+    * would mutate the standing fixture across timed runs).
+    */
+  def benchRetractMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, oldRepeats) = benchFixture(spark, dir)
+    val slice = PipelineQueries.plantedSpanToks(spark, dir)
+      .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+    retractMerge(spark, ExactSubstr.windowPositions(slice), oldRepeats,
+      prefix = prefix)
+  }
 }

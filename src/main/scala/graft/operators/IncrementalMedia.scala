@@ -422,4 +422,19 @@ object IncrementalMedia {
       "media_id", "text", k = 4)
     mergeBatch(spark, batch, oldPairs, prefix = prefix)
   }
+
+  /** Bench entry (`m5r_retract_merge`): the per-takedown cost of
+    * folding an indexed-asset slice OUT of the pair table vs a full
+    * re-hash + re-band — `retractMerge` only (pure reads; tombstones
+    * would mutate the standing fixture across timed runs).
+    */
+  def benchRetractMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, oldPairs) = benchFixture(spark, dir)
+    val slice = Dedup.phashChar(
+      graft.GraftSession.table(spark, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text"))
+        .filter(col("media_id") % 9 =!= 0 && col("media_id") % 5 === 0),
+      "media_id", "text", k = 4)
+    retractMerge(spark, slice, oldPairs, prefix = prefix)
+  }
 }

@@ -406,4 +406,17 @@ object IncrementalPassages {
       .select(col("doc_id"), col("text")).filter(col("doc_id") % 7 === 0)
     mergeBatch(spark, windowHashes(batch), oldPairs, prefix = prefix)
   }
+
+  /** Bench entry (`d11r_retract_merge`): the per-takedown cost of
+    * folding an indexed-doc slice OUT of the pair table vs the full
+    * window pipeline — `retractMerge` only (pure reads; tombstones
+    * would mutate the standing fixture across timed runs).
+    */
+  def benchRetractMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, oldPairs) = benchFixture(spark, dir)
+    val slice = graft.GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+    retractMerge(spark, windowHashes(slice), oldPairs, prefix = prefix)
+  }
 }

@@ -294,4 +294,16 @@ object IncrementalTrigram {
       .filter(col("doc_id") % 7 === 0)
     mergeBatch(spark, batch, oldPairs, prefix = prefix)
   }
+
+  /** Bench entry (`d8r_retract_merge`): the per-takedown cost of
+    * folding an indexed-doc slice OUT of the pair table vs a full
+    * re-shingle — `retractMerge` only (pure reads; the tombstone
+    * append would mutate the standing fixture across timed runs).
+    */
+  def benchRetractMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, oldPairs) = benchFixture(spark, dir)
+    val slice = PipelineQueries.trainTrigramRows(spark, dir)
+      .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+    retractMerge(spark, slice, oldPairs, prefix = prefix)
+  }
 }

@@ -197,6 +197,21 @@ class IncrementalPassagesSpec extends SparkSpec {
       "resurrection must not duplicate physical index rows")
   }
 
+  test("retract plan: bucketed index reads, equi-joins only") {
+    val unionWins = IncrementalPassages.windowHashes(
+      corpusDocs.unionByName(batchDocs))
+    IncrementalPassages.buildWindowIndex(unionWins, prefix = "ippr4", buckets = 4)
+    val oldPairs = IncrementalPassages.pairsFromWindows(unionWins, cap = 3)
+    val plan = IncrementalPassages.retractMerge(spark,
+        IncrementalPassages.windowHashes(batchDocs), oldPairs,
+        prefix = "ippr4", cap = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"corpus probes must read the bucketed index:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"every stage must be equi-join shaped:\n$plan")
+  }
+
   test("real corpus: retract of a doc slice ≡ d11's window kernel without it") {
     val docs = graft.GraftSession.table(spark, sf0, "documents")
       .select(col("doc_id"), col("text"))

@@ -210,6 +210,19 @@ class IncrementalTrigramSpec extends SparkSpec {
       .filter($"doc_id" === 10L).count() > 0, "re-admitted doc is live again")
   }
 
+  test("retract plan: bucketed index reads, equi-joins only, census exchange-free") {
+    val union = trainDocs.unionByName(batchDocs)
+    IncrementalTrigram.buildIndex(tris(union), panel, prefix = "itr11", buckets = 4)
+    val oldPairs = PipelineQueries.pairsFromTrigramRows(
+      tris(union), panel, maxDf = 3, minShared = 1)
+    val plan = IncrementalTrigram.retractMerge(spark, tris(batchDocs), oldPairs,
+      prefix = "itr11", cap = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"corpus probes must read the bucketed index:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"every stage must be equi-join shaped:\n$plan")
+  }
+
   test("real corpus: retract of a train-doc slice ≡ the d8 kernel without it") {
     val all = PipelineQueries.trainTrigramRows(spark, sf0)
     val slice = all.filter($"doc_id" % 7 === 0)
