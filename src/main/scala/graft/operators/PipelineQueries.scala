@@ -1622,11 +1622,15 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).cast("long").as("n_tok"),
-        round(
+        // + 0.0 normalizes IEEE −0.0 → +0.0 (identity elsewhere): a
+        // tiny negative mean rounds to −0.0, whose repr diverges
+        // between engines — the one mismatch the first 10× sweep
+        // (§8o) caught, on exactly one doc of 50k
+        (round(
           sum(col("tf").cast("double") *
             (log((col("tgt") + lit(1.0)) / (col("tgttot") + lit(b.toDouble))) -
              log((col("raw") + lit(1.0)) / (col("rawtot") + lit(b.toDouble))))) /
-          sum(col("tf")), 6).as("dsir_w"))
+          sum(col("tf")), 6) + lit(0.0)).as("dsir_w"))
       .orderBy(col("doc_id"))
   }
 
@@ -1648,7 +1652,7 @@ object PipelineQueries {
       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
       |  round(sum(tf * (ln((tgt + 1.0) / (tgttot + $DsirBuckets.0)) -
       |                  ln((raw + 1.0) / (rawtot + $DsirBuckets.0)))) / sum(tf),
-      |        6) AS dsir_w
+      |        6) + 0.0 AS dsir_w
       |FROM g JOIN stats USING (b) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
