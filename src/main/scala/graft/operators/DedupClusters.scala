@@ -161,10 +161,14 @@ object DedupClusters {
       .select(col("node"))
     // surviving edges among them: components are node-disjoint, so an
     // edge with one endpoint inside an affected component has both
-    // inside (remainingEdges carries no removed-doc pairs)
+    // inside (remainingEdges carries no removed-doc pairs). `keep` is
+    // bounded by COMPONENT size, not batch size — retracting one node
+    // from a multi-million-doc cluster makes it huge — so no broadcast
+    // hint here: the planner picks broadcast from stats when small and
+    // a shuffle join when the survivor set outgrows the threshold
     val sub = remainingEdges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .join(broadcast(keep.withColumnRenamed("node", "s")), Seq("s"), "left_semi")
+      .join(keep.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
     untouched.unionByName(connectedComponents(sub, "s", "d"))
   }
 }

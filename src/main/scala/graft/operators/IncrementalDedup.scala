@@ -144,6 +144,7 @@ object IncrementalDedup {
   def admitBatch(spark: SparkSession, batch: DataFrame, verdicts: DataFrame,
       buckets: Int = 32, prefix: String = "graft_dedup",
       numHashes: Int = 16, bands: Int = 4): Unit = {
+    requireHolderFp(spark, prefix)
     indexBanding(spark, prefix).foreach { case (nh, b) =>
       require(nh == numHashes && b == bands,
         s"admitBatch banding ($numHashes, $bands) != index '${prefix}_bands' " +
@@ -180,9 +181,26 @@ object IncrementalDedup {
     Tombstones.retract(spark, prefix,
       docIds.select(col(docIds.columns.head).as("id_b")), "id_b")
 
+  /** Fail fast on an `_fp` index predating the per-holder (fp, id_b)
+    * row format: every read and append here resolves `id_b`, so an
+    * fp-only index would otherwise die mid-plan with an opaque
+    * unresolved-column error (or, worse, a retract would silently not
+    * remove the claim it thinks it removed).
+    */
+  private def requireHolderFp(spark: SparkSession, prefix: String): Unit = {
+    val cols = spark.table(s"${prefix}_fp").columns
+    require(cols.contains("id_b"),
+      s"'${prefix}_fp' predates the per-holder (fp, id_b) row format " +
+        s"(columns: ${cols.mkString(", ")}) — rebuild the index with " +
+        "buildIndexes; per-claim rows are what make retraction and " +
+        "replay absorption exact")
+  }
+
   /** The (numHashes, bands) stamp `buildIndexes` wrote, or None for a
-    * pre-stamp index (accepted for compatibility — the caller's
-    * banding is then trusted as before).
+    * pre-stamp index (the BANDING stamp's absence alone is tolerated —
+    * the caller's banding is then trusted as before; the `_fp`
+    * per-holder ROW FORMAT is mandatory regardless, enforced by
+    * `requireHolderFp` with an explicit rebuild message).
     */
   private def indexBanding(spark: SparkSession, prefix: String): Option[(Int, Int)] = {
     val props = spark.sql(s"SHOW TBLPROPERTIES ${prefix}_bands").collect()
@@ -204,6 +222,7 @@ object IncrementalDedup {
   def probeBatch(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
       maxBucket: Int = 1000, prefix: String = "graft_dedup",
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    requireHolderFp(spark, prefix)
     indexBanding(spark, prefix).foreach { case (nh, b) =>
       require(nh == numHashes && b == bands,
         s"probeBatch banding ($numHashes, $bands) != index '${prefix}_bands' " +

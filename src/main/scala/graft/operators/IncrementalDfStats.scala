@@ -128,31 +128,14 @@ object IncrementalDfStats {
   }
 
   // ---------------------------------------------------------------
-  // The single-writer lease
+  // The single-writer lease — acquisition is [[Lease.withLease]]
+  // (atomic create-exclusive first, rivals-check second), shared with
+  // every family that serializes its maintenance operations.
   // ---------------------------------------------------------------
 
-  private def leaseDir(spark: SparkSession, prefix: String) =
-    new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-      s"${prefix.toLowerCase(java.util.Locale.ROOT)}_lease")
-
   private def withLease[A](spark: SparkSession, prefix: String, opId: String)(
-      body: => A): A = {
-    val dir = leaseDir(spark, prefix)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dir)
-    val others = fs.listStatus(dir).map(_.getPath.getName).filterNot(_ == opId)
-    if (others.nonEmpty) throw new IllegalStateException(
-      s"dfstats '$prefix': operation(s) in flight: ${others.mkString(", ")} — " +
-        "retry them to completion (or remove the stale lease file) first")
-    val mine = new org.apache.hadoop.fs.Path(dir, opId)
-    fs.create(mine, true).close()
-    val out = body
-    // released only on success: a crashed operation leaves its lease
-    // so nothing else (including compact) runs until its retry heals
-    fs.delete(mine, false)
-    out
-  }
+      body: => A): A =
+    Lease.withLease(spark, prefix, opId)(body)
 
   /** Initialize the three tables from the standing corpus (batch id
     * "corpus").

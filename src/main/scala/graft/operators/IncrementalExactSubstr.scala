@@ -175,7 +175,10 @@ object IncrementalExactSubstr {
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .join(broadcast(riskDocs), "doc_id"))
     val riskH = riskWins.select(col("h")).distinct()
-    val hotRisk = idx.join(riskH, Seq("h"), "left_semi")
+    // riskH is bounded (the at-risk docs' own windows) — broadcast it
+    // so the corpus index stays exchange-free, like every sibling
+    // at-risk filter in this family
+    val hotRisk = idx.join(broadcast(riskH), Seq("h"), "left_semi")
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df_c_full"))
       .join(dfB, Seq("h"), "left")
@@ -293,7 +296,9 @@ object IncrementalExactSubstr {
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .join(broadcast(riskDocs), "doc_id"))
     val riskH = riskWins.select(col("h")).distinct()
-    val hotRisk = idx.join(riskH, Seq("h"), "left_semi")
+    // broadcast the bounded riskH set — the corpus index side of this
+    // semi-join must never shuffle on h (the admit merge's discipline)
+    val hotRisk = idx.join(broadcast(riskH), Seq("h"), "left_semi")
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df_after"))
       .filter(col("df_after") > cap).select(col("h"))

@@ -486,46 +486,58 @@ object LlmQueries {
   }
 
   /** §2.3 d5: embedding near-dup pairs — exact cosine verification
-    * over MULTI-PROBE SRP candidates (buckets within Hamming ≤ 1).
-    * This is the scale-shaped entry: one bucket-key shuffle, pairwise
-    * cosine only inside matched buckets, no cartesian anywhere in the
-    * plan (PlanSpec pins it). The all-pairs `Similarity.cosinePairs`
-    * kernel remains for bounded candidate sets; d6 is the cheaper
-    * single-bucket form. Ids only — membership at the threshold is
-    * the check, not float bits. The oracle replays the identical
-    * probe buckets from the same plane constants.
+    * over MULTI-PROBE SRP candidates (buckets within Hamming ≤ 1),
+    * GOVERNED (r16): the hash width derives from the corpus count at
+    * a target occupancy of 16, and degenerate home buckets above the
+    * 128-occupant cap drop from both sides — join output is bounded
+    * by cap × probe rows, linear in the corpus, where the r15
+    * fixed-8-bit form grew ~N²/256 (the sweep's 45× on s11). One
+    * bucket-key shuffle, pairwise cosine only inside matched buckets,
+    * no cartesian anywhere in the plan (PlanSpec pins it). Ids only —
+    * membership at the threshold is the check, not float bits. The
+    * oracle replays width, truncation, cap, and probes from the same
+    * integer arithmetic and plane constants.
     */
   def d5EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.multiProbeCosinePairs(table(spark, dir, "embeddings"),
+    Similarity.governedCosinePairs(table(spark, dir, "embeddings"),
         "vec_id", "embedding", 0.42)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
 
   val d5EmbedNeardupSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e),
-      |p AS (SELECT vec_id, v, unnest(list_distinct(${srpProbeListSql("bucket")})) AS bucket FROM b)
+      |nb AS (SELECT ${nBitsSql("count(*)")} AS nbits FROM e),
+      |b AS (SELECT vec_id, v, substr(${srpBucketSql16("v")}, 1, nbits) AS bucket, nbits FROM e, nb),
+      |ov AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > 128),
+      |c AS (SELECT * FROM b WHERE bucket NOT IN (SELECT bucket FROM ov)),
+      |p AS (SELECT vec_id, v, unnest(list_distinct(${srpProbeListDynSql("bucket", "nbits")})) AS bucket FROM c)
       |SELECT a.vec_id AS id_a, p.vec_id AS id_b
-      |FROM b a JOIN p USING (bucket)
+      |FROM c a JOIN p USING (bucket)
       |WHERE a.vec_id < p.vec_id AND list_cosine_similarity(a.v, p.v) > 0.42
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** §2.3 d6: SRP-bucketed embedding near-dup — the 100 TB form of d5
-    * (candidates from one bucket-id shuffle, exact verify inside
-    * buckets, never O(n²)). The oracle replays the identical buckets.
+  /** §2.3 d6: SRP-bucketed embedding near-dup — d5's cheaper
+    * single-bucket form (candidates from one bucket-id shuffle, exact
+    * verify inside buckets), with the same r16 governance: count-
+    * derived width + the 128-occupant degenerate-bucket drop, so
+    * within-bucket pairwise work stays ≤ cap²·buckets ≤ cap·N. The
+    * oracle replays the identical width, cap, and buckets.
     */
   def d6EmbedLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.bucketedCosinePairs(table(spark, dir, "embeddings"),
-        "vec_id", "embedding", 0.42)
+    Similarity.governedCosinePairs(table(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.42, multiProbe = false)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
 
   val d6EmbedLshSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket FROM e)
-      |SELECT a.vec_id AS id_a, c.vec_id AS id_b
-      |FROM b a JOIN b c USING (bucket)
-      |WHERE a.vec_id < c.vec_id AND list_cosine_similarity(a.v, c.v) > 0.42
+      |nb AS (SELECT ${nBitsSql("count(*)")} AS nbits FROM e),
+      |b AS (SELECT vec_id, v, substr(${srpBucketSql16("v")}, 1, nbits) AS bucket FROM e, nb),
+      |ov AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > 128),
+      |c AS (SELECT * FROM b WHERE bucket NOT IN (SELECT bucket FROM ov))
+      |SELECT a.vec_id AS id_a, c2.vec_id AS id_b
+      |FROM c a JOIN c c2 USING (bucket)
+      |WHERE a.vec_id < c2.vec_id AND list_cosine_similarity(a.v, c2.v) > 0.42
       |ORDER BY id_a, id_b""".stripMargin
 
   /** §2.3 d21: EMBEDDING-space benchmark contamination — the check d8
@@ -766,6 +778,42 @@ object LlmQueries {
     (Seq(bucketExpr) ++ flips).mkString("[", ", ", "]")
   }
 
+  /** DuckDB expression for the 16×64 SRP bucket — the governed
+    * kernels' maxBits width. Bit k depends only on plane k, so
+    * `substr(·, 1, nbits)` of this IS the nbits-wide bucket (the
+    * prefix property both engines exploit identically).
+    */
+  private def srpBucketSql16(vExpr: String): String =
+    graft.functions.VectorFunctions.srpPlanes(16, 64).map { plane =>
+      val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** DuckDB mirror of `Similarity.chooseNBits` over a count
+    * expression — the same floor/bin/length integer arithmetic as the
+    * Spark-side nBitsCol, token for token.
+    */
+  private def nBitsSql(nExpr: String, targetOccupancy: Int = 16,
+      minBits: Int = 4, maxBits: Int = 16): String =
+    s"GREATEST($minBits, LEAST($maxBits, length(bin(GREATEST(" +
+      s"CAST(floor(($nExpr + ${targetOccupancy - 1}) / $targetOccupancy.0) " +
+      s"AS BIGINT), 1) - 1))))"
+
+  /** DuckDB list of the dynamic-width Hamming-≤1 probe buckets —
+    * mirrors Similarity.probeSetDyn: flips at positions past `nbits`
+    * yield the home bucket and fall to list_distinct.
+    */
+  private def srpProbeListDynSql(bucketExpr: String, nbitsExpr: String,
+      maxBits: Int = 16): String = {
+    val flips = (1 to maxBits).map { i =>
+      val f = s"substr($bucketExpr, 1, ${i - 1}) || " +
+        s"(CASE WHEN substr($bucketExpr, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
+        s"substr($bucketExpr, ${i + 1}, $maxBits)"
+      s"CASE WHEN $i <= $nbitsExpr THEN $f ELSE $bucketExpr END"
+    }
+    (Seq(bucketExpr) ++ flips).mkString("[", ", ", "]")
+  }
+
   val s2KnnLshSql: String = {
     val bucketExpr = srpBucketSql("v")
     val probeList = srpProbeListSql("bucket")
@@ -844,28 +892,37 @@ object LlmQueries {
     * space); building it is the step that turns "we have embeddings"
     * into "we have structure". Same SRP bucket + Hamming-1
     * multi-probe + exact-rerank machinery as s2, with the query side
-    * = the whole corpus: a SYMMETRIC bucket-key self-join whose
-    * shuffle cardinality is (nBits+2)·N — never N², never a
-    * broadcast of either side. Vectors whose probed buckets hold
-    * fewer than k candidates emit shorter lists (the honest
-    * approximate-graph contract; recall economics are s9's job).
+    * = the whole corpus — GOVERNED (r16): the hash width derives from
+    * the corpus count at target occupancy 16 and the index side
+    * drops home buckets above the 128-occupant cap (queries are never
+    * capped — a vector in a degenerate bucket still probes its
+    * Hamming-1 neighborhood), so rerank work is bounded by
+    * cap × probe rows — linear in N where the r15 fixed-8-bit form
+    * grew ~N²/256 (sweep-measured at 45× for 10× vectors). Vectors
+    * whose probed buckets hold fewer than k candidates emit shorter
+    * lists (the honest approximate-graph contract; recall economics
+    * are s9's job).
     */
   def s11KnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    Similarity.bucketedKnn(e, e, "vec_id", "embedding", k = 3, nBits = 8)
+    Similarity.governedKnn(e, e, "vec_id", "embedding", k = 3)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
       .orderBy(col("qid"), col("rank"))
   }
 
   val s11KnnGraphSql: String = {
-    val bucketExpr = srpBucketSql("v")
-    val probeList = srpProbeListSql("bucket")
+    val bucketExpr = srpBucketSql16("v")
+    val probeList = srpProbeListDynSql("bucket", "nbits")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |nb AS (SELECT ${nBitsSql("count(*)")} AS nbits FROM e),
+      |b AS (SELECT vec_id, v, substr($bucketExpr, 1, nbits) AS bucket, nbits FROM e, nb),
+      |ov AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > 128),
+      |idx AS (SELECT vec_id AS nid, v AS cv, bucket FROM b
+      |        WHERE bucket NOT IN (SELECT bucket FROM ov)),
       |q AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
-      |      FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b)),
-      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
-      |      FROM q JOIN b c USING (bucket) WHERE c.vec_id != qid),
+      |      FROM (SELECT vec_id AS qid, v AS qv, bucket, nbits FROM b)),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
+      |      FROM q JOIN idx USING (bucket) WHERE nid != qid),
       |r AS (SELECT qid, nid,
       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |      FROM s)

@@ -61,6 +61,170 @@ object Similarity {
           bucket.substr(lit(i + 2), lit(nBits - i - 1)))
       }): _*))
 
+  // -----------------------------------------------------------------
+  // Bucket-occupancy governance — the SRP family's analogue of the
+  // minhash discipline (Dedup.maxBucket skew cap + chooseBanding):
+  // a FIXED nBits makes per-bucket occupancy ~N/2^nBits, so
+  // within-bucket candidate work grows quadratically with corpus size
+  // (the r15 sweep measured the k-NN graph at 45× for 10× vectors).
+  // Governed kernels instead (a) derive the hash width from the
+  // corpus count at a target occupancy, and (b) DROP degenerate
+  // oversized buckets — both replayed by the DuckDB oracles from the
+  // same integer arithmetic, so results stay hash-exact at any scale.
+  // -----------------------------------------------------------------
+
+  /** Data-driven SRP hash width: the smallest `nBits` whose 2^nBits
+    * buckets hold ≤ `targetOccupancy` vectors each on average,
+    * clamped to [minBits, maxBits]. Integer arithmetic only
+    * (⌈n/occ⌉ buckets → bit length of buckets−1) so every engine —
+    * and the SQL oracles via floor/bin/length — derives the same
+    * width from the same count. Use at INDEX BUILD time (`srpIndex`
+    * pins its width into the artifact); the governed corpus-sweep
+    * kernels below derive it in-plan per run.
+    */
+  def chooseNBits(n: Long, targetOccupancy: Int = 16, minBits: Int = 4,
+      maxBits: Int = 16): Int = {
+    require(targetOccupancy > 0 && minBits >= 1 && maxBits >= minBits)
+    val bucketsNeeded = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(bucketsNeeded - 1, 1L))
+    val raw = if (bucketsNeeded <= 1) 1 else bits
+    math.max(minBits, math.min(maxBits, raw))
+  }
+
+  /** `chooseNBits` as a column over a count column — the exact same
+    * integer arithmetic, phrased so the DuckDB oracle mirrors it
+    * token for token: buckets = floor((n + occ − 1) / occ), nbits =
+    * clamp(length(bin(max(buckets, 1) − 1))). length(bin(x)) is the
+    * bit length of x in both engines (no leading zeros), and
+    * length(bin(0)) = 1 clamps to minBits.
+    */
+  private def nBitsCol(n: Column, targetOccupancy: Int, minBits: Int,
+      maxBits: Int): Column =
+    greatest(lit(minBits), least(lit(maxBits),
+      length(bin(greatest(
+        floor((n + lit(targetOccupancy - 1)) / lit(targetOccupancy.toDouble))
+          .cast("long"),
+        lit(1L)) - lit(1L)))))
+
+  /** Dynamic-width Hamming-≤1 probe set: flips are generated for all
+    * `maxBits` positions but positions past the row's `nbits` yield
+    * the home bucket (removed by the distinct) — one static
+    * expression serving every data-derived width.
+    */
+  private def probeSetDyn(bucket: Column, nbits: Column, maxBits: Int): Column = {
+    def flip(i: Int): Column = concat(
+      bucket.substr(lit(1), lit(i - 1)),
+      when(substring(bucket, i, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(bucket, i + 1, maxBits))
+    array_distinct(array((Seq(bucket) ++ (1 to maxBits).map(i =>
+      when(lit(i) <= nbits, flip(i)).otherwise(bucket))): _*))
+  }
+
+  /** The governed bucketed corpus frame: (id, v, bucket, nbits) with
+    * the hash width derived from the corpus count (ONE tiny agg
+    * broadcast back — never a collect) and the `maxBits`-bit bucket
+    * truncated to it. The SRP bucket's prefix property (bit k depends
+    * only on plane k) makes the truncation exactly the nbits-wide
+    * bucketing.
+    */
+  private def governedBuckets(df: DataFrame, idCol: String, vecCol: String,
+      targetOccupancy: Int, minBits: Int, maxBits: Int,
+      dims: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val n = base.agg(count(lit(1)).as("n"))
+    Checkpoints.cut(base
+      .withColumn("b16", srpBucket(col("v"), maxBits, dims))
+      .crossJoin(broadcast(n))
+      .withColumn("nbits", nBitsCol(col("n"), targetOccupancy, minBits, maxBits))
+      .select(col("id"), col("v"),
+        col("b16").substr(lit(1), col("nbits")).as("bucket"), col("nbits")))
+  }
+
+  /** Home buckets holding more than `cap` vectors — the degenerate
+    * mass (template/zero/duplicated directions) whose within-bucket
+    * pairwise work would dominate. Tiny by construction (pathological
+    * buckets only), hence the broadcast anti-join at the use sites —
+    * the minhash skew guard's exact shape (no window, no sort).
+    */
+  private def oversizedBuckets(b: DataFrame, cap: Int): DataFrame =
+    b.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap).select(col("bucket"))
+
+  /** Governed near-dup pairs — `multiProbeCosinePairs` /
+    * `bucketedCosinePairs` with bucket-occupancy governance: the hash
+    * width tracks the corpus count at `targetOccupancy`, and vectors
+    * whose HOME bucket holds more than `capFactor × targetOccupancy`
+    * occupants are excluded from BOTH sides (the oversized-bucket
+    * drop, symmetric: a pair is reported iff neither endpoint lives
+    * in a degenerate bucket). Join OUTPUT is then bounded by
+    * cap × probe rows ≤ cap·(maxBits+2)·N — LINEAR in the corpus,
+    * where the ungoverned fixed-width kernels grow ~N²/2^nBits.
+    * Everything — width, truncation, cap, probes, cosine — replays in
+    * the DuckDB oracle from the same constants, so d5/d6 stay
+    * hash-exact at every scale.
+    */
+  def governedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetOccupancy: Int = 16, capFactor: Int = 8,
+      multiProbe: Boolean = true, minBits: Int = 4, maxBits: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val b = governedBuckets(df, idCol, vecCol, targetOccupancy, minBits,
+      maxBits, dims)
+    val capped = b.join(
+      broadcast(oversizedBuckets(b, capFactor * targetOccupancy)),
+      Seq("bucket"), "left_anti")
+    val home = capped.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("va"))
+    val other =
+      if (multiProbe) capped.select(col("id").as("id_b"), col("v").as("vb"),
+        explode(probeSetDyn(col("bucket"), col("nbits"), maxBits)).as("bucket"))
+      else capped.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("vb"))
+    home.join(other, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Governed ANN top-k / k-NN graph — `bucketedKnn` with the same
+    * occupancy governance: the INDEX side drops oversized home
+    * buckets (candidates from degenerate mass are worthless — exact
+    * rerank inside them is where the r15 sweep's 45× went), the QUERY
+    * side is never capped (a query living in a dropped bucket still
+    * probes its Hamming-1 neighborhood). Rerank output is bounded by
+    * cap × probe rows — linear in queries, independent of corpus
+    * skew. Shorter-than-k lists where candidates run out remain the
+    * honest approximate contract.
+    */
+  def governedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, targetOccupancy: Int = 16, capFactor: Int = 8,
+      minBits: Int = 4, maxBits: Int = 16, dims: Int = 64): DataFrame = {
+    val b = governedBuckets(corpus, idCol, vecCol, targetOccupancy, minBits,
+      maxBits, dims)
+    val index = b.join(
+      broadcast(oversizedBuckets(b, capFactor * targetOccupancy)),
+      Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("id").as("nid"), col("v").as("cv"))
+    // queries bucket at the CORPUS-derived width (the index's width);
+    // when corpus eq queries this reuses the same cut frame
+    val nbitsRow = b.select(col("nbits")).limit(1)
+    val q = queries
+      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qb16", srpBucket(col("qv"), maxBits, dims))
+      .crossJoin(broadcast(nbitsRow))
+      .withColumn("qbucket", col("qb16").substr(lit(1), col("nbits")))
+      .select(col("qid"), col("qv"),
+        explode(probeSetDyn(col("qbucket"), col("nbits"), maxBits)).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    index.join(q, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Multi-probe SRP near-dup pairs: exact cosine verification over
     * candidates whose SRP buckets are within Hamming distance 1 —
     * the scale-shaped form of whole-corpus `cosinePairs`, with higher
@@ -71,7 +235,12 @@ object Similarity {
     * exactly one probe row (the probe equal to the home bucket), so
     * every candidate arises once — no distinct pass. Shuffle
     * cardinality is (nBits+2)·N on the bucket key; pairwise work runs
-    * only inside matched buckets. Never O(n²).
+    * only inside matched buckets — but with a FIXED nBits that
+    * within-bucket work is ~N²/2^nBits and grows quadratically with
+    * the corpus. This fixed-width form is for pinned-width callers
+    * (an artifact-served index); corpus sweeps use
+    * [[governedCosinePairs]], whose width tracks the corpus count and
+    * whose oversized-bucket cap bounds join output linearly.
     */
   def multiProbeCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame = {
@@ -155,11 +324,14 @@ object Similarity {
       .select(col("corpus_id"), col("bench_id"), col("sim"))
   }
 
-  /** SRP-bucketed near-dup pairs — the 100 TB form of `cosinePairs`:
-    * candidates are pairs sharing an LSH bucket (one shuffle on the
-    * bucket id), exact cosine verifies only inside buckets. Recall
-    * trades against `nBits`; the deterministic planes make the whole
-    * pipeline reproducible and SQL-replayable (d6 oracle).
+  /** SRP-bucketed near-dup pairs at a PINNED width: candidates are
+    * pairs sharing an LSH bucket (one shuffle on the bucket id),
+    * exact cosine verifies only inside buckets. Recall trades against
+    * `nBits`; the deterministic planes make the whole pipeline
+    * reproducible and SQL-replayable. Within-bucket work grows
+    * ~N²/2^nBits at fixed width — corpus sweeps use
+    * [[governedCosinePairs]] (multiProbe = false), which derives the
+    * width from the count and caps degenerate buckets.
     */
   def bucketedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame = {

@@ -70,9 +70,13 @@ object Tombstones {
     if (!spark.catalog.tableExists(gone)) {
       // first retract ever: clear any stale managed location a prior
       // session left behind (dropTableAndLocation — the one owner of
-      // that discipline), then create
+      // that discipline), then create VIA APPEND mode — append creates
+      // a missing table but never clobbers an existing one, so two
+      // concurrent first retracts cannot silently drop each other's
+      // tombstones (an overwrite here could resurrect the loser's
+      // docs)
       graft.sources.Bucketing.dropTableAndLocation(spark, gone)
-      rows.write.mode("overwrite").format("parquet").saveAsTable(gone)
+      rows.write.mode("append").format("parquet").saveAsTable(gone)
     } else if (!rows.isEmpty)
       rows.write.mode("append").format("parquet").saveAsTable(gone)
   }
