@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-scaling measurement for the governed SRP k-NN kernel
+  * (SURVEY.md §8 — companion to PrefixScalingBench/GraphScalingBench):
+  * the r15 sweep measured the FIXED-8-bit k-NN graph at 45× wall for
+  * 10× vectors — per-bucket occupancy ~N/256, so within-bucket
+  * candidate pairs grow quadratically. `Similarity.governedKnn`
+  * derives the hash width from the corpus count (occupancy pinned at
+  * the target) and drops degenerate oversized buckets, so candidate
+  * volume is ~(nbits+2)·N·occupancy — linear in N times a log-width
+  * factor. This bench MEASURES both kernels on the same frames:
+  *
+  *   - corpus = deterministic pseudo-random vectors (95%) plus one
+  *     DUPLICATED template direction (5% of rows — the degenerate
+  *     mass a fixed-width kernel reranks quadratically);
+  *   - governed at 1×/2×/4×/8×: growth per doubling must stay ≈2×
+  *     (linear · log-width);
+  *   - ungoverned fixed-8-bit at 1×/2×/4× only (its 8× point is the
+  *     measured quadratic blow-up this kernel exists to avoid —
+  *     capped for bench wall time, growth already evident at 4×).
+  *
+  * Output-row counts are reported alongside wall so a growth claim
+  * can never hide behind emptier results.
+  */
+object SimilarityScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val scratch = "/root/repo/target/scratch/simscale"
+    val baseN = 25000L
+
+    def time(f: => Long): (Double, Long) = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val out = f
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      (runs.map(_._1).sorted.apply(1), runs.head._2)
+    }
+
+    // deterministic pseudo-random background (xxhash64-mixed — near-
+    // orthogonal) + a 5% duplicated template direction (ids offset
+    // into their own range)
+    def gen(n: Long): DataFrame = {
+      val bg = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "j -> pmod(xxhash64(id, j), 100000) / 100000.0 - 0.5)")
+          .as("embedding"))
+      val deg = spark.range(n / 20).select(
+        (col("id") + 2000000000L).as("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "j -> pmod(xxhash64(-7, j), 100000) / 100000.0 - 0.5)")
+          .as("embedding"))
+      bg.unionByName(deg)
+    }
+
+    def staged(mult: Int): DataFrame = {
+      val path = s"$scratch/v_$mult"
+      gen(baseN * mult).write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path)
+      df.count()
+      df
+    }
+
+    val gRows = Seq(1, 2, 4, 8).map { mult =>
+      val df = staged(mult)
+      val n = df.count()
+      val nbits = operators.Similarity.chooseNBits(n)
+      val (s, out) = time(
+        operators.Similarity.governedKnn(df, df, "vec_id", "embedding", k = 3)
+          .count())
+      println(f"[simscale] governed   mult=$mult%2d vectors=$n%8d " +
+        f"nbits=$nbits%2d wall=$s%7.2fs rows=$out%9d")
+      (mult, s)
+    }
+    val fRows = Seq(1, 2, 4).map { mult =>
+      val df = staged(mult)
+      val n = df.count()
+      val (s, out) = time(
+        operators.Similarity.bucketedKnn(df, df, "vec_id", "embedding",
+          k = 3, nBits = 8).count())
+      println(f"[simscale] fixed8bit  mult=$mult%2d vectors=$n%8d " +
+        f"nbits= 8 wall=$s%7.2fs rows=$out%9d")
+      (mult, s)
+    }
+    val gSteps = gRows.zip(gRows.tail).map { case ((pm, a), (m, b)) =>
+      f"${b / a}%.2f× at $pm×→$m×"
+    }
+    println(s"[simscale] governed growth per 2×: ${gSteps.mkString(", ")} " +
+      s"(target ≤ ~2×, linear·log)")
+    println(f"[simscale] fixed-8-bit 1×→4× growth: " +
+      f"${fRows.last._2 / fRows.head._2}%.1f× (quadratic within-bucket — " +
+      "the r15 sweep's 45×-at-10× shape)")
+    spark.stop()
+  }
+}

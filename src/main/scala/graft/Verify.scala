@@ -53,6 +53,17 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(_._1.matches(nameFilter))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // iterative oracle plans (sf1+ sweeps; the driver's gate ignores
+    // this file and keeps running the plain oracle_sql.json)
+    val iterJson = operators.LlmQueries.oracleIter
+      .filter(_._1.matches(nameFilter))
+      .map { case (k, (setup, cc, fin)) =>
+        s"${q(k)}: {\"setup\": [${setup.map(q).mkString(",")}], " +
+          s"\"cc\": [${cc.map { case (e, l) => s"[${q(e)}, ${q(l)}]" }
+            .mkString(",")}], " +
+          s"\"final\": ${q(fin)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_iter.json"), iterJson)
     spark.stop()
   }
 }

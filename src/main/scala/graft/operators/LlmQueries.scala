@@ -232,7 +232,12 @@ object LlmQueries {
     * idGapJoin + jaccardVerify + connectedComponents pipeline, used
     * by both the d9 cluster oracle and the d14 retention oracle.
     */
-  private val jaccardReachCtes: String =
+  /** norm + jac alone (the edge set) — shared by the recursive form
+    * below and the ITERATIVE oracle plans (`oracleIter`), which
+    * materialize `jac` once and loop the label propagation in
+    * check_oracle.py instead of recursing in one statement.
+    */
+  private val jaccardPairCtes: String =
     """norm AS (
       |  SELECT doc_id, source,
       |    list_distinct([('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
@@ -246,7 +251,10 @@ object LlmQueries {
       |    ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 60
       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
-      |), edges AS (
+      |)""".stripMargin
+
+  private val jaccardReachCtes: String =
+    s"""$jaccardPairCtes, edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM jac
       |  UNION ALL
       |  SELECT id_b AS src, id_a AS dst FROM jac
@@ -300,10 +308,12 @@ object LlmQueries {
       .orderBy(col("cluster_id"))
   }
 
-  val d14RetentionSql: String =
-    s"""WITH RECURSIVE $jaccardReachCtes,
-      |clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
-      |assigned AS (
+  /** d14's post-cluster stages — shared between the recursive oracle
+    * and its iterative form (which computes `clusters` from the
+    * check_oracle.py label loop instead of the recursive CTE).
+    */
+  private val d14TailSql: String =
+    """assigned AS (
       |  SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster
       |  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id),
       |ranked AS (
@@ -315,6 +325,11 @@ object LlmQueries {
       |  min(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars
       |FROM ranked GROUP BY cluster HAVING count(*) > 1
       |ORDER BY cluster_id""".stripMargin
+
+  val d14RetentionSql: String =
+    s"""WITH RECURSIVE $jaccardReachCtes,
+      |clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+      |$d14TailSql""".stripMargin
 
   /** §2.3 d16: soft dedup — per-document SAMPLING WEIGHTS from near-dup
     * cluster size, the alternative to d14's hard drop: instead of
@@ -348,10 +363,9 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  val d16ClusterWeightsSql: String =
-    s"""WITH RECURSIVE $jaccardReachCtes,
-      |clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
-      |assigned AS (
+  /** d16's post-cluster stages — shared with the iterative oracle. */
+  private val d16TailSql: String =
+    """assigned AS (
       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
       |  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id)
       |SELECT doc_id, cluster_id,
@@ -359,6 +373,11 @@ object LlmQueries {
       |  CAST(floor(1000000 / count(*) OVER (PARTITION BY cluster_id)) AS BIGINT)
       |    AS weight_micro
       |FROM assigned ORDER BY doc_id""".stripMargin
+
+  val d16ClusterWeightsSql: String =
+    s"""WITH RECURSIVE $jaccardReachCtes,
+      |clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+      |$d16TailSql""".stripMargin
 
   /** §2.3 d17: MinHash estimator calibration — s9's counterpart for
     * the dedup sketch family: on the candidate-pair panel, compare
@@ -1922,22 +1941,11 @@ object LlmQueries {
       .orderBy(col("source"), col("shard_id"))
   }
 
-  val e2eMediaSql: String =
-    s"""WITH RECURSIVE $m5PairCtes,
-      |pairs AS (
-      |  SELECT id_a, id_b FROM cand WHERE $m5HammingSql <= 3
-      |), pedges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION ALL
-      |  SELECT id_b AS src, id_a AS dst FROM pairs
-      |), preach(node, label) AS (
-      |  SELECT DISTINCT src, src FROM pedges
-      |  UNION
-      |  SELECT e.dst, r.label FROM preach r JOIN pedges e ON e.src = r.node
-      |  WHERE r.label < e.dst
-      |), clusters AS (
-      |  SELECT node, min(label) AS cluster_id FROM preach GROUP BY node
-      |), meta AS (
+  /** e2e_media's post-cluster stages — shared with the iterative
+    * oracle.
+    */
+  private val e2eMediaTailSql: String =
+    s"""meta AS (
       |  SELECT doc_id AS media_id, source, strlen(text) AS n_bytes FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, source, strlen(text)
@@ -1964,6 +1972,23 @@ object LlmQueries {
       |  min(media_id) AS min_id, max(media_id) AS max_id
       |FROM running GROUP BY source, byte_before // $ShardBudgetBytes
       |ORDER BY source, shard_id""".stripMargin
+
+  val e2eMediaSql: String =
+    s"""WITH RECURSIVE $m5PairCtes,
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand WHERE $m5HammingSql <= 3
+      |), pedges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), preach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM pedges
+      |  UNION
+      |  SELECT e.dst, r.label FROM preach r JOIN pedges e ON e.src = r.node
+      |  WHERE r.label < e.dst
+      |), clusters AS (
+      |  SELECT node, min(label) AS cluster_id FROM preach GROUP BY node
+      |), $e2eMediaTailSql""".stripMargin
 
   // ---------------------------------------------------------------
   // s12: graded ranking quality (NDCG) of the LSH index
@@ -2033,5 +2058,50 @@ object LlmQueries {
       |  round(sum(coalesce(t.rel, 0) / ln(a.rank + 1)) / $IdcgAt5, 6) AS ndcg
       |FROM approx a LEFT JOIN truth t ON t.qid = a.qid AND t.nid = a.nid
       |GROUP BY a.qid ORDER BY a.qid""".stripMargin
+  }
+
+  /** ITERATIVE oracle plans for the entries whose single-statement
+    * recursive-CTE replay is prohibitive in DuckDB above sf0.1 (the
+    * r15 sweep's six asterisks: d14's recursive reach ran 95 minutes
+    * at sf1 while the engine's pointer-jumping CC took seconds —
+    * O(rounds × accumulated label pairs) with no path compression is
+    * the exact single-node wall the engine avoids). Each plan is
+    * (setup statements, (edgesTable → labelsTable) loops, final
+    * query): check_oracle.py materializes the edge set once, iterates
+    * min-label propagation WITH path compression to fixpoint
+    * (polynomial, ~the engine's round count), and runs the final
+    * query over the computed labels. The min-label-per-component
+    * fixpoint is unique, so this form and the recursive CTE agree by
+    * construction — the DRIVER's gate keeps the plain `oracleSql`
+    * (byte-identical to r15's, exact at its scales); this map powers
+    * the sf1+ sweeps. m5 carries no recursion — its plan just
+    * materializes the banded candidate set once so the Hamming
+    * expression evaluates once per pair instead of twice.
+    */
+  val oracleIter: Map[String, (Seq[String], Seq[(String, String)], String)] = {
+    val jacSetup = s"CREATE OR REPLACE TEMP TABLE __jedges AS " +
+      s"WITH $jaccardPairCtes SELECT id_a, id_b FROM jac"
+    val mediaEdgesSetup = s"CREATE OR REPLACE TEMP TABLE __medges AS " +
+      s"WITH $m5PairCtes SELECT id_a, id_b FROM cand WHERE $m5HammingSql <= 3"
+    Map(
+      "d9_dedup_clusters" -> ((Seq(jacSetup), Seq(("__jedges", "__jcc")),
+        """SELECT node AS doc_id, label AS cluster_id,
+          |  CASE WHEN node = label THEN 1 ELSE 0 END AS is_rep
+          |FROM __jcc ORDER BY doc_id""".stripMargin)),
+      "d14_retention" -> ((Seq(jacSetup), Seq(("__jedges", "__jcc")),
+        s"""WITH clusters AS (SELECT node, label AS cluster_id FROM __jcc),
+          |$d14TailSql""".stripMargin)),
+      "d16_cluster_weights" -> ((Seq(jacSetup), Seq(("__jedges", "__jcc")),
+        s"""WITH clusters AS (SELECT node, label AS cluster_id FROM __jcc),
+          |$d16TailSql""".stripMargin)),
+      "m5_phash_neardup" -> ((
+        Seq(s"CREATE OR REPLACE TEMP TABLE __mcand AS WITH $m5PairCtes " +
+          s"SELECT id_a, id_b, CAST($m5HammingSql AS BIGINT) AS hamming FROM cand"),
+        Seq.empty,
+        "SELECT id_a, id_b, hamming FROM __mcand WHERE hamming <= 3 " +
+          "ORDER BY id_a, id_b")),
+      "e2e_media" -> ((Seq(mediaEdgesSetup), Seq(("__medges", "__mcc")),
+        s"""WITH clusters AS (SELECT node, label AS cluster_id FROM __mcc),
+          |$e2eMediaTailSql""".stripMargin)))
   }
 }

@@ -128,8 +128,8 @@ object Similarity {
     * only on plane k) makes the truncation exactly the nbits-wide
     * bucketing.
     */
-  private def governedBuckets(df: DataFrame, idCol: String, vecCol: String,
-      targetOccupancy: Int, minBits: Int, maxBits: Int,
+  private[operators] def governedBuckets(df: DataFrame, idCol: String,
+      vecCol: String, targetOccupancy: Int, minBits: Int, maxBits: Int,
       dims: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     val n = base.agg(count(lit(1)).as("n"))

@@ -118,11 +118,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("d5: multi-probe near-dup has no cartesian/nested-loop anywhere in the plan") {
-    val plan = executed(LlmQueries.d5EmbedNeardup(spark, sf0))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "d5 must be bucket-join shaped, not all-pairs")
-    assert(plan.contains("arraydotproduct"), "exact verify uses the native dot product")
+  test("d5/s11: governed near-dup/knn plans are bucket-join shaped, not all-pairs") {
+    Seq(LlmQueries.d5EmbedNeardup(spark, sf0),
+        LlmQueries.s11KnnGraph(spark, sf0)).foreach { df =>
+      val plan = executed(df)
+      assert(!plan.contains("CartesianProduct"),
+        "must be bucket-join shaped, not all-pairs")
+      // the only nested-loop allowed is the governance's 1-row
+      // corpus-count broadcast (the engine's 1-row-totals crossJoin
+      // discipline) — never a row-pair loop
+      val nlj = plan.linesIterator.filter(_.contains("NestedLoopJoin")).toSeq
+      assert(nlj.forall(l =>
+        l.contains("BroadcastNestedLoopJoin") && l.contains("Cross")),
+        s"only the broadcast 1-row count join may nested-loop: $nlj")
+      assert(plan.contains("arraydotproduct"),
+        "exact verify uses the native dot product")
+    }
   }
 
   test("ivf search: no cartesian, two-phase top-k inside probed cells") {
