@@ -36,7 +36,15 @@ object Bench {
     "d24r_retract_merge" -> ((s, dir) =>
       operators.IncrementalExactSubstr.benchRetractMerge(s, dir)),
     "d8r_retract_merge" -> ((s, dir) =>
-      operators.IncrementalTrigram.benchRetractMerge(s, dir)))
+      operators.IncrementalTrigram.benchRetractMerge(s, dir)),
+    // served IVF search with a standing takedown active (r16) — the
+    // vector family's retraction read-path price, s3-comparable
+    "s6r_ivf_retract_serve" -> ((s, dir) =>
+      operators.IncrementalIvf.benchRetractServe(s, dir)),
+    // tombstone compaction priced next to the admit/retract merges
+    // (r16): fold a standing dead set into a bucketed index copy
+    "tbc_tombstone_compact" -> ((s, dir) =>
+      operators.IncrementalIvf.benchCompact(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);
@@ -85,6 +93,9 @@ object Bench {
     if ("d8x_incremental_merge".matches(nameFilter) ||
         "d8r_retract_merge".matches(nameFilter))
       operators.IncrementalTrigram.warmBenchFixture(spark, sfDir)
+    if ("s6r_ivf_retract_serve".matches(nameFilter) ||
+        "tbc_tombstone_compact".matches(nameFilter))
+      operators.IncrementalIvf.warmBenchFixture(spark, sfDir)
     // median-of-3 (first run may absorb one-time codegen/datasource
     // init; single-run numbers at this scale carry ±seconds of
     // environment noise, which has manufactured phantom regressions

@@ -102,9 +102,20 @@ object IncrementalExactSubstr {
     * per micro-batch).
     */
   def refreshHotWindows(spark: SparkSession, prefix: String = "graft_substr",
-      cap: Int = 100, buckets: Int = 8): Unit =
+      cap: Int = 100, buckets: Int = 8): Unit = {
     graft.sources.Bucketing.writeBucketed(
       hotWindows(spark, prefix, cap), s"${prefix}_hot", "h", buckets)
+    HotRefresh.stamp(spark, s"${prefix}_hot", prefix)
+  }
+
+  /** Re-census only when the retraction state moved since the last
+    * refresh ([[HotRefresh]]) — micro-batch-cadence takedown pickup.
+    */
+  def refreshHotWindowsIfStale(spark: SparkSession,
+      prefix: String = "graft_substr", cap: Int = 100,
+      buckets: Int = 8): Unit =
+    if (HotRefresh.isStale(spark, s"${prefix}_hot", prefix))
+      refreshHotWindows(spark, prefix, cap, buckets)
 
   /** The index a serving consumer (the streaming gate) probes: full
     * position rows minus the maintained hot exclusion.

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF cell lists with the full forward + reverse lifecycle
+  * (SURVEY §2.4) — the vector-index member of the incremental family
+  * set: the r15 round gave every doc/asset-keyed family admit +
+  * retract, but the VECTOR index was append-only, so a takedown left
+  * dead vectors in cell lists, SERVED AS NEIGHBORS, until a full
+  * rebuild. This module closes that: cell lists are a bucketed table,
+  * takedowns flip vectors dead through the shared [[Tombstones]]
+  * owner (served reads anti-join the net-dead set; `compact` folds it
+  * into the physical lists), and the zero-relearn argument runs in
+  * BOTH directions — appends assign against the standing centroids
+  * (s6's contract, artifact-served, zero Lloyd jobs warm) and
+  * retractions leave the centroids untouched too: a removed batch
+  * shifts each affected cell's TRUE mean by O(batch/cell), the same
+  * drift bound the append path's no-relearn contract already accepts,
+  * so centroid staleness is symmetric and bounded until the next
+  * scheduled relearn.
+  *
+  * Layout: `<prefix>_cells` (cid, vec_id, v) bucketed on cid — probes
+  * read only the probed cells' buckets; the per-cell census and the
+  * rerank join ride the bucket layout exchange-free.
+  */
+object IncrementalIvf {
+
+  private def cellsTable(prefix: String): String =
+    s"${prefix}_cells".toLowerCase(java.util.Locale.ROOT)
+
+  /** Nearest-centroid assignment in the index's row shape
+    * (cid, vec_id, v) — literal-expression form for small k,
+    * broadcast-join form past `IvfIndex.LiteralKMax` (same argmin,
+    * spec-pinned equal in IvfIndex).
+    */
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+    val a =
+      if (cents.size <= IvfIndex.LiteralKMax)
+        base.withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
+      else IvfIndex.assignCells(base, "vec_id", "v", cents)
+    a.select(col("cid"), col("vec_id"), col("v"))
+  }
+
+  /** Materialize the cell-list index from the corpus — one
+    * assignment pass, one bucket-layout write.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], prefix: String = "graft_ivf",
+      buckets: Int = 16): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      assign(corpus, idCol, vecCol, cents), cellsTable(prefix), "cid", buckets)
+
+  /** Fold an ingest batch into the cell lists — O(batch·k)
+    * assignment against the STANDING centroids (zero relearning),
+    * replay-idempotent (absentOnly), resurrection-aware (re-admitting
+    * a retracted id flips its tombstone instead of duplicating rows —
+    * docs-are-immutable, so the standing rows are the right ones).
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Int, Seq[Double])],
+      prefix: String = "graft_ivf", buckets: Int = 16): Unit = {
+    val rows = Checkpoints.cut(assign(batch, idCol, vecCol, cents))
+    graft.sources.Bucketing.appendBucketed(
+      graft.sources.Bucketing.absentOnly(rows, cellsTable(prefix), "vec_id"),
+      cellsTable(prefix), "cid", buckets)
+    Tombstones.resurrect(spark, prefix, rows.select(col("vec_id")), "vec_id")
+  }
+
+  /** Remove a takedown batch from service — O(batch) tombstone
+    * append; the next served read no longer returns the vectors as
+    * neighbors. Ids only (no vectors needed). Centroids stay — see
+    * the class doc's symmetric-drift argument.
+    */
+  def retractBatch(spark: SparkSession, vecIds: DataFrame,
+      prefix: String = "graft_ivf"): Unit =
+    Tombstones.retract(spark, prefix,
+      vecIds.select(col(vecIds.columns.head).as("vec_id")), "vec_id")
+
+  /** The live cell lists — what every serving read starts from. */
+  def servedCells(spark: SparkSession,
+      prefix: String = "graft_ivf"): DataFrame =
+    Tombstones.live(spark, spark.table(cellsTable(prefix)), prefix, "vec_id")
+
+  /** IVF top-k against the SERVED index: queries explode into their
+    * `nprobe` nearest cells, exact cosine rerank inside probed cells
+    * only — `IvfIndex.ivfKnn`'s plan with the corpus side read from
+    * the standing table (no re-assignment at query time) and
+    * retraction applied.
+    */
+  def knnFromIndex(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Seq[(Int, Seq[Double])],
+      nprobe: Int = 2, prefix: String = "graft_ivf"): DataFrame = {
+    val c = servedCells(spark, prefix)
+      .select(col("cid"), col("vec_id").as("nid"), col("v").as("cv"))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("cid", explode(IvfIndex.probeCids(col("qv"), cents, nprobe)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    c.join(q, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Fold the net-dead set into the physical cell lists and truncate
+    * the tombstone history — [[Tombstones.compact]] on this family's
+    * one table.
+    */
+  def compact(spark: SparkSession, prefix: String = "graft_ivf",
+      buckets: Int = 16): Unit =
+    Tombstones.compact(spark, prefix, "vec_id",
+      Seq((cellsTable(prefix), "cid", buckets)))
+
+  // ---------------------------------------------------------------
+  // Bench fixtures (the r13 fixture-pricing rule: standing artifacts
+  // built once, timed runs pay only serving-path work)
+  // ---------------------------------------------------------------
+
+  private def benchFixture(spark: SparkSession,
+      dir: String): (String, DataFrame) =
+    BenchFixtures.memoized(spark, dir, "s6r") { prefix =>
+      import spark.implicits._
+      val e = graft.GraftSession.table(spark, dir, "embeddings")
+      val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
+      buildIndex(e, "vec_id", "embedding", cents, prefix)
+      val dead = e.filter(col("vec_id") % 9 === 0).select(col("vec_id"))
+      retractBatch(spark, dead, prefix)
+      dead.as[Long].toDF("vec_id")
+    }
+
+  /** Warm hook for Bench (fixture built outside timed runs). */
+  def warmBenchFixture(spark: SparkSession, dir: String): Unit = {
+    benchFixture(spark, dir); ()
+  }
+
+  /** Bench entry (`s6r_ivf_retract_serve`): the SERVED search cost
+    * with a standing takedown active — probe + exact rerank over
+    * live cell lists (the retraction's read-side price, comparable
+    * to the s3 family), fixture and centroid artifact standing.
+    */
+  def benchRetractServe(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, _) = benchFixture(spark, dir)
+    val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
+    val q = graft.GraftSession.table(spark, dir, "embeddings")
+      .filter(col("vec_id") < 64)
+    knnFromIndex(spark, q, "vec_id", "embedding", k = 5, cents,
+      nprobe = 2, prefix = prefix)
+  }
+
+  /** Bench entry (`tbc_tombstone_compact`): the compaction KERNEL —
+    * the standing cell-list index rewritten minus the standing dead
+    * set into a fresh bucketed table (compact's dominant cost; the
+    * swap and truncation are metadata operations). Repeatable: every
+    * timed run rewrites the same immutable inputs.
+    */
+  def benchCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, dead) = benchFixture(spark, dir)
+    val kept = spark.table(cellsTable(prefix))
+      .join(dead, Seq("vec_id"), "left_anti")
+    graft.sources.Bucketing.writeBucketed(
+      kept, s"${prefix}_cbench", "cid", 16)
+    spark.table(s"${prefix}_cbench")
+  }
+}

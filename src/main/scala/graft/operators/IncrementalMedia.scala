@@ -224,9 +224,20 @@ object IncrementalMedia {
     * scan per batch append — never per micro-batch).
     */
   def refreshHotBuckets(spark: SparkSession, prefix: String = "graft_media",
-      maxBucket: Int = 10000, buckets: Int = 8): Unit =
+      maxBucket: Int = 10000, buckets: Int = 8): Unit = {
     graft.sources.Bucketing.writeBucketed(
       hotBuckets(spark, prefix, maxBucket), s"${prefix}_hot", "bkey", buckets)
+    HotRefresh.stamp(spark, s"${prefix}_hot", prefix)
+  }
+
+  /** Re-census only when the retraction state moved since the last
+    * refresh ([[HotRefresh]]) — micro-batch-cadence takedown pickup.
+    */
+  def refreshHotBucketsIfStale(spark: SparkSession,
+      prefix: String = "graft_media", maxBucket: Int = 10000,
+      buckets: Int = 8): Unit =
+    if (HotRefresh.isStale(spark, s"${prefix}_hot", prefix))
+      refreshHotBuckets(spark, prefix, maxBucket, buckets)
 
   /** The index a SERVING consumer (the streaming gate) probes: full
     * postings minus the maintained hot set — a degenerate bucket

@@ -92,9 +92,21 @@ object IncrementalTrigram {
     * per micro-batch instead of re-counting the corpus.
     */
   def refreshHotTrigrams(spark: SparkSession, prefix: String = "graft_trigram",
-      cap: Int = PipelineQueries.ContamMaxDf, buckets: Int = 8): Unit =
+      cap: Int = PipelineQueries.ContamMaxDf, buckets: Int = 8): Unit = {
     graft.sources.Bucketing.writeBucketed(
       hotTrigrams(spark, prefix, cap), s"${prefix}_hot", "h", buckets)
+    HotRefresh.stamp(spark, s"${prefix}_hot", prefix)
+  }
+
+  /** Re-census only when the retraction state moved since the last
+    * refresh ([[HotRefresh]]) — the micro-batch-cadence hook that
+    * propagates a mid-stream takedown to the gate's exclusions.
+    */
+  def refreshHotTrigramsIfStale(spark: SparkSession,
+      prefix: String = "graft_trigram",
+      cap: Int = PipelineQueries.ContamMaxDf, buckets: Int = 8): Unit =
+    if (HotRefresh.isStale(spark, s"${prefix}_hot", prefix))
+      refreshHotTrigrams(spark, prefix, cap, buckets)
 
   /** Fold an ingest batch of TRAIN docs into the contamination-pair
     * table EXACTLY. `batchTris` is `PipelineQueries.trigramRows` of

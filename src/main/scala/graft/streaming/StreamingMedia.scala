@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *     the maintained hot-bucket census (a degenerate all-zero-pHash
   *     bucket would fan every trivial arriving asset out to the whole
   *     bucket); re-resolved per micro-batch, so assets admitted and
-  *     appended by this very pipeline are probed by the next one;
+  *     appended by this very pipeline are probed by the next one —
+  *     and a mid-stream takedown is picked up by running
+  *     `IncrementalMedia.refreshHotBucketsIfStale` at micro-batch
+  *     cadence (stale iff `Tombstones.version` moved; r16);
   *   - the STREAM side hashes each arriving asset with the
   *     EXPRESSION-FOLD pHash (`simhashHex` over char shingles) — a
   *     pure per-row map, no explode/aggregation, hence no state. The

@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions._
   * (`refreshHotWindows`, refreshed at batch-append cadence — one
   * exchange-free linear scan per batch, never a census per
   * micro-batch; the incremental merge keeps reading the full table,
-  * whose df census needs true counts).
+  * whose df census needs true counts). Retraction pickup (r16): a
+  * mid-stream takedown flips the census stale via
+  * `Tombstones.version` — run
+  * `IncrementalPassages.refreshHotWindowsIfStale` at micro-batch
+  * cadence (cheap no-op when quiescent) so the exclusion and the
+  * served index reflect the takedown within one micro-batch.
   */
 object StreamingPassages {
 

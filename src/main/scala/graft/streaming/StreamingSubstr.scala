@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *     maintains, minus the maintained hot exclusion (a boilerplate
   *     window would fan every arriving doc holding it out to its
   *     whole posting list); re-resolved per micro-batch, so docs
-  *     admitted by `admitBatch` are probed by the next one;
+  *     admitted by `admitBatch` are probed by the next one — and a
+  *     mid-stream takedown is picked up by running
+  *     `IncrementalExactSubstr.refreshHotWindowsIfStale` at
+  *     micro-batch cadence (stale iff `Tombstones.version` moved;
+  *     r16);
   *   - STREAM side: tokenize → the family's ONE window-position
   *     kernel (`ExactSubstr.windowPositions`, ts kept through the
   *     explode; watermark attaches BEFORE it so a windowless short
