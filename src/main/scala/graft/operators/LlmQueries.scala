@@ -2081,8 +2081,13 @@ object LlmQueries {
   val oracleIter: Map[String, (Seq[String], Seq[(String, String)], String)] = {
     val jacSetup = s"CREATE OR REPLACE TEMP TABLE __jedges AS " +
       s"WITH $jaccardPairCtes SELECT id_a, id_b FROM jac"
-    val mediaEdgesSetup = s"CREATE OR REPLACE TEMP TABLE __medges AS " +
-      s"WITH $m5PairCtes SELECT id_a, id_b FROM cand WHERE $m5HammingSql <= 3"
+    // m5 and e2e_media share ONE candidate materialization (the
+    // pHash pipeline is the expensive leg; check_oracle.py dedupes
+    // identical setup statements per process)
+    val mcandSetup = s"CREATE OR REPLACE TEMP TABLE __mcand AS WITH $m5PairCtes " +
+      s"SELECT id_a, id_b, CAST($m5HammingSql AS BIGINT) AS hamming FROM cand"
+    val mediaEdgesSetup = "CREATE OR REPLACE TEMP TABLE __medges AS " +
+      "SELECT id_a, id_b FROM __mcand WHERE hamming <= 3"
     Map(
       "d9_dedup_clusters" -> ((Seq(jacSetup), Seq(("__jedges", "__jcc")),
         """SELECT node AS doc_id, label AS cluster_id,
@@ -2095,12 +2100,12 @@ object LlmQueries {
         s"""WITH clusters AS (SELECT node, label AS cluster_id FROM __jcc),
           |$d16TailSql""".stripMargin)),
       "m5_phash_neardup" -> ((
-        Seq(s"CREATE OR REPLACE TEMP TABLE __mcand AS WITH $m5PairCtes " +
-          s"SELECT id_a, id_b, CAST($m5HammingSql AS BIGINT) AS hamming FROM cand"),
+        Seq(mcandSetup),
         Seq.empty,
         "SELECT id_a, id_b, hamming FROM __mcand WHERE hamming <= 3 " +
           "ORDER BY id_a, id_b")),
-      "e2e_media" -> ((Seq(mediaEdgesSetup), Seq(("__medges", "__mcc")),
+      "e2e_media" -> ((Seq(mcandSetup, mediaEdgesSetup),
+        Seq(("__medges", "__mcc")),
         s"""WITH clusters AS (SELECT node, label AS cluster_id FROM __mcc),
           |$e2eMediaTailSql""".stripMargin)))
   }

@@ -69,9 +69,16 @@ def run_cc_fixpoint(con, edges: str, labels: str) -> None:
             return
 
 
+_done_setups: set = set()
+
+
 def run_iter(con, plan) -> pd.DataFrame:
+    # d9/d14/d16 share one edge materialization (identical statement
+    # text) — run each setup once per process, not once per entry
     for stmt in plan["setup"]:
-        con.execute(stmt)
+        if stmt not in _done_setups:
+            con.execute(stmt)
+            _done_setups.add(stmt)
     for edges, labels in plan["cc"]:
         run_cc_fixpoint(con, edges, labels)
     return con.execute(plan["final"]).df()
@@ -90,6 +97,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str, use_iter: bool = False) -> int:
+    sys.stdout.reconfigure(line_buffering=True)  # progress visible when piped
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
