@@ -181,6 +181,17 @@ object IncrementalDedup {
     Tombstones.retract(spark, prefix,
       docIds.select(col(docIds.columns.head).as("id_b")), "id_b")
 
+  /** Fold the net-dead docs into BOTH index copies physically and
+    * truncate the tombstone history ([[Tombstones.compact]] — the
+    * per-claim (fp, id_b) rows make removal exact: a shared
+    * fingerprint keeps its surviving holders' rows).
+    */
+  def compact(spark: SparkSession, prefix: String = "graft_dedup",
+      buckets: Int = 32): Unit =
+    Tombstones.compact(spark, prefix, "id_b",
+      Seq((s"${prefix}_fp", "fp", buckets),
+        (s"${prefix}_bands", "bkey", buckets)))
+
   /** Fail fast on an `_fp` index predating the per-holder (fp, id_b)
     * row format: every read and append here resolves `id_b`, so an
     * fp-only index would otherwise die mid-plan with an opaque

@@ -117,6 +117,17 @@ object IncrementalExactSubstr {
     if (HotRefresh.isStale(spark, s"${prefix}_hot", prefix))
       refreshHotWindows(spark, prefix, cap, buckets)
 
+  /** Fold the net-dead docs into BOTH window layouts physically and
+    * truncate the tombstone history ([[Tombstones.compact]] rewrites
+    * each table under its own bucket key); the hot census re-derives
+    * on the next IfStale.
+    */
+  def compact(spark: SparkSession, prefix: String = "graft_substr",
+      buckets: Int = 32): Unit =
+    Tombstones.compact(spark, prefix, "doc_id",
+      Seq((s"${prefix}_wpos", "h", buckets),
+        (s"${prefix}_wdoc", "doc_id", buckets)))
+
   /** The index a serving consumer (the streaming gate) probes: full
     * position rows minus the maintained hot exclusion.
     */

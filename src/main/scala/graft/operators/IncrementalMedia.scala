@@ -239,6 +239,15 @@ object IncrementalMedia {
     if (HotRefresh.isStale(spark, s"${prefix}_hot", prefix))
       refreshHotBuckets(spark, prefix, maxBucket, buckets)
 
+  /** Fold the net-dead assets into `_band` physically and truncate
+    * the tombstone history ([[Tombstones.compact]]); the hot census
+    * re-derives on the next IfStale.
+    */
+  def compact(spark: SparkSession, prefix: String = "graft_media",
+      idCol: String = "media_id", buckets: Int = 32): Unit =
+    Tombstones.compact(spark, prefix, idCol,
+      Seq((s"${prefix}_band", "bkey", buckets)))
+
   /** The index a SERVING consumer (the streaming gate) probes: full
     * postings minus the maintained hot set — a degenerate bucket
     * (all-zero pHash of trivial assets) would fan every arriving

@@ -159,6 +159,15 @@ object IncrementalPassages {
     if (HotRefresh.isStale(spark, s"${prefix}_hot", prefix))
       refreshHotWindows(spark, prefix, cap, buckets)
 
+  /** Fold the net-dead docs into `_win` physically and truncate the
+    * tombstone history ([[Tombstones.compact]]); the hot census
+    * re-derives on the next IfStale.
+    */
+  def compact(spark: SparkSession, prefix: String = "graft_passages",
+      buckets: Int = 32): Unit =
+    Tombstones.compact(spark, prefix, "doc_id",
+      Seq((s"${prefix}_win", "h", buckets)))
+
   /** The index a SERVING consumer probes: full index minus the
     * maintained hot set — boilerplate windows carry no passage signal
     * and would fan a probe out to every doc containing them.

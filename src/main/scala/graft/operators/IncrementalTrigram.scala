@@ -108,6 +108,17 @@ object IncrementalTrigram {
     if (HotRefresh.isStale(spark, s"${prefix}_hot", prefix))
       refreshHotTrigrams(spark, prefix, cap, buckets)
 
+  /** Fold the net-dead docs into `_tri` physically and truncate the
+    * tombstone history ([[Tombstones.compact]] — run when the dead
+    * set approaches the broadcast limit); the hot census re-derives
+    * on the next IfStale (the version reset flips it stale). The
+    * `_panel` table is bench-keyed, never tombstoned, untouched.
+    */
+  def compact(spark: SparkSession, prefix: String = "graft_trigram",
+      buckets: Int = 32): Unit =
+    Tombstones.compact(spark, prefix, "doc_id",
+      Seq((s"${prefix}_tri", "h", buckets)))
+
   /** Fold an ingest batch of TRAIN docs into the contamination-pair
     * table EXACTLY. `batchTris` is `PipelineQueries.trigramRows` of
     * the new docs; `oldPairs` the current pair table at the same

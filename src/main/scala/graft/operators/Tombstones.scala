@@ -186,6 +186,18 @@ object Tombstones {
             // set's stats (same reasoning as live())
             val kept = spark.table(t).join(dead, Seq(idCol), "left_anti")
             graft.sources.Bucketing.writeBucketed(kept, staging, key, buckets)
+            // carry the family's graft.* table properties (banding
+            // stamps, hot-census versions) through the swap — a
+            // compact must never strip an index's format markers
+            val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+              .map(r => r.getString(0) -> r.getString(1))
+              .filter(_._1.startsWith("graft."))
+            if (props.nonEmpty) {
+              val kv = props.map { case (k, v) =>
+                s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+              }.mkString(", ")
+              spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ($kv)")
+            }
             graft.sources.Bucketing.dropTableAndLocation(spark, t)
             spark.sql(s"ALTER TABLE $staging RENAME TO $t")
           }
