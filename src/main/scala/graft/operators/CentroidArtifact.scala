@@ -57,14 +57,20 @@ object CentroidArtifact {
     Artifacts.path(spark, prefix, key)
 
   /** Centroids for the embeddings corpus at `dir`, learned at most
-    * once per (session, corpus version, config).
+    * once per (session, corpus version, config). The default
+    * NEGATIVE `sampleRate` is the GOVERNED learning set
+    * (`IvfIndex.governedLearnRate`): full-corpus Lloyd below 32,768
+    * vectors (driver scales — results unchanged), a bounded
+    * power-of-two hash-sample above it; the oracles replay the same
+    * rule from `count(*)`.
     */
   def embeddingCentroids(spark: SparkSession, dir: String, k: Int,
       iters: Int = 2, dims: Int = 64,
-      sampleRate: Double = 1.0): Seq[(Int, Seq[Double])] = {
+      sampleRate: Double = -1.0): Seq[(Int, Seq[Double])] = {
     val src = s"$dir/embeddings.parquet"
+    val srKey = if (sampleRate < 0) "gov" else sampleRate.toString
     val key = s"${spark.sparkContext.applicationId}|$src|${corpusStamp(spark, src)}" +
-      s"|k=$k|it=$iters|d=$dims|sr=$sampleRate"
+      s"|k=$k|it=$iters|d=$dims|sr=$srKey"
     // single-flight (the documentClusters rule): concurrent suites
     // sharing the session must not race two learnings onto the same
     // deterministic output path
@@ -91,10 +97,11 @@ object CentroidArtifact {
     */
   def pqCodebooks(spark: SparkSession, dir: String, m: Int, k: Int,
       iters: Int = 2, dims: Int = 64,
-      sampleRate: Double = 1.0): Seq[Seq[(Int, Seq[Double])]] = {
+      sampleRate: Double = -1.0): Seq[Seq[(Int, Seq[Double])]] = {
     val src = s"$dir/embeddings.parquet"
+    val srKey = if (sampleRate < 0) "gov" else sampleRate.toString
     val key = s"${spark.sparkContext.applicationId}|$src|${corpusStamp(spark, src)}" +
-      s"|pq|m=$m|k=$k|it=$iters|d=$dims|sr=$sampleRate"
+      s"|pq|m=$m|k=$k|it=$iters|d=$dims|sr=$srKey"
     val path = pqPaths.synchronized(pqPaths.getOrElseUpdate(key, {
       val e = table(spark, dir, "embeddings")
       val books = ProductQuantizer.learnCodebooks(e, "vec_id", "embedding",

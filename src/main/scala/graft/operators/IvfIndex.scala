@@ -108,6 +108,29 @@ object IvfIndex {
     transform(slice(array_sort(distStructs(v, cents)), 1, nprobe),
       s => s.getField("cid"))
 
+  /** Learning-set governance (r16) — the sample RATE for centroid /
+    * codebook learning, derived from the corpus count by integer
+    * arithmetic both engines replay exactly: below `base` vectors the
+    * learning set is the corpus (rate 1.0 — driver-scale results
+    * never move); above it the rate halves per count doubling
+    * (rate = 2^−j, j = bitlength(⌊n/base⌋), clamped to 24), so the
+    * learning set stays in [base/2, base) at ANY corpus size. The
+    * rates are exact powers of two, so `Sampling.hexThreshold` is an
+    * exact hex literal and the DuckDB mirror
+    * (`printf('%08x', 4294967296 >> j)`) is byte-identical. Centroid
+    * QUALITY needs a bounded sample, not every vector — only the
+    * final assignment is a full pass (the standard k-means-at-scale
+    * shape); without this, d13's adaptive-k learning alone was 1,362 s
+    * of the sf10 spot-sweep.
+    */
+  def governedLearnRate(n: Long, base: Long = 32768L): Double =
+    if (n < base) 1.0
+    else {
+      val j = math.min(24,
+        64 - java.lang.Long.numberOfLeadingZeros(n / base))
+      1.0 / (1L << j)
+    }
+
   /** Deterministic seeded k-means (Lloyd). Returns (cid → centroid)
     * sorted by cid; a cell that loses all members drops out (both
     * engines drop it identically). `iters` distributed agg passes.
@@ -117,15 +140,21 @@ object IvfIndex {
     * sample, not every vector; only the final ASSIGNMENT is a full
     * pass). The sample is engine-portable (same md5 rule as
     * `Sampling.hashSample`), so a sampled index stays SQL-replayable.
+    * A NEGATIVE `sampleRate` asks for the governed rate
+    * ([[governedLearnRate]] over this frame's count).
     */
   def learnCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 2, dims: Int = 64,
       sampleRate: Double = 1.0): Seq[(Int, Seq[Double])] = {
     val all = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // negative rate = GOVERNED: resolve from the corpus count (one
+    // count-pushdown pass, learn-time only)
+    val rate =
+      if (sampleRate < 0) governedLearnRate(all.count()) else sampleRate
     val e =
-      if (sampleRate >= 1.0) all
+      if (rate >= 1.0) all
       else all.filter(substring(md5(col("id").cast("string")), 1, 8) <
-        Sampling.hexThreshold(sampleRate))
+        Sampling.hexThreshold(rate))
     val seeds = e.orderBy(md5(col("id").cast("string")), col("id")).limit(k)
       .select(col("v")).collect()
     var cents: Seq[(Int, Seq[Double])] = seeds.toSeq.zipWithIndex.map {

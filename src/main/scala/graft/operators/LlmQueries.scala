@@ -751,30 +751,37 @@ object LlmQueries {
     */
   /** The corpus-side SRP bucket table, materialized once per
     * embeddings version and landed clustered on the bucket (the
-    * d8/d17 `materializedClustered` discipline): the 8-plane bucket
-    * assignment over ALL embeddings was recomputed on every s2 query
-    * run — the slowest non-conversion, non-floor driver entry in
-    * round 13 (3.03 s median). Serving reads the scan.
+    * d8/d17 `materializedClustered` discipline): the plane-projection
+    * bucket assignment over ALL embeddings was recomputed on every s2
+    * query run — the slowest non-conversion, non-floor driver entry
+    * in round 13 (3.03 s median). Serving reads the scan. GOVERNED
+    * (r16): the build derives the hash width from the corpus count
+    * (`Similarity.chooseNBits`, carried in the artifact's `nbits`
+    * column) and drops degenerate home buckets above the 128-occupant
+    * cap — per-bucket occupancy is bounded at any corpus size, where
+    * the previous fixed-8-bit artifact held ~N/256 per bucket and
+    * per-query rerank grew linearly with N.
     */
   private def srpCorpusIndex(spark: SparkSession, dir: String): DataFrame =
-    Artifacts.materializedClustered(spark, "srp8", dir, "embeddings.parquet",
+    Artifacts.materializedClustered(spark, "srpg", dir, "embeddings.parquet",
       Seq("bucket"))(
-      Similarity.srpIndex(table(spark, dir, "embeddings"), "vec_id", "embedding",
-        nBits = 8, dims = 64))
+      Similarity.srpIndexGoverned(table(spark, dir, "embeddings"),
+        "vec_id", "embedding"))
 
-  /** s10's twin: the norm-augmented MIPS bucket index (M² baked in at
-    * build time; query bucketing needs no corpus agg).
+  /** s10's twin: the norm-augmented MIPS bucket index (M² AND the
+    * count-derived width baked in at build time; query bucketing
+    * needs no corpus agg of any kind).
     */
   private def mipsCorpusIndex(spark: SparkSession, dir: String): DataFrame =
-    Artifacts.materializedClustered(spark, "srpm8", dir, "embeddings.parquet",
+    Artifacts.materializedClustered(spark, "srpmg", dir, "embeddings.parquet",
       Seq("bucket"))(
-      Similarity.mipsIndex(table(spark, dir, "embeddings"), "vec_id", "embedding",
-        nBits = 8, dims = 64))
+      Similarity.mipsIndexGoverned(table(spark, dir, "embeddings"),
+        "vec_id", "embedding"))
 
   def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    Similarity.bucketedKnnFromIndex(srpCorpusIndex(spark, dir),
-        e.filter(col("vec_id") < 64), "vec_id", "embedding", k = 5, nBits = 8)
+    Similarity.governedKnnFromIndex(srpCorpusIndex(spark, dir),
+        e.filter(col("vec_id") < 64), "vec_id", "embedding", k = 5)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -787,15 +794,6 @@ object LlmQueries {
       val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
-
-  /** DuckDB list of the Hamming-≤1 probe buckets of an 8-bit bucket
-    * expression — mirrors Similarity.probeSet.
-    */
-  private def srpProbeListSql(bucketExpr: String): String = {
-    val flips = (1 to 8).map(i =>
-      s"substr($bucketExpr, 1, ${i - 1}) || (CASE WHEN substr($bucketExpr, $i, 1) = '1' THEN '0' ELSE '1' END) || substr($bucketExpr, ${i + 1}, ${8 - i})")
-    (Seq(bucketExpr) ++ flips).mkString("[", ", ", "]")
-  }
 
   /** DuckDB expression for the 16×64 SRP bucket — the governed
     * kernels' maxBits width. Bit k depends only on plane k, so
@@ -833,25 +831,41 @@ object LlmQueries {
     (Seq(bucketExpr) ++ flips).mkString("[", ", ", "]")
   }
 
-  val s2KnnLshSql: String = {
-    val bucketExpr = srpBucketSql("v")
-    val probeList = srpProbeListSql("bucket")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+  /** The governed SRP serving chain as oracle CTEs — the shared
+    * replay of `srpIndexGoverned` + `governedKnnFromIndex` (s2's
+    * pipeline; s9/s12 grade it): width from count, 16-plane prefix
+    * truncation, the 128-occupant home-bucket drop on the INDEX side
+    * only, dynamic Hamming-≤1 probes for the `vec_id < 64` panel.
+    * Yields CTEs `e`, `b`, `ov`, `idx` and `q`.
+    */
+  private def governedServeCtes: String = {
+    val bucketExpr = srpBucketSql16("v")
+    val probeList = srpProbeListDynSql("bucket", "nbits")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |nb AS (SELECT ${nBitsSql("count(*)")} AS nbits FROM e),
+      |b AS (SELECT vec_id, v, substr($bucketExpr, 1, nbits) AS bucket, nbits FROM e, nb),
+      |ov AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > 128),
+      |idx AS (SELECT vec_id AS nid, v AS cv, bucket FROM b
+      |        WHERE bucket NOT IN (SELECT bucket FROM ov)),
       |q AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
-      |      FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 64)),
-      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
-      |      FROM q JOIN b c USING (bucket) WHERE c.vec_id != qid),
-      |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
-      |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      |      FROM (SELECT vec_id AS qid, v AS qv, bucket, nbits FROM b WHERE vec_id < 64))""".stripMargin
   }
 
-  /** DuckDB expression for the 8×`dims` SRP bucket of `vExpr` —
-    * srpBucketSql generalized to non-64 dimensionality (s10 buckets
-    * the norm-AUGMENTED dims+1 vectors).
+  val s2KnnLshSql: String =
+    s"""WITH $governedServeCtes,
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
+      |      FROM q JOIN idx USING (bucket) WHERE nid != qid),
+      |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB expression for the 16×`dims` SRP bucket of `vExpr` —
+    * srpBucketSql16 generalized to non-64 dimensionality (s10 buckets
+    * the norm-AUGMENTED dims+1 vectors at the governed maxBits width;
+    * the prefix property makes substr(·, 1, nbits) the nbits-wide
+    * bucket).
     */
-  private def srpBucketSqlDims(vExpr: String, dims: Int): String =
-    graft.functions.VectorFunctions.srpPlanes(8, dims).map { plane =>
+  private def srpBucketSqlDims16(vExpr: String, dims: Int): String =
+    graft.functions.VectorFunctions.srpPlanes(16, dims).map { plane =>
       val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
@@ -872,30 +886,34 @@ object LlmQueries {
     */
   def s10Mips(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    Similarity.mipsKnnFromIndex(mipsCorpusIndex(spark, dir),
+    Similarity.governedMipsFromIndex(mipsCorpusIndex(spark, dir),
         e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
       .orderBy(col("qid"), col("rank"))
   }
 
   val s10MipsSql: String = {
-    val bucket65 = srpBucketSqlDims("aug", 65)
-    val probeList = srpProbeListSql("bucket")
+    val bucket65 = srpBucketSqlDims16("aug", 65)
+    val probeList = srpProbeListDynSql("bucket", "nbits")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+      |m AS (SELECT max(list_dot_product(v, v)) AS m2,
+      |             ${nBitsSql("count(*)")} AS nbits FROM e),
       |c AS (
-      |  SELECT vec_id, v,
+      |  SELECT vec_id, v, nbits,
       |    list_append([x / sqrt(m2) for x in v],
       |      sqrt(greatest(0.0, 1.0 - list_dot_product(v, v) / m2))) AS aug
       |  FROM e CROSS JOIN m
-      |), cb AS (SELECT vec_id, v, $bucket65 AS bucket FROM c),
-      |q0 AS (SELECT vec_id AS qid, v AS qv, list_append(v, 0.0) AS aug
-      |       FROM e WHERE vec_id < 8),
-      |qb AS (SELECT qid, qv, $bucket65 AS bucket FROM q0),
+      |), cb AS (SELECT vec_id, v, nbits, substr($bucket65, 1, nbits) AS bucket FROM c),
+      |ov AS (SELECT bucket FROM cb GROUP BY bucket HAVING count(*) > 128),
+      |idx AS (SELECT vec_id, v, bucket FROM cb
+      |        WHERE bucket NOT IN (SELECT bucket FROM ov)),
+      |q0 AS (SELECT vec_id AS qid, v AS qv, list_append(v, 0.0) AS aug, nbits
+      |       FROM e CROSS JOIN (SELECT nbits FROM m) WHERE vec_id < 8),
+      |qb AS (SELECT qid, qv, nbits, substr($bucket65, 1, nbits) AS bucket FROM q0),
       |q AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket FROM qb),
       |s AS (
-      |  SELECT qid, cb.vec_id AS nid, list_dot_product(qv, cb.v) AS ip
-      |  FROM q JOIN cb USING (bucket) WHERE cb.vec_id != qid
+      |  SELECT qid, idx.vec_id AS nid, list_dot_product(qv, idx.v) AS ip
+      |  FROM q JOIN idx USING (bucket) WHERE idx.vec_id != qid
       |), r AS (
       |  SELECT qid, nid,
       |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS rank
@@ -970,8 +988,8 @@ object LlmQueries {
     val q = e.filter(col("vec_id") < 64)
     val truth = Similarity.bruteKnn(e, q, "vec_id", "embedding", 5)
       .select(col("qid"), col("nid"))
-    val approx = Similarity.bucketedKnn(e, q, "vec_id", "embedding",
-        k = 5, nBits = 8)
+    val approx = Similarity.governedKnnFromIndex(srpCorpusIndex(spark, dir),
+        q, "vec_id", "embedding", k = 5)
       .select(col("qid"), col("nid"), lit(1).as("hit"))
     truth.join(approx, Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
@@ -981,10 +999,8 @@ object LlmQueries {
       .orderBy(col("qid"))
   }
 
-  val s9RecallEvalSql: String = {
-    val bucketExpr = srpBucketSql("v")
-    val probeList = srpProbeListSql("bucket")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  val s9RecallEvalSql: String =
+    s"""WITH $governedServeCtes,
       |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
       |ts AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS sim
       |       FROM q0 CROSS JOIN e WHERE e.vec_id != qid),
@@ -992,11 +1008,8 @@ object LlmQueries {
       |    SELECT qid, nid,
       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |    FROM ts) WHERE rank <= 5),
-      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-      |qp AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
-      |       FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 64)),
-      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
-      |      FROM qp JOIN b c USING (bucket) WHERE c.vec_id != qid),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
+      |      FROM q JOIN idx USING (bucket) WHERE nid != qid),
       |approx AS (SELECT qid, nid FROM (
       |    SELECT qid, nid,
       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
@@ -1005,7 +1018,6 @@ object LlmQueries {
       |  CAST(count(a.nid) * 200000 AS BIGINT) AS recall_micro
       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
-  }
 
   /** §2.4 s3: true IVF ANN — k-means-learned centroids (deterministic
     * md5 seeding, 2 Lloyd iterations, 6-decimal centroid rounding)
@@ -1101,31 +1113,52 @@ object LlmQueries {
        |    FROM $asgn, generate_series(1, $dims) AS t(i) GROUP BY cid, i) u
        |  GROUP BY cid)""".stripMargin
 
-  /** Shared CTE prefix: deterministic seeding, two Lloyd iterations,
-    * and the final full-corpus assignment (`corpus` = vec_id, v, cid;
-    * `c1` = learned centroids) — the SQL replay of
-    * `IvfIndex.learnCentroids(iters=2)`, used by both the s3 IVF
-    * search oracle (fixed k=16) and the d13 SemDeDup oracle (k
-    * derived from the corpus size, `SemanticDedup.adaptiveK`).
-    * `kSql` is any scalar SQL expression for the cell count.
+  /** The learning-set governance CTEs (`lr`, `el`) — the SQL replay
+    * of `IvfIndex.governedLearnRate` + the md5 hash-sample: `lr.j` is
+    * the power-of-two exponent from `count(*)` (0 below 32,768 —
+    * driver scales learn on the full corpus and these CTEs are
+    * identities), `el` is the learning set. The threshold is an exact
+    * hex literal (`4294967296 >> j` = rate·2³², rates are powers of
+    * two), so Spark's `Sampling.hexThreshold` filter and this one
+    * keep byte-identical rows. Expects CTE `e` = (vec_id, v).
+    */
+  private val learnSampleCtes: String =
+    s"""lr AS (SELECT CASE WHEN count(*) < 32768 THEN 0
+      |            ELSE LEAST(24, length(bin(CAST(floor(count(*) / 32768.0) AS BIGINT)))) END AS j
+      |       FROM e),
+      |el AS (SELECT e.* FROM e, lr
+      |       WHERE lr.j = 0 OR substr(md5(vec_id::VARCHAR), 1, 8) <
+      |         printf('%08x', 4294967296 >> lr.j))""".stripMargin
+
+  /** Shared CTE prefix: the governed learning sample, deterministic
+    * seeding, two Lloyd iterations over the SAMPLE, and the final
+    * full-corpus assignment (`corpus` = vec_id, v, cid; `c1` =
+    * learned centroids) — the SQL replay of
+    * `IvfIndex.learnCentroids(iters=2, sampleRate=governed)`, used by
+    * both the s3 IVF search oracle (fixed k=16) and the d13 SemDeDup
+    * oracle (k derived from the corpus size,
+    * `SemanticDedup.adaptiveK`). `kSql` is any scalar SQL expression
+    * for the cell count.
     */
   private def ivfLearnedCorpusCtes(kSql: String): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$learnSampleCtes,
       |${ivfLearnedCorpusCtesNoE(kSql)}""".stripMargin
 
-  /** The same learning chain WITHOUT the leading `e` CTE — for
-    * composition into a WITH clause that already defines `e` (the s8
-    * oracle shares `e` between the IVF and PQ chains).
+  /** The same learning chain WITHOUT the leading `e`/`lr`/`el` CTEs —
+    * for composition into a WITH clause that already defines them
+    * (the s8 oracle shares `e` and the learning sample between the
+    * IVF and PQ chains).
     */
   private def ivfLearnedCorpusCtesNoE(kSql: String): String =
     s"""kv AS (SELECT $kSql AS k),
       |seeds AS (
       |  SELECT cid, v FROM (
       |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
-      |    FROM e) s, kv WHERE s.cid <= kv.k),
-      |${ivfAssignSql("seeds", "a0")},
+      |    FROM el) s, kv WHERE s.cid <= kv.k),
+      |${ivfAssignSql("seeds", "a0", vecSrc = "el")},
       |${ivfRecomputeSql("a0", "c0")},
-      |${ivfAssignSql("c0", "a1")},
+      |${ivfAssignSql("c0", "a1", vecSrc = "el")},
       |${ivfRecomputeSql("a1", "c1")},
       |${ivfAssignSql("c1", "corpus")}""".stripMargin
 
@@ -1242,13 +1275,14 @@ object LlmQueries {
     (0 until PqM).map { j =>
       val lo = j * PqSub + 1
       s"""e$j AS (SELECT vec_id, list_slice(v, $lo, ${lo + PqSub - 1}) AS v FROM e),
+        |el$j AS (SELECT vec_id, list_slice(v, $lo, ${lo + PqSub - 1}) AS v FROM el),
         |seeds$j AS (
         |  SELECT cid, v FROM (
         |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid, v
-        |    FROM e$j) s WHERE s.cid <= $PqK),
-        |${ivfAssignSql(s"seeds$j", s"a0$j", vecSrc = s"e$j")},
+        |    FROM el$j) s WHERE s.cid <= $PqK),
+        |${ivfAssignSql(s"seeds$j", s"a0$j", vecSrc = s"el$j")},
         |${ivfRecomputeSql(s"a0$j", s"c0$j", dims = PqSub)},
-        |${ivfAssignSql(s"c0$j", s"a1$j", vecSrc = s"e$j")},
+        |${ivfAssignSql(s"c0$j", s"a1$j", vecSrc = s"el$j")},
         |${ivfRecomputeSql(s"a1$j", s"c1$j", dims = PqSub)},
         |enc$j AS (
         |  SELECT vec_id, cid AS code, err2 FROM (
@@ -1262,6 +1296,7 @@ object LlmQueries {
 
   val s7PqEncodeSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$learnSampleCtes,
       |$pqSubChainsSql
       |SELECT vec_id, enc0.code AS code_1, enc1.code AS code_2,
       |  enc2.code AS code_3, enc3.code AS code_4,
@@ -1328,6 +1363,7 @@ object LlmQueries {
         |  JOIN c1$j ct ON ct.cid = en.code)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$learnSampleCtes,
       |$pqSubChainsSql,
       |${ivfLearnedCorpusCtesNoE("16")},
       |qp AS (
@@ -2020,8 +2056,8 @@ object LlmQueries {
     val q = e.filter(col("vec_id") < 64)
     val truth = Similarity.bruteKnn(e, q, "vec_id", "embedding", 5)
       .select(col("qid"), col("nid"), (lit(6L) - col("rank")).as("rel"))
-    val approx = Similarity.bucketedKnn(e, q, "vec_id", "embedding",
-        k = 5, nBits = 8)
+    val approx = Similarity.governedKnnFromIndex(srpCorpusIndex(spark, dir),
+        q, "vec_id", "embedding", k = 5)
       .select(col("qid"), col("nid"), col("rank"))
     approx.join(truth, Seq("qid", "nid"), "left")
       .withColumn("gain",
@@ -2034,9 +2070,7 @@ object LlmQueries {
   }
 
   val s12NdcgSql: String = {
-    val bucketExpr = srpBucketSql("v")
-    val probeList = srpProbeListSql("bucket")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH $governedServeCtes,
       |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
       |ts AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS sim
       |       FROM q0 CROSS JOIN e WHERE e.vec_id != qid),
@@ -2044,11 +2078,8 @@ object LlmQueries {
       |    SELECT qid, nid,
       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |    FROM ts) WHERE rank <= 5),
-      |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-      |qp AS (SELECT qid, qv, unnest(list_distinct($probeList)) AS bucket
-      |       FROM (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 64)),
-      |s AS (SELECT qid, c.vec_id AS nid, list_cosine_similarity(qv, c.v) AS sim
-      |      FROM qp JOIN b c USING (bucket) WHERE c.vec_id != qid),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
+      |      FROM q JOIN idx USING (bucket) WHERE nid != qid),
       |approx AS (SELECT qid, nid, rank FROM (
       |    SELECT qid, nid,
       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank

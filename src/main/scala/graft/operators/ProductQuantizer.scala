@@ -44,11 +44,16 @@ object ProductQuantizer {
     require(k <= IvfIndex.LiteralKMax,
       s"PQ codebooks are literal-compiled; k=$k exceeds ${IvfIndex.LiteralKMax}")
     val sub = dims / m
+    // governed rate resolved ONCE (one count) and shared by all m
+    // sub-learnings — the subspaces slice the same rows
+    val rate =
+      if (sampleRate < 0) IvfIndex.governedLearnRate(df.count())
+      else sampleRate
     (0 until m).map { j =>
       val sliced = df.select(col(idCol),
         slice(toDouble(col(vecCol)), j * sub + 1, sub).as("subv"))
       IvfIndex.learnCentroids(sliced, idCol, "subv",
-        k = k, iters = iters, dims = sub, sampleRate = sampleRate)
+        k = k, iters = iters, dims = sub, sampleRate = rate)
     }
   }
 

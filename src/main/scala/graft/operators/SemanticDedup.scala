@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * stays bounded as the corpus grows and the within-cell pairwise
   * work is N·cellSize, never N²/constant (a fixed k makes it
   * quadratic: N²/k). The derivation costs ONE count; centroid
-  * learning is 2 distributed agg passes (IvfIndex, which can also
-  * learn on a hash-sample at corpus scale); assignment is a narrow
-  * map against centroid literals; the only shuffle is the cell-id
-  * self-join. The whole pipeline (count→k, seeding, Lloyd,
+  * learning is 2 distributed agg passes over the GOVERNED learning
+  * sample (`IvfIndex.governedLearnRate` — the full corpus below
+  * 32,768 vectors, a bounded power-of-two hash-sample above, so
+  * Lloyd's cost stops growing with the corpus); assignment is a
+  * narrow map against centroid literals; the only shuffle is the
+  * cell-id self-join. The whole pipeline (count→k, seeding, Lloyd,
   * assignment, census) is deterministic and replays in the DuckDB
   * oracle (LlmQueries.d13SemanticDedupSql derives the same k in SQL).
   *
@@ -72,9 +74,14 @@ object SemanticDedup {
   def census(e: DataFrame, idCol: String, vecCol: String, tau: Double,
       targetCellSize: Long = DefaultTargetCellSize,
       learn: Option[Int => Seq[(Int, Seq[Double])]] = None): DataFrame = {
-    val k = adaptiveK(e.count(), targetCellSize)
+    val n = e.count()
+    val k = adaptiveK(n, targetCellSize)
+    // learning-set governance: Lloyd runs on the governed hash-sample
+    // (full corpus below 32,768 vectors); the count is already paid
+    // for adaptiveK, so the rate is resolved here, not re-counted
     val cents = learn.map(_(k))
-      .getOrElse(IvfIndex.learnCentroids(e, idCol, vecCol, k = k, iters = 2))
+      .getOrElse(IvfIndex.learnCentroids(e, idCol, vecCol, k = k, iters = 2,
+        sampleRate = IvfIndex.governedLearnRate(n)))
     val vecs = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
     // small k: compiled centroid-literal argmin (zero shuffle);
     // large k: the broadcast-join form — identical assignment

@@ -78,9 +78,10 @@ object Similarity {
     * clamped to [minBits, maxBits]. Integer arithmetic only
     * (⌈n/occ⌉ buckets → bit length of buckets−1) so every engine —
     * and the SQL oracles via floor/bin/length — derives the same
-    * width from the same count. Use at INDEX BUILD time (`srpIndex`
-    * pins its width into the artifact); the governed corpus-sweep
-    * kernels below derive it in-plan per run.
+    * width from the same count. [[srpIndexGoverned]] /
+    * [[mipsIndexGoverned]] pin it into the serving artifact at build
+    * time; the governed corpus-sweep kernels below derive it in-plan
+    * per run.
     */
   def chooseNBits(n: Long, targetOccupancy: Int = 16, minBits: Int = 4,
       maxBits: Int = 16): Int = {
@@ -305,6 +306,15 @@ object Similarity {
     * relative to the corpus, so the extra probes are free. A pair
     * within the radius matches on exactly one probe row, so no
     * distinct pass.
+    *
+    * Why this kernel keeps a FIXED width while the corpus-sweep and
+    * serving kernels are occupancy-governed: the width here IS the
+    * recall radius (Hamming ≤ 2 of an 8-bit hash = a fixed angular
+    * net the gate promises to cover), and the candidate count is
+    * corpus × panel-collision-rate — LINEAR in the corpus with no
+    * within-bucket quadratic term, because the corpus side only ever
+    * joins the broadcast panel, never itself. Growing the width with
+    * the corpus would silently NARROW the promised radius.
     */
   def multiProbeCrossPairs(corpus: DataFrame, panel: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
@@ -393,11 +403,116 @@ object Similarity {
     mipsKnnFromIndex(mipsIndex(corpus, idCol, vecCol, nBits, dims),
       queries, idCol, vecCol, k, nBits, dims)
 
-  /** The corpus side of `bucketedKnn` as a standing index —
-    * (bucket, nid, cv): what a serving deployment materializes once
-    * per corpus version (the bucket assignment is nBits plane dot
-    * products per vector; recomputing it on every query run was the
-    * slowest non-conversion driver entry in round 13).
+  /** GOVERNED artifact-served SRP index — what a serving deployment
+    * materializes once per corpus version: (bucket, nbits, nid, cv)
+    * with the hash width derived from the corpus count at build time
+    * (the [[chooseNBits]] arithmetic, in-plan — one 1-row agg
+    * broadcast, never a collect) and degenerate home buckets above
+    * `capFactor × targetOccupancy` occupants DROPPED at build (the
+    * [[governedKnn]] index-side cap, baked into the artifact so
+    * serving gets it for free). The width rides IN the index as the
+    * constant `nbits` column (RLE-free under parquet), so a serving
+    * run reads it from the artifact instead of re-counting the
+    * corpus — a fixed-width index (`srpIndex`) holds ~N/2^8 vectors
+    * per bucket and its per-query rerank grows linearly with corpus
+    * size; this one holds ≤ cap per bucket at any scale.
+    */
+  def srpIndexGoverned(corpus: DataFrame, idCol: String, vecCol: String,
+      targetOccupancy: Int = 16, capFactor: Int = 8, minBits: Int = 4,
+      maxBits: Int = 16, dims: Int = 64): DataFrame = {
+    val b = governedBuckets(corpus, idCol, vecCol, targetOccupancy, minBits,
+      maxBits, dims)
+    b.join(broadcast(oversizedBuckets(b, capFactor * targetOccupancy)),
+        Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("nbits"), col("id").as("nid"),
+        col("v").as("cv"))
+  }
+
+  /** Serving against a [[srpIndexGoverned]] artifact: queries bucket
+    * at `maxBits` and truncate to the INDEX's stamped width (one
+    * 1-row read of the constant `nbits` column, broadcast — the
+    * corpus is never re-counted and never re-bucketed), then probe
+    * their Hamming-≤1 neighborhood at that width. Queries are never
+    * capped — one living in a bucket the build dropped still probes
+    * its flips. Same honest shorter-than-k contract as
+    * [[governedKnn]].
+    */
+  def governedKnnFromIndex(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxBits: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val nbitsRow = index.select(col("nbits")).limit(1)
+    val q = queries
+      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qb16", srpBucket(col("qv"), maxBits, dims))
+      .crossJoin(broadcast(nbitsRow))
+      .withColumn("qbucket", col("qb16").substr(lit(1), col("nbits")))
+      .select(col("qid"), col("qv"),
+        explode(probeSetDyn(col("qbucket"), col("nbits"), maxBits)).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    index.join(q, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** GOVERNED MIPS index — [[mipsIndex]] with the same build-time
+    * occupancy governance as [[srpIndexGoverned]]: M² (the corpus max
+    * squared norm) and the corpus count come from ONE combined 1-row
+    * agg (single corpus pass, broadcast back), the norm-augmented
+    * dims+1 bucket is truncated to the count-derived width, and
+    * degenerate home buckets are dropped at build. Queries bucket as
+    * [q ; 0], which needs neither M² nor the count at serve time.
+    */
+  def mipsIndexGoverned(corpus: DataFrame, idCol: String, vecCol: String,
+      targetOccupancy: Int = 16, capFactor: Int = 8, minBits: Int = 4,
+      maxBits: Int = 16, dims: Int = 64): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+    val stats = c0.agg(max(norm2(col("cv"))).as("m2"), count(lit(1)).as("n"))
+    val b = Checkpoints.cut(c0.crossJoin(broadcast(stats))
+      .withColumn("aug", concat(
+        transform(col("cv"), x => x / sqrt(col("m2"))),
+        array(sqrt(greatest(lit(0.0), lit(1.0) - norm2(col("cv")) / col("m2"))))))
+      .withColumn("b16", srpBucket(col("aug"), maxBits, dims + 1))
+      .withColumn("nbits", nBitsCol(col("n"), targetOccupancy, minBits, maxBits))
+      .select(col("b16").substr(lit(1), col("nbits")).as("bucket"),
+        col("nbits"), col("nid"), col("cv")))
+    b.join(broadcast(oversizedBuckets(b, capFactor * targetOccupancy)),
+        Seq("bucket"), "left_anti")
+  }
+
+  /** Serving against a [[mipsIndexGoverned]] artifact — the
+    * [[governedKnnFromIndex]] shape with the [q ; 0] augmentation and
+    * the true-inner-product rerank. */
+  def governedMipsFromIndex(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxBits: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val nbitsRow = index.select(col("nbits")).limit(1)
+    val q = queries
+      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qb16",
+        srpBucket(concat(col("qv"), array(lit(0.0))), maxBits, dims + 1))
+      .crossJoin(broadcast(nbitsRow))
+      .withColumn("qbucket", col("qb16").substr(lit(1), col("nbits")))
+      .select(col("qid"), col("qv"),
+        explode(probeSetDyn(col("qbucket"), col("nbits"), maxBits)).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("nid"))
+    index.join(q, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("ip"))
+  }
+
+  /** The corpus side of `bucketedKnn` as a standing index at a
+    * PINNED width — (bucket, nid, cv). Per-bucket occupancy is
+    * ~N/2^nBits, so per-query rerank grows linearly with corpus
+    * size; the shipped serving artifact is [[srpIndexGoverned]],
+    * whose width tracks the corpus count. This fixed form remains
+    * for callers that pin the width deliberately (the scaling bench's
+    * ungoverned comparison arm, radius-semantics probes).
     */
   def srpIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 8, dims: Int = 64): DataFrame =
@@ -439,6 +554,8 @@ object Similarity {
     * product rerank. M² (the corpus max squared norm) is baked into
     * the index at build time; queries bucket as [q ; 0], which needs
     * no M², so serving never recomputes the corpus agg either.
+    * Fixed-width form — the shipped serving artifact is
+    * [[mipsIndexGoverned]].
     */
   def mipsIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 8, dims: Int = 64): DataFrame = {

@@ -270,19 +270,23 @@ class PlanSpec extends SparkSpec {
 
   test("s2/s10 serve the corpus SRP bucket tables from materialized artifacts") {
     // warm both indexes, then the serving plans must scan the landed
-    // tables (path prefixes srp8_/srpm8_) instead of re-running the
-    // 8-plane bucket assignment (+ the MIPS max-norm agg) over all
-    // embeddings per query run
+    // GOVERNED tables (path prefixes srpg_/srpmg_) instead of
+    // re-running the plane bucket assignment (+ the MIPS max-norm agg
+    // + the width-deriving count) over all embeddings per query run
     LlmQueries.s2KnnLsh(spark, sf0).count()
     LlmQueries.s10Mips(spark, sf0).count()
     val s2 = executed(LlmQueries.s2KnnLsh(spark, sf0))
-    assert(s2.contains("srp8_"),
-      s"s2 must read the SRP bucket artifact:\n${s2.take(2000)}")
+    assert(s2.contains("srpg_"),
+      s"s2 must read the governed SRP bucket artifact:\n${s2.take(2000)}")
     val s10 = executed(LlmQueries.s10Mips(spark, sf0))
-    assert(s10.contains("srpm8_"),
-      s"s10 must read the MIPS bucket artifact:\n${s10.take(2000)}")
+    assert(s10.contains("srpmg_"),
+      s"s10 must read the governed MIPS bucket artifact:\n${s10.take(2000)}")
     assert(!s10.contains("max("),
       "serving MIPS must not recompute the corpus max-norm agg")
+    // the stamped width comes from a 1-row limit read of the
+    // artifact, not a re-count of the corpus
+    assert(!s2.contains("count(") && !s10.contains("count("),
+      "serving must not re-derive the hash width from a corpus count")
   }
 
   test("d17 serves its fused corpus pass from the materialized artifact") {

@@ -103,4 +103,88 @@ class SimilarityGovernanceSpec extends SparkSpec {
     assert(graph.exists(g => isDeg(g._1)),
       "queries living in a dropped bucket must still get neighbors")
   }
+
+  test("governed serving index: width stamped, degenerate buckets dropped at build") {
+    val idx = Similarity.srpIndexGoverned(corpus, "vec_id", "embedding")
+    val want = Similarity.chooseNBits(corpus.count())
+    val widths = idx.select($"nbits").distinct().as[Int].collect()
+    assert(widths.toSeq === Seq(want),
+      "the artifact must carry exactly the count-derived width")
+    val lens = idx.select(length($"bucket")).distinct().as[Int].collect()
+    assert(lens.toSeq === Seq(want), "bucket ids truncated to the width")
+    assert(idx.filter($"nid" >= 5000L && $"nid" < 5300L).count() === 0L,
+      "the 300-copy template direction must be dropped at build time")
+    val occ = idx.groupBy($"bucket").count().agg(max($"count")).as[Long].head()
+    assert(occ <= 128L, s"home-bucket occupancy $occ above the cap survived")
+  }
+
+  test("serving from the governed index ≡ the in-plan governed knn") {
+    val q = corpus.filter($"vec_id" < 50L || $"vec_id" >= 9000L)
+    val served = Similarity.governedKnnFromIndex(
+        Similarity.srpIndexGoverned(corpus, "vec_id", "embedding"),
+        q, "vec_id", "embedding", k = 3)
+      .select($"qid", $"rank".cast("long"), $"nid").as[(Long, Long, Long)]
+      .collect().toSet
+    val inPlan = Similarity.governedKnn(corpus, q, "vec_id", "embedding", k = 3)
+      .select($"qid", $"rank".cast("long"), $"nid").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(served === inPlan,
+      "the artifact-served path must reproduce the in-plan kernel row-for-row")
+    assert(served.exists(g => g._1 == 9001L && g._2 == 1L && g._3 == 9002L),
+      "planted near-dup is the served top-1")
+  }
+
+  test("governed learn rate: full corpus below base, bounded power-of-two sample above") {
+    import IvfIndex.governedLearnRate
+    assert(governedLearnRate(0) === 1.0)
+    assert(governedLearnRate(32767) === 1.0, "below base: learn on everything")
+    assert(governedLearnRate(32768) === 0.5)
+    assert(governedLearnRate(65535) === 0.5)
+    assert(governedLearnRate(200000) === 0.125, "the sf10 embeddings point")
+    assert(governedLearnRate(2000000) === 1.0 / 64)
+    // expected sample size stays in [base/2, base) up to the rate
+    // clamp (2^-24, reached at n = 2^39 ≈ 5.5e11 vectors)
+    (32768L until (1L << 39) by ((1L << 39) / 97)).foreach { n =>
+      val s = n * governedLearnRate(n)
+      assert(s >= 16384.0 - 1 && s < 32768.0,
+        s"n=$n: expected learning-set size $s outside [base/2, base)")
+    }
+    assert(governedLearnRate(1L << 45) === 1.0 / (1 << 24), "clamp floor")
+    // every governed rate is an exact power of two, so the hex
+    // threshold both engines compare against is exact
+    Seq(32768L, 100000L, 1 << 22, 1L << 33).foreach { n =>
+      val r = governedLearnRate(n)
+      val bits = math.round(math.log(1 / r) / math.log(2)).toInt
+      assert(r === 1.0 / (1L << bits))
+      assert(Sampling.hexThreshold(r) ===
+        f"${(4294967296L >> bits)}%08x", s"inexact threshold at n=$n")
+    }
+  }
+
+  test("governed MIPS index: norm ordering preserved, width stamped") {
+    // collinear plants: cosine ties at 1.0, the inner product must
+    // order by norm THROUGH the governed artifact path
+    val dirV = (0 until 64).map(i => math.sin(i * 1.3).toFloat)
+    def scaled(s: Float) = dirV.map(_ * s)
+    val plants = Seq((9101L, scaled(1f)), (9102L, scaled(2f)), (9103L, scaled(3f)))
+    val c = ((0L until 700L).map(i => (i, hashVec(i))) ++ plants)
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.mipsIndexGoverned(c, "vec_id", "embedding")
+    val widths = idx.select($"nbits").distinct().as[Int].collect()
+    assert(widths.toSeq === Seq(Similarity.chooseNBits(c.count())))
+    val query = Seq((9999L, scaled(1f))).toDF("vec_id", "embedding")
+    val res = Similarity.governedMipsFromIndex(idx, query,
+        "vec_id", "embedding", k = 3)
+      .orderBy($"rank").select($"nid", $"ip").as[(Long, Double)].collect()
+    // the max-norm plant shares the query's augmented bucket exactly
+    // ([x/M ; 0] and [q ; 0] are positively proportional) and its
+    // inner product dwarfs any background candidate — MIPS's whole
+    // point is surfacing the BIG collinear vector first. (The smaller
+    // plants live in other buckets by construction: the augmentation
+    // separates norms — that is the reduction working, not a miss.)
+    assert(res.head._1 === 9103L,
+      s"governed MIPS top-1 must be the max-norm plant, got ${res.toSeq}")
+    assert(res.map(_._2).toSeq === res.map(_._2).sortBy(-_).toSeq,
+      "served inner products must descend with rank")
+  }
 }

@@ -262,9 +262,10 @@ class SimilaritySpec extends SparkSpec {
       assert(hits === expected(q), s"query $q: entry says $hits, recompute says ${expected(q)}")
     }
     // non-vacuous: the LSH index finds SOME true neighbors. (The mean
-    // recall itself is the entry's output, not a spec constant — on
-    // this corpus 8-bit SRP recall@5 is genuinely low, ~0.12, which
-    // is precisely the kind of number the eval exists to surface.)
+    // recall itself is the entry's output, not a spec constant — SRP
+    // recall@5 on this corpus is genuinely low at any occupancy-
+    // governed width, which is precisely the kind of number the eval
+    // exists to surface.)
     assert(out.map(_._2).sum > 0L, "LSH found no true neighbors at all")
   }
 
