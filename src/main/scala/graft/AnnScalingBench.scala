@@ -57,7 +57,9 @@ object AnnScalingBench {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val cents = IvfIndex.learnCentroids(vecs, "vec_id", "embedding",
-          k = k, iters = 2, dims = 64, sampleRate = math.min(1.0, 16384.0 / n))
+          k = k, iters = 2, dims = 64,
+          // the SHIPPED learning-set governance (r16)
+          sampleRate = IvfIndex.governedLearnRate(n))
         val res = IvfIndex.ivfKnn(vecs, vecs.filter(col("vec_id") < 64),
           "vec_id", "embedding", k = 5, cents, nprobe = 2)
         res.count()

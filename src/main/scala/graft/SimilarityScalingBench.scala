@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *     (linear · log-width);
   *   - ungoverned fixed-8-bit at 1×/2×/4× only (its 8× point is the
   *     measured quadratic blow-up this kernel exists to avoid —
-  *     capped for bench wall time, growth already evident at 4×).
+  *     capped for bench wall time, growth already evident at 4×);
+  *   - the artifact-SERVED path (r16): build the governed index once,
+  *     probe a fixed 64-query panel — serve wall must stay ~flat at
+  *     1×→8× corpus (occupancy is cap-bounded by the build-time
+  *     width, so per-query work does not grow with N).
   *
   * Output-row counts are reported alongside wall so a growth claim
   * can never hide behind emptier results.
@@ -98,6 +102,28 @@ object SimilarityScalingBench {
         f"nbits= 8 wall=$s%7.2fs rows=$out%9d")
       (mult, s)
     }
+    // the artifact-SERVED path (s2's shape, r16): the governed index
+    // is built once per corpus version; what a serving tier pays per
+    // query run is the PROBE of a fixed panel against the standing
+    // bucket table. With occupancy pinned by the build-time width,
+    // serve wall should stay ~flat while the corpus grows 8×.
+    val sRows = Seq(1, 2, 4, 8).map { mult =>
+      val df = staged(mult)
+      val n = df.count()
+      val idxPath = s"$scratch/idx_$mult"
+      val tb = System.nanoTime()
+      operators.Similarity.srpIndexGoverned(df, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(idxPath)
+      val build = (System.nanoTime() - tb) / 1e9
+      val idx = spark.read.parquet(idxPath)
+      val panel = df.filter(col("vec_id") < 64)
+      val (serve, out) = time(
+        operators.Similarity.governedKnnFromIndex(idx, panel,
+          "vec_id", "embedding", k = 5).count())
+      println(f"[simscale] served     mult=$mult%2d vectors=$n%8d " +
+        f"build=$build%7.2fs serve=$serve%7.2fs rows=$out%6d")
+      (mult, serve)
+    }
     val gSteps = gRows.zip(gRows.tail).map { case ((pm, a), (m, b)) =>
       f"${b / a}%.2f× at $pm×→$m×"
     }
@@ -106,6 +132,9 @@ object SimilarityScalingBench {
     println(f"[simscale] fixed-8-bit 1×→4× growth: " +
       f"${fRows.last._2 / fRows.head._2}%.1f× (quadratic within-bucket — " +
       "the r15 sweep's 45×-at-10× shape)")
+    println(f"[simscale] served-panel growth 1×→8×: " +
+      f"${sRows.last._2 / sRows.head._2}%.2f× for 8× corpus " +
+      "(bounded occupancy — per-query work is cap-bounded, not N-bounded)")
     spark.stop()
   }
 }

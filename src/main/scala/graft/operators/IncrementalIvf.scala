@@ -33,7 +33,7 @@ object IncrementalIvf {
 
   /** Nearest-centroid assignment in the index's row shape
     * (cid, vec_id, v) — literal-expression form for small k,
-    * broadcast-join form past `IvfIndex.LiteralKMax` (same argmin,
+    * codegen’d NearestCell form past `IvfIndex.LiteralKMax` (same argmin,
     * spec-pinned equal in IvfIndex).
     */
   private def assign(df: DataFrame, idCol: String, vecCol: String,

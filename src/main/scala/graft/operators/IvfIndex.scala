@@ -35,9 +35,9 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Above this cell count, assignment switches from the compiled
-    * centroid-literal expression to the broadcast-join form
-    * (`assignCells`) — same math, join-shaped instead of a huge
-    * expression tree.
+    * centroid-literal expression to the codegen’d NearestCell form
+    * (`assignCells`) — same math, one reference-object loop instead
+    * of a huge expression tree.
     */
   val LiteralKMax = 256
 
@@ -61,47 +61,35 @@ object IvfIndex {
   def nearestCid(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     array_min(distStructs(v, cents)).getField("cid")
 
-  /** Cell assignment via a broadcast centroid TABLE — the large-k
-    * path. The literal form (`nearestCid`) compiles k (dist, cid)
-    * terms into ONE expression: ideal for k up to a few hundred
-    * (codegen'd, zero join, zero shuffle), but a derived
-    * k = N/targetCellSize grows with the corpus and a 10⁴+-term
-    * expression tree breaks codegen. This form computes the SAME
-    * argmin as data: vectors × broadcast(centroids) → per-vector
-    * `min(struct(d, cid))` with map-side partial aggregation, so the
-    * shuffle carries one row per vector, never N×k. The per-pair
-    * math (sequential Σ(v−c)² in doubles, ties by cid) is identical
-    * to the literal form — both paths assign every vector to the
-    * same cell (spec-pinned), so a pipeline can switch on k without
-    * changing results. Driver/broadcast cost is the k×dims centroid
-    * table itself — the ceiling of THIS design is a centroid set too
-    * big to broadcast (~10⁶ cells), where a hierarchical index takes
-    * over.
-    *
-    * PRECONDITION: `idCol` is unique. The group-by here collapses
-    * duplicate ids to ONE output row (an arbitrary vector among
-    * them), while the literal `nearestCid` path emits one row per
-    * input row — non-unique ids silently break the "both paths
-    * agree" contract and undercount any census built on the output.
-    * Every in-repo caller feeds primary-key ids (embeddings.doc_id,
-    * learnCentroids' sampled ids); dedupe first if yours are not.
+  /** Cell assignment at large k — one narrow map through the
+    * codegen'd [[graft.functions.NearestCell]] argmin (the centroid
+    * matrix rides as a codegen reference object; generated Java loops
+    * k×dims with zero allocation). The literal form (`nearestCid`)
+    * compiles k (dist, cid) terms into ONE expression tree — ideal to
+    * a few hundred cells, broken by the corpus-derived
+    * k = N/targetCellSize beyond that; this path has no tree-size
+    * ceiling. (r16 session 2: the previous crossJoin-every-centroid +
+    * groupBy-min form materialized N×k array-carrying rows through a
+    * hash aggregate — 78 M intermediate rows for d13's sf10
+    * assignment — to compute the same per-row argmin; an
+    * `array_min(transform(...))` HOF attempt ran interpreted with a
+    * per-centroid allocation and measured SLOWER than the join.)
+    * The per-pair math (sequential Σ(v−c)² in doubles, ties by cid)
+    * is identical to the literal form — both paths assign every
+    * vector to the same cell (spec-pinned), so a pipeline can switch
+    * on k without changing results. The matrix ships once per stage
+    * in the broadcast task binary — the ceiling of THIS design is a
+    * centroid set too big to ship (~10⁶ cells), where a hierarchical
+    * index takes over.
     *
     * Input: (`idCol`, `vCol`: array<double>). Output: (idCol, vCol,
-    * cid).
+    * cid) — one row per input row (duplicate ids pass through, same
+    * as the literal path).
     */
   def assignCells(vecs: DataFrame, idCol: String, vCol: String,
-      cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cdf = cents.toDF("cid", "cv")
-    val diff = zip_with(col(vCol), col("cv"), (x, y) => x - y)
-    vecs.crossJoin(broadcast(cdf))
-      .withColumn("dc", struct(ArrayDotProduct(diff, diff).as("d"), col("cid")))
-      .groupBy(col(idCol))
-      // every row of a group carries the same vector, so first() is
-      // value-deterministic here
-      .agg(first(col(vCol)).as(vCol), min(col("dc")).getField("cid").as("cid"))
-  }
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    vecs.select(col(idCol), col(vCol),
+      graft.functions.NearestCell(col(vCol), cents).as("cid"))
 
   /** The `nprobe` nearest centroid ids, nearest first. */
   def probeCids(v: Column, cents: Seq[(Int, Seq[Double])], nprobe: Int): Column =

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * sample (`IvfIndex.governedLearnRate` — the full corpus below
   * 32,768 vectors, a bounded power-of-two hash-sample above, so
   * Lloyd's cost stops growing with the corpus); assignment is a
-  * narrow map against centroid literals; the only shuffle is the
-  * cell-id self-join. The whole pipeline (count→k, seeding, Lloyd,
+  * narrow map at any k (centroid literals small, the codegen'd
+  * NearestCell loop large); the only shuffle is the cell-id
+  * self-join. The whole pipeline (count→k, seeding, Lloyd,
   * assignment, census) is deterministic and replays in the DuckDB
   * oracle (LlmQueries.d13SemanticDedupSql derives the same k in SQL).
   *
@@ -43,7 +44,8 @@ object SemanticDedup {
     * ~131k cosine ops per cell — small enough that a cell is one
     * task. Assignment switches representation with k (IvfIndex
     * .LiteralKMax): compiled centroid literals for small k, a
-    * broadcast centroid table for large k — same argmin either way.
+    * codegen’d reference-object argmin (functions.NearestCell) for
+    * large k — same argmin either way.
     * The design ceiling is a centroid set too big to broadcast
     * (~10⁶ cells ≈ 5·10⁸ vectors at this cell size); beyond that a
     * corpus shards or a hierarchical (two-level) index takes over.
@@ -84,7 +86,7 @@ object SemanticDedup {
         sampleRate = IvfIndex.governedLearnRate(n)))
     val vecs = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
     // small k: compiled centroid-literal argmin (zero shuffle);
-    // large k: the broadcast-join form — identical assignment
+    // large k: the codegen’d NearestCell form — identical assignment
     // (IvfIndex.assignCells Scaladoc), so the oracle replay holds on
     // either path
     val v =

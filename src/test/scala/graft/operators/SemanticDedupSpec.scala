@@ -43,7 +43,7 @@ class SemanticDedupSpec extends SparkSpec {
       s"per-cell pairwise work must be bounded: $totalPairs vs $unsplit unsplit")
   }
 
-  test("large-k broadcast-join assignment equals the literal argmin, cell by cell") {
+  test("large-k codegen’d assignment equals the literal argmin, cell by cell") {
     import org.apache.spark.sql.functions._
     val dims = 8
     val df = (0 until 1200).map { id =>

@@ -100,8 +100,12 @@ def main(sf_dir: str, out_dir: str, use_iter: bool = False) -> int:
     sys.stdout.reconfigure(line_buffering=True)  # progress visible when piped
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single-file tables; MakeScale-derived
+        # scales are Spark parquet DIRECTORIES — glob those
+        p = Path(sf_dir, f"{t}.parquet")
+        pat = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     iter_path = Path(out_dir, "oracle_iter.json")
