@@ -760,7 +760,12 @@ object LlmQueries {
     * column) and drops degenerate home buckets above the 128-occupant
     * cap — per-bucket occupancy is bounded at any corpus size, where
     * the previous fixed-8-bit artifact held ~N/256 per bucket and
-    * per-query rerank grew linearly with N.
+    * per-query rerank grew linearly with N. Retraction contract: this
+    * artifact derives from the SOURCE embeddings table and is keyed
+    * by its corpus stamp — a takedown lands as a new corpus version
+    * and the next serve rebuilds against it (version-stamped rebuild,
+    * not the tombstone lifecycle the incremental doc/asset/IVF
+    * indexes carry — those fold takedowns without rebuilding).
     */
   private def srpCorpusIndex(spark: SparkSession, dir: String): DataFrame =
     Artifacts.materializedClustered(spark, "srpg", dir, "embeddings.parquet",
