@@ -58,8 +58,9 @@ object AnnScalingBench {
         val t0 = System.nanoTime()
         val cents = IvfIndex.learnCentroids(vecs, "vec_id", "embedding",
           k = k, iters = 2, dims = 64,
-          // the SHIPPED learning-set governance (r16)
-          sampleRate = IvfIndex.governedLearnRate(n))
+          // negative = the SHIPPED learning-set governance (r16,
+          // k-aware base)
+          sampleRate = -1.0)
         val res = IvfIndex.ivfKnn(vecs, vecs.filter(col("vec_id") < 64),
           "vec_id", "embedding", k = 5, cents, nprobe = 2)
         res.count()

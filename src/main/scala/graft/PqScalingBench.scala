@@ -68,9 +68,10 @@ object PqScalingBench {
       val vecs = spark.read.parquet(path)
       val n = vecs.count()
       val k = SemanticDedup.adaptiveK(n)
-      // the SHIPPED learning-set governance (r16) — the bench measures
-      // the discipline the entries actually run, not a bench-local rate
-      val sr = IvfIndex.governedLearnRate(n)
+      // the SHIPPED learning-set governance (r16, k-aware base) —
+      // the bench measures the discipline the entries actually run,
+      // not a bench-local rate (negative = resolve inside the learner)
+      val sr = -1.0
 
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst argmin over a fixed centroid table: for an
   * `array<double>` vector column, the cid of the nearest centroid by
@@ -30,13 +31,35 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * the ceiling is the same k×dims table the other forms broadcast
   * (~10⁶ cells), where a hierarchical index takes over.
   */
-case class NearestCell(child: Expression, cids: Array[Int],
-    cents: Array[Array[Double]]) extends UnaryExpression {
+case class NearestCell(child: Expression, cids: Seq[Int],
+    cents: Seq[Seq[Double]]) extends UnaryExpression {
 
+  // Seq fields (not Array): case-class equality stays STRUCTURAL, so
+  // two instances built from the same centroid table canonicalize
+  // together and subexpression elimination / plan-fragment reuse see
+  // them as equal — Array fields compare by reference and would
+  // defeat both.
   require(cids.length == cents.length && cids.nonEmpty,
     s"NearestCell: ${cids.length} cids vs ${cents.length} centroids")
 
+  // primitive views for the hot loop and the codegen reference objects
+  @transient private lazy val cidArr: Array[Int] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
   override def dataType: DataType = IntegerType
+
+  // a non-double array would read garbage through
+  // ArrayData.getDouble (4-byte floats read as 8-byte doubles on the
+  // unsafe layout) — exactly the silent corruption this expression
+  // exists to avoid, so the type is checked at ANALYSIS time (the
+  // replaced join form got the cast free from Catalyst coercion)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"NearestCell requires array<double>, got ${other.catalogString} " +
+        "(cast with VectorFunctions.toDouble)")
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -45,15 +68,15 @@ case class NearestCell(child: Expression, cids: Array[Int],
     var bestC = 0
     var first = true
     var i = 0
-    while (i < cents.length) {
-      val c = cents(i)
+    while (i < centArr.length) {
+      val c = centArr(i)
       if (c.length != d) throw new IllegalArgumentException(
         s"NearestCell: dims mismatch ${c.length} vs $d")
       var s = 0.0
       var j = 0
       while (j < d) { val t = v.getDouble(j) - c(j); s += t * t; j += 1 }
       val cmp = if (first) -1 else java.lang.Double.compare(s, bestD)
-      if (cmp < 0 || (cmp == 0 && cids(i) < bestC)) { bestD = s; bestC = cids(i) }
+      if (cmp < 0 || (cmp == 0 && cidArr(i) < bestC)) { bestD = s; bestC = cidArr(i) }
       first = false
       i += 1
     }
@@ -62,8 +85,8 @@ case class NearestCell(child: Expression, cids: Array[Int],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val centsRef = ctx.addReferenceObj("nearCents", cents, "double[][]")
-      val cidsRef = ctx.addReferenceObj("nearCids", cids, "int[]")
+      val centsRef = ctx.addReferenceObj("nearCents", centArr, "double[][]")
+      val cidsRef = ctx.addReferenceObj("nearCids", cidArr, "int[]")
       val d = ctx.freshName("d")
       val bestD = ctx.freshName("bestD")
       val bestC = ctx.freshName("bestC")
@@ -111,5 +134,5 @@ object NearestCell {
     */
   def apply(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     GraftColumnBridge.column(NearestCell(GraftColumnBridge.expression(v),
-      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+      cents.map(_._1), cents.map(_._2)))
 }

@@ -119,6 +119,18 @@ object IvfIndex {
       1.0 / (1L << j)
     }
 
+  /** The k-AWARE sample base: a fixed 32,768-row sample silently caps
+    * the number of seedable centroids — an adaptive k = n/cellSize
+    * outgrows it (k ≈ sample at n ≈ 8.4 M, k > sample past 16.7 M),
+    * collapsing centroid quality and, past the cap, cell COUNT, which
+    * reverts the within-cell pairwise work the cell-size bound
+    * promises is linear. The base therefore also scales with k:
+    * max(32768, 32·k) keeps ≥ 16 sample points per requested cell at
+    * any corpus size (integer arithmetic, oracle-mirrored as
+    * GREATEST(32768, 32·k)).
+    */
+  def governedLearnBase(k: Int): Long = math.max(32768L, 32L * k)
+
   /** Deterministic seeded k-means (Lloyd). Returns (cid → centroid)
     * sorted by cid; a cell that loses all members drops out (both
     * engines drop it identically). `iters` distributed agg passes.
@@ -136,9 +148,11 @@ object IvfIndex {
       sampleRate: Double = 1.0): Seq[(Int, Seq[Double])] = {
     val all = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     // negative rate = GOVERNED: resolve from the corpus count (one
-    // count-pushdown pass, learn-time only)
+    // count-pushdown pass, learn-time only) at the k-aware base, so
+    // the sample always holds ≥ 16 points per requested cell
     val rate =
-      if (sampleRate < 0) governedLearnRate(all.count()) else sampleRate
+      if (sampleRate < 0) governedLearnRate(all.count(), governedLearnBase(k))
+      else sampleRate
     val e =
       if (rate >= 1.0) all
       else all.filter(substring(md5(col("id").cast("string")), 1, 8) <

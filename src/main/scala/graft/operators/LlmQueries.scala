@@ -1119,18 +1119,21 @@ object LlmQueries {
        |  GROUP BY cid)""".stripMargin
 
   /** The learning-set governance CTEs (`lr`, `el`) — the SQL replay
-    * of `IvfIndex.governedLearnRate` + the md5 hash-sample: `lr.j` is
-    * the power-of-two exponent from `count(*)` (0 below 32,768 —
+    * of `IvfIndex.governedLearnRate` at the k-AWARE base
+    * (`governedLearnBase`: GREATEST(32768, 32·k), so an adaptive k
+    * stays seedable from the sample) + the md5 hash-sample: `lr.j` is
+    * the power-of-two exponent from `count(*)` (0 below the base —
     * driver scales learn on the full corpus and these CTEs are
     * identities), `el` is the learning set. The threshold is an exact
     * hex literal (`4294967296 >> j` = rate·2³², rates are powers of
     * two), so Spark's `Sampling.hexThreshold` filter and this one
     * keep byte-identical rows. Expects CTE `e` = (vec_id, v).
     */
-  private val learnSampleCtes: String =
-    s"""lr AS (SELECT CASE WHEN count(*) < 32768 THEN 0
-      |            ELSE LEAST(24, length(bin(CAST(floor(count(*) / 32768.0) AS BIGINT)))) END AS j
-      |       FROM e),
+  private def learnSampleCtes(kSql: String = "16"): String =
+    s"""lr AS (
+      |  SELECT CASE WHEN n < b THEN 0
+      |         ELSE LEAST(24, length(bin(CAST(floor(n / (1.0 * b)) AS BIGINT)))) END AS j
+      |  FROM (SELECT count(*) AS n, GREATEST(32768, 32 * ($kSql)) AS b FROM e)),
       |el AS (SELECT e.* FROM e, lr
       |       WHERE lr.j = 0 OR substr(md5(vec_id::VARCHAR), 1, 8) <
       |         printf('%08x', 4294967296 >> lr.j))""".stripMargin
@@ -1147,7 +1150,7 @@ object LlmQueries {
     */
   private def ivfLearnedCorpusCtes(kSql: String): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |$learnSampleCtes,
+      |${learnSampleCtes(kSql)},
       |${ivfLearnedCorpusCtesNoE(kSql)}""".stripMargin
 
   /** The same learning chain WITHOUT the leading `e`/`lr`/`el` CTEs —
@@ -1301,7 +1304,7 @@ object LlmQueries {
 
   val s7PqEncodeSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |$learnSampleCtes,
+      |${learnSampleCtes()},
       |$pqSubChainsSql
       |SELECT vec_id, enc0.code AS code_1, enc1.code AS code_2,
       |  enc2.code AS code_3, enc3.code AS code_4,
@@ -1368,7 +1371,7 @@ object LlmQueries {
         |  JOIN c1$j ct ON ct.cid = en.code)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |$learnSampleCtes,
+      |${learnSampleCtes()},
       |$pqSubChainsSql,
       |${ivfLearnedCorpusCtesNoE("16")},
       |qp AS (

@@ -45,9 +45,11 @@ object ProductQuantizer {
       s"PQ codebooks are literal-compiled; k=$k exceeds ${IvfIndex.LiteralKMax}")
     val sub = dims / m
     // governed rate resolved ONCE (one count) and shared by all m
-    // sub-learnings — the subspaces slice the same rows
+    // sub-learnings — the subspaces slice the same rows; k-aware base
+    // (a no-op at the PQ-code-width k=16, kept for rule uniformity)
     val rate =
-      if (sampleRate < 0) IvfIndex.governedLearnRate(df.count())
+      if (sampleRate < 0)
+        IvfIndex.governedLearnRate(df.count(), IvfIndex.governedLearnBase(k))
       else sampleRate
     (0 until m).map { j =>
       val sliced = df.select(col(idCol),

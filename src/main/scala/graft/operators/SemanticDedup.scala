@@ -78,12 +78,13 @@ object SemanticDedup {
       learn: Option[Int => Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val n = e.count()
     val k = adaptiveK(n, targetCellSize)
-    // learning-set governance: Lloyd runs on the governed hash-sample
-    // (full corpus below 32,768 vectors); the count is already paid
+    // learning-set governance at the k-AWARE base (the adaptive k
+    // must stay seedable from the sample); the count is already paid
     // for adaptiveK, so the rate is resolved here, not re-counted
     val cents = learn.map(_(k))
       .getOrElse(IvfIndex.learnCentroids(e, idCol, vecCol, k = k, iters = 2,
-        sampleRate = IvfIndex.governedLearnRate(n)))
+        sampleRate =
+          IvfIndex.governedLearnRate(n, IvfIndex.governedLearnBase(k))))
     val vecs = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
     // small k: compiled centroid-literal argmin (zero shuffle);
     // large k: the codegen’d NearestCell form — identical assignment

@@ -200,31 +200,14 @@ object Similarity {
     */
   def governedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, targetOccupancy: Int = 16, capFactor: Int = 8,
-      minBits: Int = 4, maxBits: Int = 16, dims: Int = 64): DataFrame = {
-    val b = governedBuckets(corpus, idCol, vecCol, targetOccupancy, minBits,
-      maxBits, dims)
-    val index = b.join(
-      broadcast(oversizedBuckets(b, capFactor * targetOccupancy)),
-      Seq("bucket"), "left_anti")
-      .select(col("bucket"), col("id").as("nid"), col("v").as("cv"))
-    // queries bucket at the CORPUS-derived width (the index's width);
-    // when corpus eq queries this reuses the same cut frame
-    val nbitsRow = b.select(col("nbits")).limit(1)
-    val q = queries
-      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qb16", srpBucket(col("qv"), maxBits, dims))
-      .crossJoin(broadcast(nbitsRow))
-      .withColumn("qbucket", col("qb16").substr(lit(1), col("nbits")))
-      .select(col("qid"), col("qv"),
-        explode(probeSetDyn(col("qbucket"), col("nbits"), maxBits)).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    index.join(q, Seq("bucket"))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
-  }
+      minBits: Int = 4, maxBits: Int = 16, dims: Int = 64): DataFrame =
+    // the in-plan form IS the served form over a just-built index —
+    // one definition, so cap/probe semantics can never drift between
+    // them (the served≡in-plan spec pins the equivalence)
+    governedKnnFromIndex(
+      srpIndexGoverned(corpus, idCol, vecCol, targetOccupancy, capFactor,
+        minBits, maxBits, dims),
+      queries, idCol, vecCol, k, maxBits, dims)
 
   /** Multi-probe SRP near-dup pairs: exact cosine verification over
     * candidates whose SRP buckets are within Hamming distance 1 —
@@ -428,34 +411,43 @@ object Similarity {
         col("v").as("cv"))
   }
 
-  /** Serving against a [[srpIndexGoverned]] artifact: queries bucket
-    * at `maxBits` and truncate to the INDEX's stamped width (one
-    * 1-row read of the constant `nbits` column, broadcast — the
-    * corpus is never re-counted and never re-bucketed), then probe
-    * their Hamming-≤1 neighborhood at that width. Queries are never
-    * capped — one living in a bucket the build dropped still probes
-    * its flips. Same honest shorter-than-k contract as
-    * [[governedKnn]].
+  /** The shared governed-serving tail: truncate the queries' maxBits
+    * bucket to the INDEX's stamped width (one 1-row broadcast — the
+    * corpus is never re-counted or re-bucketed at serve time), probe
+    * the dynamic-width Hamming-≤1 set, score inside matched buckets,
+    * two-phase top-k. Queries are never capped — one living in a
+    * bucket the build dropped still probes its flips; shorter-than-k
+    * lists where candidates run out remain the honest approximate
+    * contract. `q0` = (qid, qv, qb16); `score(qv, cv)` names its
+    * column `scoreName` on the output.
     */
-  def governedKnnFromIndex(index: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, maxBits: Int = 16,
-      dims: Int = 64): DataFrame = {
+  private def serveGoverned(index: DataFrame, q0: DataFrame,
+      score: (Column, Column) => Column, scoreName: String, k: Int,
+      maxBits: Int): DataFrame = {
     val nbitsRow = index.select(col("nbits")).limit(1)
-    val q = queries
-      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qb16", srpBucket(col("qv"), maxBits, dims))
-      .crossJoin(broadcast(nbitsRow))
+    val q = q0.crossJoin(broadcast(nbitsRow))
       .withColumn("qbucket", col("qb16").substr(lit(1), col("nbits")))
       .select(col("qid"), col("qv"),
         explode(probeSetDyn(col("qbucket"), col("nbits"), maxBits)).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col(scoreName).desc, col("nid"))
     index.join(q, Seq("bucket"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn(scoreName, score(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+      .select(col("qid"), col("rank"), col("nid"), col(scoreName))
   }
+
+  /** Serving against a [[srpIndexGoverned]] artifact — the
+    * [[serveGoverned]] tail with plain-vector bucketing and the
+    * exact-cosine rerank. */
+  def governedKnnFromIndex(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxBits: Int = 16,
+      dims: Int = 64): DataFrame =
+    serveGoverned(index,
+      queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("qb16", srpBucket(col("qv"), maxBits, dims)),
+      cosine, "sim", k, maxBits)
 
   /** GOVERNED MIPS index — [[mipsIndex]] with the same build-time
     * occupancy governance as [[srpIndexGoverned]]: M² (the corpus max
@@ -483,28 +475,16 @@ object Similarity {
   }
 
   /** Serving against a [[mipsIndexGoverned]] artifact — the
-    * [[governedKnnFromIndex]] shape with the [q ; 0] augmentation and
+    * [[serveGoverned]] tail with the [q ; 0] augmented bucketing and
     * the true-inner-product rerank. */
   def governedMipsFromIndex(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, maxBits: Int = 16,
-      dims: Int = 64): DataFrame = {
-    val nbitsRow = index.select(col("nbits")).limit(1)
-    val q = queries
-      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qb16",
-        srpBucket(concat(col("qv"), array(lit(0.0))), maxBits, dims + 1))
-      .crossJoin(broadcast(nbitsRow))
-      .withColumn("qbucket", col("qb16").substr(lit(1), col("nbits")))
-      .select(col("qid"), col("qv"),
-        explode(probeSetDyn(col("qbucket"), col("nbits"), maxBits)).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("nid"))
-    index.join(q, Seq("bucket"))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("ip", dot(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("ip"))
-  }
+      dims: Int = 64): DataFrame =
+    serveGoverned(index,
+      queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("qb16",
+          srpBucket(concat(col("qv"), array(lit(0.0))), maxBits, dims + 1)),
+      dot, "ip", k, maxBits)
 
   /** The corpus side of `bucketedKnn` as a standing index at a
     * PINNED width — (bucket, nid, cv). Per-bucket occupancy is

@@ -53,6 +53,18 @@ class NearestCellSpec extends SparkSpec {
     }
   }
 
+  test("non-double arrays are rejected at analysis time") {
+    // a raw float embedding read through getDouble would return
+    // garbage distances silently — the type check makes it loud
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      df.select(NearestCell($"v", cents)).collect()
+    }
+    assert(e.getMessage.contains("array<double>") ||
+      e.getMessage.contains("NearestCell requires"),
+      s"unexpected: ${e.getMessage.take(200)}")
+  }
+
   test("dims mismatch fails loudly") {
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
     val e = intercept[Exception] {

@@ -161,6 +161,24 @@ class SimilarityGovernanceSpec extends SparkSpec {
     }
   }
 
+  test("k-aware base keeps the adaptive cell count seedable at any scale") {
+    import IvfIndex.{governedLearnBase, governedLearnRate}
+    // a FIXED base caps seedable centroids at ~32k — an adaptive
+    // k = n/512 outgrows it past n ≈ 16.7M and cell count would stop
+    // growing (the within-cell bound reverts to quadratic); the
+    // k-aware base keeps the sample in [16·k, 32·k) instead
+    Seq(524288L, 8388608L, 16777216L, 1L << 28, 1L << 32).foreach { n =>
+      val k = SemanticDedup.adaptiveK(n)
+      val s = n * governedLearnRate(n, governedLearnBase(k))
+      assert(s >= 16.0 * k - 1, s"n=$n k=$k: sample $s under 16 points/cell")
+      assert(s < math.max(32768.0, 32.0 * k) + 1,
+        s"n=$n k=$k: sample $s past the base bound")
+    }
+    assert(governedLearnBase(16) === 32768L,
+      "fixed small k: the base (and every existing result) is unchanged")
+    assert(governedLearnBase(4096) === 131072L)
+  }
+
   test("governed MIPS index: norm ordering preserved, width stamped") {
     // collinear plants: cosine ties at 1.0, the inner product must
     // order by norm THROUGH the governed artifact path
