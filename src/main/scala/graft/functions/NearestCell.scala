@@ -64,6 +64,17 @@ case class NearestCell(child: Expression, cids: Seq[Int],
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val d = v.numElements()
+    // a null ELEMENT would read as 0.0 through ArrayData.getDouble —
+    // the literal nearestCid form null-propagates instead, so the
+    // "both paths assign identically" contract would silently diverge
+    // (r16 ADVICE); in-repo embeddings never carry null components,
+    // so this is a corruption gate, not a code path
+    var z = 0
+    while (z < d) {
+      if (v.isNullAt(z)) throw new IllegalArgumentException(
+        s"NearestCell: null vector component at index $z")
+      z += 1
+    }
     var bestD = 0.0
     var bestC = 0
     var first = true
@@ -97,8 +108,15 @@ case class NearestCell(child: Expression, cids: Seq[Int],
       val s = ctx.freshName("s")
       val t = ctx.freshName("t")
       val cmp = ctx.freshName("cmp")
+      val z = ctx.freshName("z")
       s"""
         int $d = $v.numElements();
+        for (int $z = 0; $z < $d; $z++) {
+          if ($v.isNullAt($z)) {
+            throw new IllegalArgumentException(
+              "NearestCell: null vector component at index " + $z);
+          }
+        }
         double $bestD = 0.0;
         int $bestC = 0;
         boolean $first = true;

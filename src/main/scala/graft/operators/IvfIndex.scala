@@ -141,17 +141,23 @@ object IvfIndex {
     * pass). The sample is engine-portable (same md5 rule as
     * `Sampling.hashSample`), so a sampled index stays SQL-replayable.
     * A NEGATIVE `sampleRate` asks for the governed rate
-    * ([[governedLearnRate]] over this frame's count).
+    * ([[governedLearnRate]] over this frame's count). `learnBase`
+    * overrides the governed rate's base (≤ 0 = the k-aware
+    * [[governedLearnBase]] default) — the production value is always
+    * the default; the override exists so the SAMPLED branch (j ≥ 1,
+    * otherwise reachable only past 32,768 vectors) is exercised by
+    * the driver-scale oracle gate (r16 ADVICE: CI never ran it).
     */
   def learnCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 2, dims: Int = 64,
-      sampleRate: Double = 1.0): Seq[(Int, Seq[Double])] = {
+      sampleRate: Double = 1.0, learnBase: Long = 0L): Seq[(Int, Seq[Double])] = {
     val all = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     // negative rate = GOVERNED: resolve from the corpus count (one
     // count-pushdown pass, learn-time only) at the k-aware base, so
     // the sample always holds ≥ 16 points per requested cell
     val rate =
-      if (sampleRate < 0) governedLearnRate(all.count(), governedLearnBase(k))
+      if (sampleRate < 0) governedLearnRate(all.count(),
+        if (learnBase > 0) learnBase else governedLearnBase(k))
       else sampleRate
     val e =
       if (rate >= 1.0) all

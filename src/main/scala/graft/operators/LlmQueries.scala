@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  /** The governed SRP family's width ceiling — `Similarity`'s maxBits
+    * default (24 since r17; was 16), shared by every SQL mirror so
+    * the two engines can never disagree on the plane count. A
+    * compile-time constant (final, literal) declared FIRST: several
+    * oracle `val`s above the helper section read it during object
+    * init, and a late-declared plain val would still be 0 there.
+    */
+  private final val GovMaxBits = 24
+
   /** §2.3 d1: exact dedup groups. */
   def d1DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(table(spark, dir, "documents"), "doc_id", "text")
@@ -564,13 +573,16 @@ object LlmQueries {
     * overlap, but a PARAPHRASED benchmark item shares almost no
     * trigrams while its embedding stays nearly collinear. Held-out
     * panel = every 50th vector (d8's convention); the corpus is SRP-
-    * bucketed once, the small panel explodes into its Hamming-≤2
-    * probe buckets (`Similarity.multiProbeCrossPairs` — recall-first,
-    * affordable because the panel is tiny), and exact cosine verifies
-    * inside matched buckets at the d5 near-dup threshold. Output is
-    * the contamination report a scrub pass consumes: (corpus_id,
-    * bench_id) flagged pairs, ids only (float-free, d5's parity
-    * rule).
+    * bucketed once at the GOVERNED count-derived width (r17 — the
+    * fixed 8-bit form put ~N/256 corpus vectors behind every panel
+    * probe, a linear verify-work term the governed width cuts to
+    * ~occupancy), the small panel explodes into its dynamic-width
+    * Hamming-≤2 probe buckets (`Similarity.governedCrossPairs` —
+    * recall-first, affordable because the panel is tiny), and exact
+    * cosine verifies inside matched buckets at the d5 near-dup
+    * threshold. Output is the contamination report a scrub pass
+    * consumes: (corpus_id, bench_id) flagged pairs, ids only
+    * (float-free, d5's parity rule).
     *
     * The synthetic embeddings are near-orthogonal, so the entry
     * PLANTS the leak deterministically (d11's plant rule): every
@@ -584,8 +596,10 @@ object LlmQueries {
     * threshold-crossers surface too; the oracle replays plant,
     * planes, and probes verbatim (d6's recipe).
     *
-    * Scale: one bucket-key shuffle of corpus + 37·panel rows; cosine
-    * only inside buckets — never corpus×panel.
+    * Scale: the corpus never exchanges (narrow bucket map + 1-row
+    * width broadcast + broadcast panel probe join); panel fan-out is
+    * 1 + nbits + nbits(nbits−1)/2 probes per item; cosine only inside
+    * matched buckets — never corpus×panel.
     */
   /** Cosine threshold for the d21/d22 contamination flag — d5's
     * near-dup operating point.
@@ -616,35 +630,43 @@ object LlmQueries {
 
   def d21EmbedContamination(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, panel) = contaminationUniverse(spark, dir)
-    Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v", ContaminationThreshold)
+    Similarity.governedCrossPairs(corpus, panel, "vec_id", "v", ContaminationThreshold)
       .select(col("corpus_id"), col("bench_id"))
       .orderBy(col("corpus_id"), col("bench_id"))
   }
 
-  /** DuckDB list of the Hamming-≤2 probe buckets — mirrors
-    * Similarity.probeSet2 (home + 8 single flips + 28 double flips).
+  /** DuckDB list of the DYNAMIC-width Hamming-≤2 probe buckets —
+    * mirrors Similarity.probeSet2Dyn: home bucket, the `nbitsExpr`
+    * single flips and the nbits·(nbits−1)/2 double flips, via nested
+    * list comprehensions over column positions (generate_series is
+    * empty when start > stop, matching Spark's filtered sequence).
     */
-  private def srpProbe2ListSql(bucketExpr: String): String = {
-    def flipChar(k: Int, of: String): String =
-      s"(CASE WHEN substr($of, $k, 1) = '1' THEN '0' ELSE '1' END)"
-    def flip1(i: Int, of: String): String =
-      s"substr($of, 1, ${i - 1}) || ${flipChar(i, of)} || substr($of, ${i + 1}, ${8 - i})"
-    val singles = (1 to 8).map(i => flip1(i, bucketExpr))
-    // flip i and j (i<j) directly on the original string
-    val doubles = for (i <- 1 to 8; j <- i + 1 to 8) yield
-      s"substr($bucketExpr, 1, ${i - 1}) || ${flipChar(i, bucketExpr)} || " +
-        s"substr($bucketExpr, ${i + 1}, ${j - i - 1}) || ${flipChar(j, bucketExpr)} || " +
-        s"substr($bucketExpr, ${j + 1}, ${8 - j})"
-    (Seq(bucketExpr) ++ singles ++ doubles).mkString("[", ", ", "]")
+  private def srpProbe2ListDynSql(b: String, nbitsExpr: String,
+      maxBits: Int = GovMaxBits): String = {
+    def flipChar(k: String): String =
+      s"(CASE WHEN substr($b, $k, 1) = '1' THEN '0' ELSE '1' END)"
+    val single =
+      s"substr($b, 1, i - 1) || ${flipChar("i")} || substr($b, i + 1, $maxBits)"
+    val double =
+      s"substr($b, 1, i - 1) || ${flipChar("i")} || " +
+        s"substr($b, i + 1, j - i - 1) || ${flipChar("j")} || " +
+        s"substr($b, j + 1, $maxBits)"
+    s"list_concat(list_concat([$b], " +
+      s"[$single for i in generate_series(1, $nbitsExpr)]), " +
+      s"flatten([[$double for j in generate_series(i + 1, $nbitsExpr)] " +
+      s"for i in generate_series(1, $nbitsExpr)]))"
   }
 
   /** Shared CTE prefix for the d21/d22 pair: planted corpus (negated
-    * plant ids), SRP-bucketed corpus (label carried through for d22's
-    * census), and the panel exploded into its Hamming-≤2 probe
-    * buckets — the SQL replay of `Similarity.multiProbeCrossPairs`'
-    * inputs.
+    * plant ids), the GOVERNED corpus bucketing (width from the
+    * planted-corpus count, label carried through for d22's census),
+    * and the panel exploded into its dynamic-width Hamming-≤2 probe
+    * buckets — the SQL replay of `Similarity.governedCrossPairs`'
+    * inputs (r17: the fixed 8-bit corpus bucketing put ~N/256 vectors
+    * behind every panel probe; the count-derived width pins occupancy
+    * instead).
     */
-  private val contaminationCtes: String =
+  private def contaminationCtes: String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |par AS (SELECT -vec_id - 1 AS vec_id, label,
       |    [v[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE 0.8 END)
@@ -653,11 +675,14 @@ object LlmQueries {
       |corpus0 AS (
       |  SELECT vec_id, label, v FROM e WHERE vec_id % 50 != 0
       |  UNION ALL SELECT vec_id, label, v FROM par),
-      |corpus AS (SELECT vec_id, label, v, ${srpBucketSql("v")} AS bucket FROM corpus0),
-      |bench0 AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
-      |           FROM e WHERE vec_id % 50 = 0),
+      |cnb AS (SELECT ${nBitsSql("count(*)")} AS nbits FROM corpus0),
+      |corpus AS (SELECT vec_id, label, v,
+      |    substr(${srpBucketSql16("v")}, 1, nbits) AS bucket FROM corpus0, cnb),
+      |bench0 AS (SELECT vec_id, v, nbits,
+      |      substr(${srpBucketSql16("v")}, 1, nbits) AS bucket
+      |    FROM e, cnb WHERE vec_id % 50 = 0),
       |bench AS (SELECT vec_id, v,
-      |    unnest(list_distinct(${srpProbe2ListSql("bucket")})) AS bucket
+      |    unnest(list_distinct(${srpProbe2ListDynSql("bucket", "nbits")})) AS bucket
       |  FROM bench0)""".stripMargin
 
   val d21EmbedContaminationSql: String =
@@ -688,7 +713,7 @@ object LlmQueries {
     */
   def d22Decontam(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, panel) = contaminationUniverse(spark, dir)
-    val flagged = Similarity.multiProbeCrossPairs(corpus, panel, "vec_id", "v",
+    val flagged = Similarity.governedCrossPairs(corpus, panel, "vec_id", "v",
         ContaminationThreshold)
       .select(col("corpus_id").as("vec_id")).distinct()
       .withColumn("flagged", lit(1))
@@ -791,22 +816,14 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** DuckDB expression for the 8×64 SRP bucket of `vExpr` — generated
-    * from the SAME plane constants the Spark side embeds.
-    */
-  private def srpBucketSql(vExpr: String): String =
-    graft.functions.VectorFunctions.srpPlanes(8, 64).map { plane =>
-      val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
-
-  /** DuckDB expression for the 16×64 SRP bucket — the governed
-    * kernels' maxBits width. Bit k depends only on plane k, so
-    * `substr(·, 1, nbits)` of this IS the nbits-wide bucket (the
+  /** DuckDB expression for the `GovMaxBits`×64 SRP bucket — the
+    * governed kernels' maxBits width, generated from the SAME plane
+    * constants the Spark side embeds. Bit k depends only on plane k,
+    * so `substr(·, 1, nbits)` of this IS the nbits-wide bucket (the
     * prefix property both engines exploit identically).
     */
   private def srpBucketSql16(vExpr: String): String =
-    graft.functions.VectorFunctions.srpPlanes(16, 64).map { plane =>
+    graft.functions.VectorFunctions.srpPlanes(GovMaxBits, 64).map { plane =>
       val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
@@ -816,7 +833,7 @@ object LlmQueries {
     * Spark-side nBitsCol, token for token.
     */
   private def nBitsSql(nExpr: String, targetOccupancy: Int = 16,
-      minBits: Int = 4, maxBits: Int = 16): String =
+      minBits: Int = 4, maxBits: Int = GovMaxBits): String =
     s"GREATEST($minBits, LEAST($maxBits, length(bin(GREATEST(" +
       s"CAST(floor(($nExpr + ${targetOccupancy - 1}) / $targetOccupancy.0) " +
       s"AS BIGINT), 1) - 1))))"
@@ -826,7 +843,7 @@ object LlmQueries {
     * yield the home bucket and fall to list_distinct.
     */
   private def srpProbeListDynSql(bucketExpr: String, nbitsExpr: String,
-      maxBits: Int = 16): String = {
+      maxBits: Int = GovMaxBits): String = {
     val flips = (1 to maxBits).map { i =>
       val f = s"substr($bucketExpr, 1, ${i - 1}) || " +
         s"(CASE WHEN substr($bucketExpr, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
@@ -863,14 +880,14 @@ object LlmQueries {
       |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
       |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** DuckDB expression for the 16×`dims` SRP bucket of `vExpr` —
-    * srpBucketSql16 generalized to non-64 dimensionality (s10 buckets
-    * the norm-AUGMENTED dims+1 vectors at the governed maxBits width;
-    * the prefix property makes substr(·, 1, nbits) the nbits-wide
-    * bucket).
+  /** DuckDB expression for the `GovMaxBits`×`dims` SRP bucket of
+    * `vExpr` — srpBucketSql16 generalized to non-64 dimensionality
+    * (s10 buckets the norm-AUGMENTED dims+1 vectors at the governed
+    * maxBits width; the prefix property makes substr(·, 1, nbits)
+    * the nbits-wide bucket).
     */
   private def srpBucketSqlDims16(vExpr: String, dims: Int): String =
-    graft.functions.VectorFunctions.srpPlanes(16, dims).map { plane =>
+    graft.functions.VectorFunctions.srpPlanes(GovMaxBits, dims).map { plane =>
       val lst = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vExpr, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
@@ -1129,14 +1146,21 @@ object LlmQueries {
     * two), so Spark's `Sampling.hexThreshold` filter and this one
     * keep byte-identical rows. Expects CTE `e` = (vec_id, v).
     */
-  private def learnSampleCtes(kSql: String = "16"): String =
+  private def learnSampleCtes(kSql: String = "16",
+      baseSql: String = ""): String = {
+    // the exponent divides by INTEGER division (n // b), the exact
+    // arithmetic Scala's governedLearnRate runs (n / base on longs) —
+    // a floor(n / (1.0·b)) float mirror agrees for every realistic
+    // corpus but is not token-identical integer math (r16 ADVICE)
+    val b = if (baseSql.nonEmpty) baseSql else s"GREATEST(32768, 32 * ($kSql))"
     s"""lr AS (
       |  SELECT CASE WHEN n < b THEN 0
-      |         ELSE LEAST(24, length(bin(CAST(floor(n / (1.0 * b)) AS BIGINT)))) END AS j
-      |  FROM (SELECT count(*) AS n, GREATEST(32768, 32 * ($kSql)) AS b FROM e)),
+      |         ELSE LEAST(24, length(bin(n // b))) END AS j
+      |  FROM (SELECT count(*) AS n, $b AS b FROM e)),
       |el AS (SELECT e.* FROM e, lr
       |       WHERE lr.j = 0 OR substr(md5(vec_id::VARCHAR), 1, 8) <
       |         printf('%08x', 4294967296 >> lr.j))""".stripMargin
+  }
 
   /** Shared CTE prefix: the governed learning sample, deterministic
     * seeding, two Lloyd iterations over the SAMPLE, and the final
@@ -1148,9 +1172,9 @@ object LlmQueries {
     * `SemanticDedup.adaptiveK`). `kSql` is any scalar SQL expression
     * for the cell count.
     */
-  private def ivfLearnedCorpusCtes(kSql: String): String =
+  private def ivfLearnedCorpusCtes(kSql: String, baseSql: String = ""): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |${learnSampleCtes(kSql)},
+      |${learnSampleCtes(kSql, baseSql)},
       |${ivfLearnedCorpusCtesNoE(kSql)}""".stripMargin
 
   /** The same learning chain WITHOUT the leading `e`/`lr`/`el` CTEs —
@@ -1172,6 +1196,47 @@ object LlmQueries {
 
   val s3KnnIvfSql: String = {
     s"""WITH ${ivfLearnedCorpusCtes("16")},
+      |qp AS (
+      |  SELECT qid, qv, cid FROM (
+      |    SELECT q.vec_id AS qid, q.v AS qv, s.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_distance(q.v, s.v), s.cid) AS rn
+      |    FROM e q CROSS JOIN c1 s WHERE q.vec_id < 64) t WHERE rn <= 2),
+      |sim AS (
+      |  SELECT qid, n.vec_id AS nid, list_cosine_similarity(qv, n.v) AS sim
+      |  FROM qp JOIN corpus n USING (cid) WHERE n.vec_id != qid),
+      |r AS (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM sim)
+      |SELECT qid, rank, nid FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** §2.4 s3s: the SAMPLED learning branch of the governance, gated
+    * in CI (r16 ADVICE): `governedLearnRate`'s j ≥ 1 branch — the
+    * md5 hash-sampled Lloyd — only activates past 32,768 vectors, so
+    * the driver-scale oracle gate never replayed it (its parity
+    * rested on ad-hoc sf10 runs). This entry is s3's IVF search with
+    * the learn base OVERRIDDEN to 64 vectors, so at EVERY driver
+    * scale the learning runs on a genuine power-of-two hash sample
+    * (sf0.01: n=200, j=2, rate 1/4; sf0.1: j=5; sf1: j=9) and the
+    * oracle replays the sampled chain — exponent, hex threshold,
+    * sampled seeds/Lloyd, full-corpus assignment — token for token.
+    * The override is test-surface only; every production call keeps
+    * the k-aware base.
+    */
+  def s3sIvfSampled(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 2, sampleRate = -1.0, learnBase = 64L)
+    IvfIndex.ivfKnn(e, e.filter(col("vec_id") < 64), "vec_id", "embedding",
+        k = 5, cents, nprobe = 2)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s3sIvfSampledSql: String = {
+    s"""WITH ${ivfLearnedCorpusCtes("16", baseSql = "64")},
       |qp AS (
       |  SELECT qid, qv, cid FROM (
       |    SELECT q.vec_id AS qid, q.v AS qv, s.cid,

@@ -49,14 +49,21 @@ class SimilarityGovernanceSpec extends SparkSpec {
     assert(Similarity.chooseNBits(20000) === 11)
     assert(Similarity.chooseNBits(1) === 4, "minBits clamp")
     assert(Similarity.chooseNBits(16) === 4, "one bucket suffices → minBits")
-    assert(Similarity.chooseNBits(10000000) === 16, "maxBits clamp")
+    // r17: the default ceiling is 24 bits — 10M vectors (where the
+    // r16 16-bit default had long saturated) now gets a genuine
+    // occupancy-16 width; the clamp engages ~268M vectors
+    assert(Similarity.chooseNBits(10000000) === 20, "past the old 16-bit ceiling")
+    assert(Similarity.chooseNBits(10000000, maxBits = 16) === 16,
+      "the r16 ceiling, for the saturation bench arm")
+    assert(Similarity.chooseNBits(300000000) === 24, "maxBits clamp (24)")
+    assert(Similarity.chooseNBits(1L << 40) === 24, "clamp holds at any n")
     // exact power boundary: 4112 = 257 buckets needed → 9 bits (512)
     assert(Similarity.chooseNBits(4112) === 9)
     (1L to 100000L by 997L).foreach { n =>
       val b = Similarity.chooseNBits(n)
       val buckets = 1L << b
-      assert(b >= 4 && b <= 16)
-      if (b > 4 && b < 16) {
+      assert(b >= 4 && b <= 24)
+      if (b > 4 && b < 24) {
         assert(buckets * 16 >= n, s"n=$n: 2^$b buckets under-cover")
         assert((buckets / 2) * 16 < n, s"n=$n: $b bits is one more than needed")
       }
@@ -177,6 +184,88 @@ class SimilarityGovernanceSpec extends SparkSpec {
     assert(governedLearnBase(16) === 32768L,
       "fixed small k: the base (and every existing result) is unchanged")
     assert(governedLearnBase(4096) === 131072L)
+  }
+
+  test("dropped-mass census: degenerate template mass counted, nothing else") {
+    val out = Similarity.governedDroppedCensus(corpus, "vec_id", "embedding")
+      .as[(Long, Long, Long, Int, Double)].head()
+    val (nTotal, nDropped, bucketsDropped, nbits, frac) = out
+    assert(nTotal === corpus.count())
+    // the 300-copy template direction plus the handful of background
+    // vectors that happen to share its home bucket at this width —
+    // the census counts every occupant of a dropped bucket, exactly
+    // what the kernels exclude
+    assert(nDropped >= 300L && nDropped <= 330L,
+      s"dropped mass $nDropped should be the template bucket's occupants")
+    assert(bucketsDropped === 1L)
+    assert(nbits === Similarity.chooseNBits(nTotal))
+    assert(math.abs(frac - nDropped.toDouble / nTotal) < 1e-12)
+  }
+
+  test("serving width integrity: mixed-width index fails loudly, empty serves empty") {
+    val q = corpus.filter($"vec_id" < 4L)
+    def chainHas(t: Throwable, needle: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(e => Option(e.getMessage).exists(_.contains(needle)))
+    // mixed widths — two concatenated corpus versions: the one state
+    // the old limit(1) read served at an ARBITRARY width (r16 ADVICE)
+    val idx = Similarity.srpIndexGoverned(corpus, "vec_id", "embedding")
+    val mixed = idx.unionByName(idx.withColumn("nbits", $"nbits" + 1))
+    val e = intercept[Exception] {
+      Similarity.governedKnnFromIndex(mixed, q, "vec_id", "embedding", k = 3)
+        .collect()
+    }
+    assert(chainHas(e, "exactly one nbits"),
+      s"mixed-width index must fail the width check, got: ${e.getMessage}")
+    // an EMPTY index short-circuits to the empty result (AQE empty-
+    // relation propagation skips the probe side before the width
+    // check can evaluate) — "no candidates", never an arbitrary-width
+    // answer; same contract as the pre-check limit(1) form
+    val empty = Similarity.srpIndexGoverned(corpus, "vec_id", "embedding")
+      .filter(lit(false))
+    assert(Similarity.governedKnnFromIndex(empty, q, "vec_id", "embedding",
+      k = 3).collect().isEmpty)
+  }
+
+  test("governed cross pairs ≡ pinned-width kernel at the derived width") {
+    // the dynamic-width Hamming-≤2 probe HOFs against the literal
+    // per-position expansion: same corpus count → same width → the
+    // two kernels must agree pair-for-pair (this is also the batch ⇄
+    // streaming-gate contract: the gate pins the width the batch
+    // kernel derives)
+    val panel = corpus.filter($"vec_id" % 10 === 0)
+    val w = Similarity.chooseNBits(corpus.count())
+    val governed = Similarity.governedCrossPairs(corpus, panel,
+        "vec_id", "embedding", 0.9)
+      .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
+    val pinned = Similarity.multiProbeCrossPairs(corpus, panel,
+        "vec_id", "embedding", 0.9, nBits = w)
+      .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
+    assert(governed === pinned,
+      s"only-governed=${governed -- pinned} only-pinned=${pinned -- governed}")
+    assert(governed.nonEmpty,
+      "fixture must exercise the kernel non-vacuously (template collisions)")
+  }
+
+  test("sampled learning: small-base governed override ≡ the explicit rate") {
+    // the j ≥ 1 branch at driver scale (r16 ADVICE — the branch CI
+    // never ran): base 64 forces a genuine hash-sampled Lloyd, which
+    // must equal learnCentroids at the identical explicit rate
+    val n = corpus.count()
+    val rate = IvfIndex.governedLearnRate(n, 64L)
+    assert(rate < 1.0, "fixture must actually sample")
+    val gov = IvfIndex.learnCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, sampleRate = -1.0, learnBase = 64L)
+    val explicit = IvfIndex.learnCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, sampleRate = rate)
+    assert(gov === explicit)
+    // and the PRODUCTION default (k-aware base) is untouched by the
+    // override plumbing: below the base, the full corpus learns
+    val full = IvfIndex.learnCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, sampleRate = -1.0)
+    val unsampled = IvfIndex.learnCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, sampleRate = 1.0)
+    assert(full === unsampled)
   }
 
   test("governed MIPS index: norm ordering preserved, width stamped") {

@@ -14,8 +14,14 @@ class StreamingContaminationSpec extends SparkSpec {
     val emb = graft.GraftSession.table(spark, sf0, "embeddings")
     val panel = emb.filter($"vec_id" % 50 === 0)
     val corpus = emb.filter($"vec_id" % 50 =!= 0)
+    // the gate pins the width the GOVERNED batch kernel derives at
+    // gate-build time (a stream cannot re-count the corpus per
+    // batch); governedCrossPairs at this corpus ≡ the pinned kernel
+    // at w (spec'd in SimilarityGovernanceSpec), so batch ≡ stream
+    // holds against the shipped d21 width too
+    val w = Similarity.chooseNBits(corpus.count())
     val batch = Similarity.multiProbeCrossPairs(
-        corpus, panel, "vec_id", "embedding", 0.42)
+        corpus, panel, "vec_id", "embedding", 0.42, nBits = w)
       .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
 
     val dir = tmpDir("scontam_in")
@@ -23,9 +29,10 @@ class StreamingContaminationSpec extends SparkSpec {
     corpus.select($"vec_id", $"embedding").write.mode("append").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding")
+    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding",
+      nBits = w)
     val out = StreamingContamination.flagAgainstPanel(
-      stream, idx, "vec_id", "embedding", 0.42)
+      stream, idx, "vec_id", "embedding", 0.42, nBits = w)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("scontam").start()
     try q.processAllAvailable() finally q.stop()
