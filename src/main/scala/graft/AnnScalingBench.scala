@@ -75,6 +75,54 @@ object AnnScalingBench {
     results.foreach { case (c, n, k, t) =>
       println(f"[annscale] $c%6d | $n%6d | $k%4d | $t%10.2f | ${n / t}%7.0f")
     }
+
+    // ---------------------------------------------------------------
+    // Hierarchical (two-level) arm, r17 — the escape hatch past flat
+    // assignment's per-row k-FLOP cost: at a k where the flat
+    // NearestCell loop measurably degrades, assign the SAME fine
+    // cells via coarse-route + routed argmin (kc + kf terms per row
+    // instead of kc·kf). Two-level routing is approximate (nearest-
+    // in-nearest-coarse ≠ global nearest) — the agreement fraction is
+    // printed next to the walls so the trade is never silent.
+    // ---------------------------------------------------------------
+    val hn = sys.env.get("SPARK_GRAFT_HIERN").map(_.toLong).getOrElse(262144L)
+    val hv = spark.range(hn).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "j -> CAST(pmod(xxhash64(id, j), 100000) / 100000.0 - 0.5 AS FLOAT))")
+        .as("embedding"))
+    val hPath = s"$scratch/hier_$hn"
+    hv.write.mode("overwrite").parquet(hPath)
+    val hdf = spark.read.parquet(hPath)
+    hdf.count()
+    val tL = System.nanoTime()
+    val model = operators.HierarchicalIvf.learn(hdf, "vec_id", "embedding",
+      kCoarse = 64, kFinePerCell = 64, iters = 2)
+    val learnS = (System.nanoTime() - tL) / 1e9
+    val kTot = model.fineCount
+    val hbase = hdf.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    def med3(f: => Long): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+    val flatT = med3(hbase.select(col("vec_id"),
+      graft.functions.NearestCell(col("v"), model.flatFine).as("cid"))
+      .agg(org.apache.spark.sql.functions.sum(col("cid"))).head().getLong(0))
+    val hierT = med3(operators.HierarchicalIvf
+      .assignCells(hbase, "vec_id", "v", model)
+      .agg(org.apache.spark.sql.functions.sum(col("cid"))).head().getLong(0))
+    val agree = {
+      val h = operators.HierarchicalIvf.assignCells(hbase, "vec_id", "v", model)
+        .select(col("vec_id"), col("cid").as("hcid"))
+      val f = hbase.select(col("vec_id"),
+        graft.functions.NearestCell(col("v"), model.flatFine).as("fcid"))
+      val tot = h.join(f, "vec_id")
+      tot.filter(col("hcid") === col("fcid")).count().toDouble / hn
+    }
+    println(f"[annscale] hier: n=$hn%8d cells=$kTot%5d (64×64) " +
+      f"learn=$learnS%6.1fs flat_assign=$flatT%7.2fs " +
+      f"two_level_assign=$hierT%6.2fs speedup=${flatT / hierT}%5.1f× " +
+      f"agreement=${agree * 100}%5.1f%%")
     spark.stop()
   }
 }

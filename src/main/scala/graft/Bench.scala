@@ -44,7 +44,11 @@ object Bench {
     // tombstone compaction priced next to the admit/retract merges
     // (r16): fold a standing dead set into a bucketed index copy
     "tbc_tombstone_compact" -> ((s, dir) =>
-      operators.IncrementalIvf.benchCompact(s, dir)))
+      operators.IncrementalIvf.benchCompact(s, dir)),
+    // the relearn trigger's drift census (r17) — the policy read a
+    // pipeline pays after each retraction merge
+    "ivd_drift_census" -> ((s, dir) =>
+      operators.IncrementalIvf.benchDriftCensus(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);
@@ -94,7 +98,8 @@ object Bench {
         "d8r_retract_merge".matches(nameFilter))
       operators.IncrementalTrigram.warmBenchFixture(spark, sfDir)
     if ("s6r_ivf_retract_serve".matches(nameFilter) ||
-        "tbc_tombstone_compact".matches(nameFilter))
+        "tbc_tombstone_compact".matches(nameFilter) ||
+        "ivd_drift_census".matches(nameFilter))
       operators.IncrementalIvf.warmBenchFixture(spark, sfDir)
     // median-of-3 (first run may absorb one-time codegen/datasource
     // init; single-run numbers at this scale carry ±seconds of

@@ -81,6 +81,11 @@ object SimilarityScalingBench {
       df
     }
 
+    // SPARK_GRAFT_SAT_ONLY=1: skip the standard arms (the saturation
+    // arm below is a multi-minute one-off; re-running the 8-point
+    // sweep around it would triple the wall for no new number)
+    val satOnly = sys.env.get("SPARK_GRAFT_SAT_ONLY").exists(_ != "0")
+    if (!satOnly) {
     val gRows = Seq(1, 2, 4, 8).map { mult =>
       val df = staged(mult)
       val n = df.count()
@@ -135,6 +140,49 @@ object SimilarityScalingBench {
     println(f"[simscale] served-panel growth 1×→8×: " +
       f"${sRows.last._2 / sRows.head._2}%.2f× for 8× corpus " +
       "(bounded occupancy — per-query work is cap-bounded, not N-bounded)")
+    }
+
+    // ---------------------------------------------------------------
+    // Saturation arm (r17, SPARK_GRAFT_SAT=1): the width-ceiling
+    // contract MEASURED past the old 16-bit saturation point. At
+    // SPARK_GRAFT_SATN vectors (default 10M — avg 16-bit occupancy
+    // 152 > the 128 cap), the r16 maxBits=16 arm's dropped-mass
+    // census explodes (most of the corpus silently excluded from
+    // pair reporting) while the shipped 24-bit width keeps occupancy
+    // at the target and drops only the planted degenerate mass;
+    // governed wall stays ~linear (quarter-scale point printed
+    // alongside). Single-pass timings — a multi-minute one-off
+    // measurement, not a medians sweep.
+    // ---------------------------------------------------------------
+    if (sys.env.get("SPARK_GRAFT_SAT").exists(_ != "0")) {
+      val satN = sys.env.get("SPARK_GRAFT_SATN").map(_.toLong)
+        .getOrElse(10000000L)
+      def once(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val out = f
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      for (n <- Seq(satN / 4, satN)) {
+        val path = s"$scratch/sat_$n"
+        gen(n).write.mode("overwrite").parquet(path)
+        val df = spark.read.parquet(path)
+        df.count()
+        for (mb <- Seq(24, 16)) {
+          val census = operators.Similarity.governedDroppedCensus(
+              df, "vec_id", "embedding", maxBits = mb)
+            .head()
+          val (nTot, nDrop, nbits) = (census.getLong(0), census.getLong(1),
+            census.getInt(3))
+          val (s, pairs) = once(operators.Similarity.governedCosinePairs(
+            df, "vec_id", "embedding", 0.42, multiProbe = false,
+            maxBits = mb).count())
+          println(f"[simscale] sat maxBits=$mb%2d vectors=$nTot%9d " +
+            f"nbits=$nbits%2d dropped=$nDrop%9d " +
+            f"(${100.0 * nDrop / nTot}%5.1f%%) pairs_wall=$s%7.1fs " +
+            f"pairs=$pairs%9d")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -34,8 +34,13 @@ object CentroidArtifact {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val pqLoaded =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[(Int, Seq[Double])]]]
+  private val hierPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val hierLoaded =
+    scala.collection.concurrent.TrieMap.empty[String, HierarchicalIvf.HierModel]
   private val learns = new java.util.concurrent.atomic.AtomicLong
   private val pqLearns = new java.util.concurrent.atomic.AtomicLong
+  private val hierLearns = new java.util.concurrent.atomic.AtomicLong
 
   /** How many actual Lloyd learnings have run (artifact misses) —
     * the spec hook pinning "append path relearns nothing".
@@ -47,6 +52,11 @@ object CentroidArtifact {
     * nothing.
     */
   def pqLearnCount: Long = pqLearns.get
+
+  /** How many hierarchical (two-level) learnings have run — the spec
+    * hook pinning that a warm hier consumer relearns nothing.
+    */
+  def hierLearnCount: Long = hierLearns.get
 
   // staleness stamp + deterministic path shared with every other
   // artifact (Artifacts.scala) — one aging rule for all of them
@@ -120,6 +130,46 @@ object CentroidArtifact {
       rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
         rs.sortBy(_._2).map(t => t._2 -> t._3).toSeq
       }
+    })
+  }
+
+  /** The hierarchical (two-level) model for the embeddings corpus at
+    * `dir`, learned at most once per (session, corpus version,
+    * config) — the same artifact contract as the flat centroids and
+    * PQ codebooks, for the >LiteralKMax cell counts the two-level
+    * index exists for. Persisted as one (ccid, fid, v) parquet table
+    * plus the coarse rows under fid = 0 (fine cids are ≥ 1 by the
+    * stride construction, so 0 is collision-free); reloaded from the
+    * parquet (6-decimal rounding makes the roundtrip exact).
+    */
+  def hierModel(spark: SparkSession, dir: String, kCoarse: Int,
+      kFinePerCell: Int, iters: Int = 2,
+      dims: Int = 64): HierarchicalIvf.HierModel = {
+    val src = s"$dir/embeddings.parquet"
+    val key = s"${spark.sparkContext.applicationId}|$src|${corpusStamp(spark, src)}" +
+      s"|hier|kc=$kCoarse|kf=$kFinePerCell|it=$iters|d=$dims"
+    val path = hierPaths.synchronized(hierPaths.getOrElseUpdate(key, {
+      val e = table(spark, dir, "embeddings")
+      val model = HierarchicalIvf.learn(e, "vec_id", "embedding",
+        kCoarse = kCoarse, kFinePerCell = kFinePerCell, iters = iters,
+        dims = dims)
+      hierLearns.incrementAndGet()
+      val out = artifactPath(spark, "hier", key)
+      import spark.implicits._
+      (model.coarse.map { case (c, v) => (c, 0, v) } ++
+        model.fine.flatMap { case (c, cells) =>
+          cells.map { case (fid, v) => (c, fid, v) } })
+        .toDF("ccid", "fid", "v").coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }))
+    hierLoaded.getOrElseUpdate(path, {
+      val rows = spark.read.parquet(path).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      val coarse = rows.filter(_._2 == 0).map(t => t._1 -> t._3).toSeq.sortBy(_._1)
+      val fine = rows.filter(_._2 > 0).groupBy(_._1).map { case (c, rs) =>
+        c -> rs.sortBy(_._2).map(t => t._2 -> t._3).toSeq
+      }.toSeq.sortBy(_._1)
+      HierarchicalIvf.HierModel(coarse, fine, kFinePerCell)
     })
   }
 }

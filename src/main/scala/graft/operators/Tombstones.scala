@@ -90,7 +90,7 @@ object Tombstones {
     * beyond it. The count is tombstone-sized — cheap next to any
     * index read or append.
     */
-  private def deadSetJoin(spark: SparkSession, df: DataFrame,
+  private[operators] def deadSetJoin(spark: SparkSession, df: DataFrame,
       dead0: DataFrame, idCol: String, joinType: String): DataFrame = {
     val dead = Checkpoints.cut(dead0)
     val limit = spark.conf.get(BroadcastLimitKey, "1000000").toLong

@@ -62,6 +62,28 @@ class CentroidArtifactSpec extends SparkSpec {
       "warm s7/s8 must serve both learned artifacts, relearning neither")
   }
 
+  test("hier model learns once, roundtrips exactly, and warm consumers relearn nothing") {
+    val a = CentroidArtifact.hierModel(spark, sf0, kCoarse = 4, kFinePerCell = 4)
+    val once = CentroidArtifact.hierLearnCount
+    val b = CentroidArtifact.hierModel(spark, sf0, kCoarse = 4, kFinePerCell = 4)
+    assert(CentroidArtifact.hierLearnCount === once,
+      "second fetch must serve the artifact, not relearn")
+    assert(a === b)
+    // the parquet roundtrip is exact (6-decimal rounding both sides)
+    val fresh = HierarchicalIvf.learn(
+      GraftSession.table(spark, sf0, "embeddings"), "vec_id", "embedding",
+      kCoarse = 4, kFinePerCell = 4, iters = 2)
+    assert(a === fresh)
+    // a warm ASSIGNMENT pass — the consumer path — runs zero learnings
+    import org.apache.spark.sql.functions._
+    val e = GraftSession.table(spark, sf0, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    assert(HierarchicalIvf.assignCells(e, "vec_id", "v", a).count() > 0)
+    assert(CentroidArtifact.hierLearnCount === once,
+      "warm two-level assignment must not relearn")
+  }
+
   test("a rewritten corpus changes the staleness stamp and relearns") {
     val dir = tmpDir(s"centroid_stale_${System.nanoTime()}")
     val e = spark.read.parquet(s"$sf0/embeddings.parquet")

@@ -105,4 +105,78 @@ class IncrementalIvfSpec extends SparkSpec {
       .as[Long].collect().toSet === before)
     assert(served(prefix) === before)
   }
+
+  // ---------------------------------------------------------------
+  // Policy triggers (r17): the drift census exact on a planted
+  // shift; relearn and compact fire at their thresholds, no-op below
+  // ---------------------------------------------------------------
+
+  // hand-built 4-dim universe: two cells whose members sit in exact
+  // ± pairs around their centroid, so the census is computable by
+  // hand — drift 0 before any takedown, exactly 1.0 for cell 1 after
+  // its +1 members retract (live mean (−1,0,0,0) vs centroid origin)
+  private val planted = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(-1f, 0f, 0f, 0f)),
+    (3L, Seq(1f, 0f, 0f, 0f)), (4L, Seq(-1f, 0f, 0f, 0f)),
+    (5L, Seq(11f, 10f, 10f, 10f)), (6L, Seq(9f, 10f, 10f, 10f)))
+  private val plantedCents: Seq[(Int, Seq[Double])] = Seq(
+    1 -> Seq(0.0, 0.0, 0.0, 0.0), 2 -> Seq(10.0, 10.0, 10.0, 10.0))
+
+  test("drift census exact on a planted shift; relearn trigger fires at threshold") {
+    val prefix = "ivfspec_t"
+    IncrementalIvf.buildIndex(planted.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", plantedCents, prefix, buckets = 2)
+    val before = IncrementalIvf.driftCensus(spark, plantedCents, prefix)
+      .as[(Int, Long, Double)].collect().map { case (c, n, d) => c -> ((n, d)) }.toMap
+    assert(before(1) === ((4L, 0.0)) && before(2) === ((2L, 0.0)),
+      s"fresh index must read drift 0 exactly: $before")
+    assert(!IncrementalIvf.needsRelearn(spark, plantedCents, 0.5, prefix))
+    // takedown of cell 1's +1 members: live mean (−1,0,0,0), drift 1
+    IncrementalIvf.retractBatch(spark, Seq(1L, 3L).toDF("vec_id"), prefix)
+    val after = IncrementalIvf.driftCensus(spark, plantedCents, prefix)
+      .as[(Int, Long, Double)].collect().map { case (c, n, d) => c -> ((n, d)) }.toMap
+    assert(after(1) === ((2L, 1.0)), s"planted shift must read exactly 1.0: $after")
+    assert(after(2) === ((2L, 0.0)), "untouched cell must not drift")
+    assert(IncrementalIvf.needsRelearn(spark, plantedCents, 0.5, prefix))
+    assert(!IncrementalIvf.needsRelearn(spark, plantedCents, 1.5, prefix))
+    // below threshold: no-op — nothing relearned, history intact
+    assert(IncrementalIvf.relearnIfDrifted(spark, plantedCents, 1.5,
+      k = 2, prefix = prefix, buckets = 2).isEmpty)
+    assert(spark.catalog.tableExists(s"${prefix}_gone"))
+    // at threshold: relearn over LIVE rows, rebuild, history folded
+    val next = IncrementalIvf.relearnIfDrifted(spark, plantedCents, 0.5,
+      k = 2, prefix = prefix, buckets = 2)
+    assert(next.nonEmpty)
+    assert(!spark.catalog.tableExists(s"${prefix}_gone"),
+      "a rebuild from live rows makes the history redundant")
+    assert(served(prefix) === Set(2L, 4L, 5L, 6L))
+    // the relearned index reads drift 0 against its own centroids
+    val fresh = IncrementalIvf.driftCensus(spark, next.get, prefix)
+      .as[(Int, Long, Double)].collect()
+    assert(fresh.forall(_._3 === 0.0), s"relearned index must not drift: ${fresh.toSeq}")
+  }
+
+  test("compactIfDue: no-op below the pressure threshold, compacts at it") {
+    val prefix = "ivfspec_u"
+    IncrementalIvf.buildIndex(planted.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", plantedCents, prefix, buckets = 2)
+    IncrementalIvf.retractBatch(spark, Seq(1L, 3L).toDF("vec_id"), prefix)
+    val old = spark.conf.getOption(Tombstones.BroadcastLimitKey)
+    try {
+      // dead = 2; limit 100 → 2 < 50: not due
+      spark.conf.set(Tombstones.BroadcastLimitKey, "100")
+      assert(!IncrementalIvf.compactIfDue(spark, prefix, buckets = 2))
+      assert(spark.catalog.tableExists(s"${prefix}_gone"))
+      // limit 4 → 2 ≥ 2: due — compacts and truncates the history
+      spark.conf.set(Tombstones.BroadcastLimitKey, "4")
+      assert(IncrementalIvf.compactIfDue(spark, prefix, buckets = 2))
+      assert(!spark.catalog.tableExists(s"${prefix}_gone"))
+      assert(served(prefix) === Set(2L, 4L, 5L, 6L))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(Tombstones.BroadcastLimitKey, v)
+        case None => spark.conf.unset(Tombstones.BroadcastLimitKey)
+      }
+    }
+  }
 }

@@ -101,8 +101,13 @@ def main(sf_dir: str, out_dir: str, use_iter: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships single-file tables; MakeScale-derived
-        # scales are Spark parquet DIRECTORIES — glob those
+        # scales are Spark parquet DIRECTORIES — glob those. A
+        # table-subset scale (MakeScale's r17 `tables` arg) simply
+        # lacks some files — skip them; only entries reading a
+        # missing table would fail, and a subset sweep never runs those.
         p = Path(sf_dir, f"{t}.parquet")
+        if not p.exists():
+            continue
         pat = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
