@@ -86,9 +86,16 @@ object AnnScalingBench {
     // printed next to the walls so the trade is never silent.
     // ---------------------------------------------------------------
     val hn = sys.env.get("SPARK_GRAFT_HIERN").map(_.toLong).getOrElse(262144L)
+    // CLUSTERED fixture (512 direction clusters + 20% jitter): real
+    // embedding corpora cluster — that structure is what the coarse
+    // router exploits. Uniform-random vectors are the k-means
+    // pathology (no structure to route; a first cut of this arm
+    // measured 48% agreement on them — a statement about the data,
+    // not the index).
     val hv = spark.range(hn).select(col("id").as("vec_id"),
       expr("transform(sequence(0, 63), " +
-        "j -> CAST(pmod(xxhash64(id, j), 100000) / 100000.0 - 0.5 AS FLOAT))")
+        "j -> CAST(0.8 * sin((pmod(id, 512) * 64 + j) * 1.7) + " +
+        "0.2 * (pmod(xxhash64(id, j), 100000) / 100000.0 - 0.5) AS FLOAT))")
         .as("embedding"))
     val hPath = s"$scratch/hier_$hn"
     hv.write.mode("overwrite").parquet(hPath)

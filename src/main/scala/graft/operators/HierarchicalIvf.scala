@@ -94,7 +94,13 @@ object HierarchicalIvf {
         Sampling.hexThreshold(rate)))
     val coarse = IvfIndex.learnCentroids(el, "id", "v", k = kCoarse,
       iters = iters, dims = dims, sampleRate = 1.0)
-    val routed = el.withColumn("ccid", IvfIndex.nearestCid(col("v"), coarse))
+    // coarse routing via the codegen'd NearestCell loop (bit-identical
+    // to the literal form, spec-pinned in NearestCellSpec): the
+    // literal array_min-of-structs tree allocates one zip_with array
+    // per centroid per row — at kCoarse=64 that allocation was the
+    // whole assignment wall (measured: two-level assignment priced at
+    // the FLAT wall before this)
+    val routed = el.withColumn("ccid", NearestCell(col("v"), coarse))
     // per-coarse fine seeds: the kf smallest (md5(id), id) members —
     // the same deterministic draw as IvfIndex seeding, per cell
     val w = Window.partitionBy(col("ccid"))
@@ -137,13 +143,15 @@ object HierarchicalIvf {
   }
 
   /** Full-corpus two-level assignment — one narrow map: coarse
-    * literal argmin + routed fine argmin, both whole-stage codegen.
-    * Output: (idCol, vCol, ccid, cid).
+    * NearestCell argmin + routed fine argmin, both whole-stage
+    * codegen zero-allocation loops (the literal array_min-of-structs
+    * coarse form allocated one zip_with array per centroid per row —
+    * measured at the flat wall). Output: (idCol, vCol, ccid, cid).
     */
   def assignCells(vecs: DataFrame, idCol: String, vCol: String,
       model: HierModel): DataFrame =
     vecs.select(col(idCol), col(vCol),
-        IvfIndex.nearestCid(col(vCol), model.coarse).as("ccid"))
+        NearestCell(col(vCol), model.coarse).as("ccid"))
       .withColumn("cid",
         NearestCellRouted(col(vCol), col("ccid"), model.fine))
 

@@ -2211,6 +2211,16 @@ object LlmQueries {
       "e2e_media" -> ((Seq(mcandSetup, mediaEdgesSetup),
         Seq(("__medges", "__mcc")),
         s"""WITH clusters AS (SELECT node, label AS cluster_id FROM __mcc),
-          |$e2eMediaTailSql""".stripMargin)))
+          |$e2eMediaTailSql""".stripMargin)),
+      // d24/d25 share the token-list + maximal-repeat materialization
+      // (r17, the m5/e2e discipline — the window self-join is the
+      // whole sf1+ replay cost and both entries run it on identical
+      // inputs; no CC loop, just the shared setup)
+      "d24_exact_substr" -> ((
+        Seq(PipelineQueries.xrepToksSetupSql, PipelineQueries.xrepSetupSql),
+        Seq.empty, PipelineQueries.d24IterFinalSql)),
+      "d25_substr_scrub" -> ((
+        Seq(PipelineQueries.xrepToksSetupSql, PipelineQueries.xrepSetupSql),
+        Seq.empty, PipelineQueries.d25IterFinalSql)))
   }
 }

@@ -832,6 +832,97 @@ object PipelineQueries {
       |FROM sp WHERE len_tok >= 10
       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
+  // -----------------------------------------------------------------
+  // Iterative-oracle fragments for d24/d25 (r17, judge #8 stretch —
+  // the m5/e2e shared-materialization discipline applied to the
+  // exact-substring family): the window self-join + diagonal-island
+  // chain is the whole cost of the sf1+ replay and both entries run
+  // it on identical inputs, so the iter plans materialize the token
+  // lists and the maximal-repeat table ONCE (check_oracle.py dedupes
+  // identical setup statements per process) and each final query is
+  // a cheap read. The plain `oracleSql` strings above are untouched —
+  // the driver's gate replays those; these power the sf1+ sweeps.
+  // -----------------------------------------------------------------
+
+  private[operators] val xrepToksSetupSql: String =
+    """CREATE OR REPLACE TEMP TABLE __xtoks AS
+      |WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS tk
+      |  FROM documents
+      |)
+      |SELECT d.doc_id, list_concat(d.tk, h.tk[1:12]) AS tk
+      |FROM d JOIN d h ON h.doc_id = d.doc_id - d.doc_id % 10""".stripMargin
+
+  private[operators] val xrepSetupSql: String =
+    """CREATE OR REPLACE TEMP TABLE __xrep AS
+      |WITH wins AS (
+      |  SELECT doc_id, unnest([{'pos': i,
+      |      'h': ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT}
+      |    for i in generate_series(1, len(tk) - 7)], recursive := true)
+      |  FROM __xtoks WHERE len(tk) >= 8
+      |), hot AS (
+      |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+      |  GROUP BY h HAVING count(*) > 100
+      |), ok AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, h FROM wins
+      |  WHERE h NOT IN (SELECT h FROM hot)
+      |), m AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+      |    a.pos - b.pos AS diag
+      |  FROM ok a JOIN ok b USING (h) WHERE a.doc_id < b.doc_id
+      |), r AS (
+      |  SELECT *, pa - row_number() OVER (
+      |    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+      |  FROM m
+      |)
+      |SELECT doc_a, doc_b, min(pa) AS a_start, min(pa) - diag AS b_start,
+      |  CAST(count(*) + 7 AS BIGINT) AS len_tok
+      |FROM r GROUP BY doc_a, doc_b, diag, run""".stripMargin
+
+  private[operators] val d24IterFinalSql: String =
+    """SELECT doc_a, doc_b, a_start, b_start, len_tok
+      |FROM __xrep WHERE len_tok >= 10
+      |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
+  private[operators] val d25IterFinalSql: String =
+    """WITH rep AS (SELECT * FROM __xrep WHERE len_tok >= 10),
+      |cuts AS (
+      |  SELECT doc_b AS doc_id, b_start AS s, b_start + len_tok AS e FROM rep
+      |), w AS (
+      |  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |  FROM cuts
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+      |                 THEN 1 ELSE 0 END AS opens
+      |  FROM w
+      |), g AS (
+      |  SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY s) AS island
+      |  FROM f
+      |), spm AS (
+      |  SELECT doc_id, island, min(s) AS ms, max(e) AS me
+      |  FROM g GROUP BY doc_id, island
+      |), tokpos AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'tok': tk[i]}
+      |    for i in generate_series(1, len(tk))], recursive := true)
+      |  FROM __xtoks
+      |), kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok
+      |  FROM tokpos t
+      |  WHERE NOT EXISTS (SELECT 1 FROM spm
+      |    WHERE spm.doc_id = t.doc_id AND t.pos >= spm.ms AND t.pos < spm.me)
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS scrub_md5
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT p.doc_id, CAST(len(p.tk) AS BIGINT) AS n_tok,
+      |  coalesce(kept_tok, 0) AS kept_tok,
+      |  coalesce(scrub_md5, md5('')) AS scrub_md5
+      |FROM __xtoks p LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** §2.3 d25: exact-substring SCRUB — the action d24's report feeds
     * (completing the family's report→action discipline: d18→d19,
     * d21→d22, d8→d23, d24→this). Keep-first-occurrence policy: the
