@@ -43,6 +43,11 @@ object MakeScale {
     val factor = if (args.length > 2) args(2).toInt else 10
     val only = if (args.length > 3) args(3).split(",").map(_.trim).toSet
       else Set.empty[String]
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    require(only.subsetOf(known),
+      s"unknown tables: ${(only -- known).mkString(", ")} (a typo here " +
+        s"would silently derive nothing); known: ${known.mkString(", ")}")
     val spark = GraftSession.local()
     try build(spark, src, out, factor, only)
     finally spark.stop()

@@ -130,8 +130,14 @@ object IncrementalIvf {
     * symmetric O(batch/cell) drift bound the no-relearn contract
     * accepts: for every LIVE cell, its member count and the L2
     * distance between the learned centroid and the current live
-    * mean, 6-decimal rounded (the learning's own rounding rule, so
-    * a just-learned index reads drift 0 exactly). One (cid, pos)
+    * mean, 6-decimal rounded (the learning's own rounding rule).
+    * A fresh index reads the LEARN-TIME RESIDUAL, not 0, on real
+    * data: centroids are means of the last Lloyd pass over the
+    * (governed) SAMPLE while the index holds the full corpus
+    * reassigned against them — exact 0 only when the centroids are
+    * assignment-stable fixed points (the planted spec fixture).
+    * Relearn thresholds go ABOVE the post-build baseline this
+    * census reports, else every policy call relearns. One (cid, pos)
     * partial agg over the live cell lists + a broadcast join against
     * the k×dims centroid table — no collect of corpus rows; cells
     * whose members are all dead drop out (no mean to drift).
@@ -156,12 +162,19 @@ object IncrementalIvf {
   }
 
   /** True when any live cell's measured drift crosses `maxDrift` —
-    * the relearn trigger. One bounded k-row agg read.
+    * the relearn trigger. One bounded k-row agg read; an EMPTY census
+    * (every member dead, or a fresh prefix) is "no drift", not an
+    * error — coalesce, because max over zero rows is null.
+    *
+    * Threshold semantics: `maxDrift` must sit ABOVE the index's
+    * learn-time residual (see [[driftCensus]] — a fresh index reads
+    * the Lloyd/sample residual, not 0, on real data); a threshold
+    * below it makes every policy call relearn (silent churn).
     */
   def needsRelearn(spark: SparkSession, cents: Seq[(Int, Seq[Double])],
       maxDrift: Double, prefix: String = "graft_ivf"): Boolean =
     driftCensus(spark, cents, prefix)
-      .agg(max(col("drift")).as("mx"))
+      .agg(coalesce(max(col("drift")), lit(0.0)).as("mx"))
       .head().getDouble(0) > maxDrift
 
   /** Relearn + rebuild WHEN the drift census crosses the threshold;

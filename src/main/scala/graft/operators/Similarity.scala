@@ -182,14 +182,19 @@ object Similarity {
   def governedDroppedCensus(df: DataFrame, idCol: String, vecCol: String,
       targetOccupancy: Int = 16, capFactor: Int = 8, minBits: Int = 4,
       maxBits: Int = 24, dims: Int = 64): DataFrame = {
-    val b = governedBuckets(df, idCol, vecCol, targetOccupancy, minBits,
-      maxBits, dims)
-    val ov = b.join(
-      broadcast(oversizedBuckets(b, capFactor * targetOccupancy)),
-      Seq("bucket"), "left_semi")
-    b.agg(count(lit(1)).as("n_total"), first(col("nbits")).as("nbits"))
-      .crossJoin(broadcast(ov.agg(count(lit(1)).as("n_dropped"),
-        count_distinct(col("bucket")).as("buckets_dropped"))))
+    val cap = capFactor * targetOccupancy
+    // ONE corpus pass: the per-bucket counts already decide oversize,
+    // so total/dropped/bucket counts all derive from the tiny
+    // (bucket, bucket_n) frame — no second semi-join pass
+    governedBuckets(df, idCol, vecCol, targetOccupancy, minBits,
+        maxBits, dims)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"), first(col("nbits")).as("nbits"))
+      .agg(sum(col("bucket_n")).as("n_total"),
+        sum(when(col("bucket_n") > cap, col("bucket_n")).otherwise(0L))
+          .as("n_dropped"),
+        count(when(col("bucket_n") > cap, lit(1))).as("buckets_dropped"),
+        first(col("nbits")).as("nbits"))
       .select(col("n_total"), col("n_dropped"), col("buckets_dropped"),
         col("nbits"),
         (col("n_dropped") / col("n_total")).as("dropped_frac"))
@@ -250,7 +255,11 @@ object Similarity {
     governedKnnFromIndex(
       srpIndexGoverned(corpus, idCol, vecCol, targetOccupancy, capFactor,
         minBits, maxBits, dims),
-      queries, idCol, vecCol, k, maxBits, dims)
+      // the index was JUST built by the line above — single-width by
+      // construction, so the serve-time width check would only re-run
+      // the in-plan build branch (it is not a landed artifact that
+      // could mix versions)
+      queries, idCol, vecCol, k, maxBits, dims, checkWidth = false)
 
   /** Multi-probe SRP near-dup pairs: exact cosine verification over
     * candidates whose SRP buckets are within Hamming distance 1 —
@@ -396,7 +405,21 @@ object Similarity {
     * so the candidate contract becomes "within 2 plane flips at the
     * occupancy-governed width": per-panel-item verify work is
     * ~(1 + nbits + nbits²/2) · occupancy ≈ log²(N) · occ instead of
-    * linear in N. The corpus side still never exchanges (one narrow
+    * linear in N. THE TRADE, stated plainly: a fixed flip radius at
+    * a growing width is a NARROWING angular net — at cosine 0.99
+    * (flip probability ≈ 0.045/plane) the miss probability
+    * P(> 2 flips) is ~0.2 % at 8 bits, ~2 % at 14, ~9 % at 24, so
+    * candidate recall on true leak pairs decays slowly as the corpus
+    * grows, and oracle parity cannot see it (both engines narrow
+    * together). A deployment that needs pinned recall at the widest
+    * widths keeps the fixed-width kernel at its promised radius (and
+    * pays its occupancy), or widens the probe radius with the width
+    * (the panel side stays panel-sized — Hamming ≤ 3 at 24 bits is
+    * ~2.3k probes per item, affordable for a benchmark panel): the
+    * named escape hatch, graded like every approximate kernel here
+    * by the planted-recall gate (SimilaritySpec requires every
+    * planted paraphrase found at the shipped operating point).
+    * The corpus side still never exchanges (one narrow
     * bucket map + the 1-row width broadcast + the broadcast panel
     * probe join), no occupancy cap on either side — a contamination
     * gate is recall-first, and the panel explosion stays panel-sized.
@@ -540,20 +563,32 @@ object Similarity {
     */
   private def serveGoverned(index: DataFrame, q0: DataFrame,
       score: (Column, Column) => Column, scoreName: String, k: Int,
-      maxBits: Int): DataFrame = {
+      maxBits: Int, checkWidth: Boolean): DataFrame = {
     // the stamped width, with the single-version precondition CHECKED
     // in-plan (r16 ADVICE): a mixed-width index (two concatenated
     // corpus versions) fails loudly instead of serving at an
-    // arbitrary width. One collect_set agg over the constant RLE
-    // `nbits` column — no corpus count, no max agg (the serving-plan
-    // guard's contract holds). An EMPTY index short-circuits to the
-    // empty result under AQE empty-relation propagation before this
-    // evaluates — "no candidates", spec-pinned.
-    val nbitsRow = index.agg(collect_set(col("nbits")).as("__ws"))
-      .filter(assert_true(size(col("__ws")) === 1,
-        lit("governed index must carry exactly one nbits width " +
-          "(empty index or mixed corpus versions)")).isNull)
-      .select(element_at(col("__ws"), 1).as("nbits"))
+    // arbitrary width. One collect_set agg over the index's constant
+    // RLE `nbits` column — no corpus count, no max agg (the
+    // serving-plan guard's contract holds). COST: a pruned
+    // single-column scan of the index per serve call (the probe join
+    // already reads the index in full, so this is a small fraction of
+    // serve cost — a tier that validates width at artifact-load time
+    // can pass checkWidth = false for the O(1) limit(1) read). An
+    // EMPTY index yields an empty collect_set → size 0 ≤ 1 passes and
+    // element_at gives a NULL width → null join keys → the EMPTY
+    // result ("no candidates", spec-pinned — a global agg produces
+    // one row even over a runtime-empty index, so an assert on
+    // size == 1 would throw exactly where the documented contract is
+    // an empty answer).
+    val nbitsRow =
+      if (!checkWidth) index.select(col("nbits")).limit(1)
+      else index.agg(collect_set(col("nbits")).as("__ws"))
+        .filter(assert_true(size(col("__ws")) <= 1,
+          lit("governed index must carry exactly one nbits width " +
+            "(mixed corpus versions)")).isNull)
+        // try_: the runtime-empty set reads as a NULL width (→ null
+        // join keys → empty result), in ANSI mode too
+        .select(try_element_at(col("__ws"), lit(1)).as("nbits"))
     val q = q0.crossJoin(broadcast(nbitsRow))
       .withColumn("qbucket", col("qb16").substr(lit(1), col("nbits")))
       .select(col("qid"), col("qv"),
@@ -572,11 +607,11 @@ object Similarity {
     * exact-cosine rerank. */
   def governedKnnFromIndex(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, maxBits: Int = 24,
-      dims: Int = 64): DataFrame =
+      dims: Int = 64, checkWidth: Boolean = true): DataFrame =
     serveGoverned(index,
       queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
         .withColumn("qb16", srpBucket(col("qv"), maxBits, dims)),
-      cosine, "sim", k, maxBits)
+      cosine, "sim", k, maxBits, checkWidth)
 
   /** GOVERNED MIPS index — [[mipsIndex]] with the same build-time
     * occupancy governance as [[srpIndexGoverned]]: M² (the corpus max
@@ -608,12 +643,12 @@ object Similarity {
     * the true-inner-product rerank. */
   def governedMipsFromIndex(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, maxBits: Int = 24,
-      dims: Int = 64): DataFrame =
+      dims: Int = 64, checkWidth: Boolean = true): DataFrame =
     serveGoverned(index,
       queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
         .withColumn("qb16",
           srpBucket(concat(col("qv"), array(lit(0.0))), maxBits, dims + 1)),
-      dot, "ip", k, maxBits)
+      dot, "ip", k, maxBits, checkWidth)
 
   /** The corpus side of `bucketedKnn` as a standing index at a
     * PINNED width — (bucket, nid, cv). Per-bucket occupancy is

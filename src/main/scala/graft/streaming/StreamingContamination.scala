@@ -34,10 +34,19 @@ object StreamingContamination {
   /** Flag arriving vectors within `threshold` cosine of any panel
     * item. `panelIdx` is `Similarity.panelProbeIndex(panel, ...)`.
     * Output: one row per (arriving vector, matched panel item).
+    *
+    * `nBits` is REQUIRED (r17): the batch kernel (d21,
+    * `Similarity.governedCrossPairs`) derives its width from the
+    * corpus count, and a stream cannot re-count the corpus per
+    * micro-batch — so the gate PINS the width the batch kernel
+    * derived at gate-build time (`Similarity.chooseNBits(corpusCount)`).
+    * A defaulted width silently diverged from the governed batch
+    * report (different candidate sets, nothing failing loudly), so
+    * there is no default.
     */
   def flagAgainstPanel(stream: DataFrame, panelIdx: DataFrame,
-      idCol: String, vecCol: String, threshold: Double = 0.42,
-      nBits: Int = 8, dims: Int = 64): DataFrame =
+      idCol: String, vecCol: String, threshold: Double,
+      nBits: Int, dims: Int = 64): DataFrame =
     stream
       .withColumn("cv", toDouble(col(vecCol)))
       .withColumn("bucket", srpBucket(col("cv"), nBits, dims))
@@ -46,8 +55,10 @@ object StreamingContamination {
       .filter(col("sim") > threshold)
       .select(col(idCol).as("corpus_id"), col("bench_id"))
 
-  /** Convenience: the index from a raw panel frame. */
+  /** Convenience: the index from a raw panel frame. `nBits` required
+    * — same pinned-width contract as [[flagAgainstPanel]].
+    */
   def panelIndex(panel: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 8, dims: Int = 64): DataFrame =
+      nBits: Int, dims: Int = 64): DataFrame =
     Similarity.panelProbeIndex(panel, idCol, vecCol, nBits, dims)
 }

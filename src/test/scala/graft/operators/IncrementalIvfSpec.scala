@@ -156,6 +156,19 @@ class IncrementalIvfSpec extends SparkSpec {
     assert(fresh.forall(_._3 === 0.0), s"relearned index must not drift: ${fresh.toSeq}")
   }
 
+  test("needsRelearn after a FULL takedown: empty census reads as no drift, not an NPE") {
+    val prefix = "ivfspec_v"
+    IncrementalIvf.buildIndex(planted.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", plantedCents, prefix, buckets = 2)
+    IncrementalIvf.retractBatch(spark,
+      planted.map(_._1).toDF("vec_id"), prefix)
+    assert(IncrementalIvf.servedCells(spark, prefix).count() === 0L)
+    // max over an empty census is null — must coalesce to "no drift"
+    assert(!IncrementalIvf.needsRelearn(spark, plantedCents, 0.1, prefix))
+    assert(IncrementalIvf.relearnIfDrifted(spark, plantedCents, 0.1,
+      k = 2, prefix = prefix, buckets = 2).isEmpty)
+  }
+
   test("compactIfDue: no-op below the pressure threshold, compacts at it") {
     val prefix = "ivfspec_u"
     IncrementalIvf.buildIndex(planted.toDF("vec_id", "embedding"),

@@ -217,14 +217,31 @@ class SimilarityGovernanceSpec extends SparkSpec {
     }
     assert(chainHas(e, "exactly one nbits"),
       s"mixed-width index must fail the width check, got: ${e.getMessage}")
-    // an EMPTY index short-circuits to the empty result (AQE empty-
-    // relation propagation skips the probe side before the width
-    // check can evaluate) — "no candidates", never an arbitrary-width
-    // answer; same contract as the pre-check limit(1) form
-    val empty = Similarity.srpIndexGoverned(corpus, "vec_id", "embedding")
+    // an EMPTY index serves the EMPTY result, never an
+    // arbitrary-width answer — BOTH empties: the statically-empty
+    // plan (optimizer collapses it; AQE skips the probe side), and
+    // the RUNTIME-empty artifact (every bucket over the cap at
+    // build — a global agg still produces one row there, so the
+    // check must pass size 0 through as a null width, not assert)
+    val emptyStatic = Similarity.srpIndexGoverned(corpus, "vec_id", "embedding")
       .filter(lit(false))
-    assert(Similarity.governedKnnFromIndex(empty, q, "vec_id", "embedding",
-      k = 3).collect().isEmpty)
+    assert(Similarity.governedKnnFromIndex(emptyStatic, q, "vec_id",
+      "embedding", k = 3).collect().isEmpty)
+    // degenerate-only corpus: 300 copies of one direction → one home
+    // bucket over the 128 cap → the built index is empty at RUNTIME
+    val degOnly = (5000L until 5300L).map(i => (i, hashVec(999999L)))
+      .toDF("vec_id", "embedding")
+    val emptyRuntime = Similarity.srpIndexGoverned(degOnly, "vec_id", "embedding")
+    assert(emptyRuntime.count() === 0L, "fixture must drop every bucket")
+    assert(Similarity.governedKnnFromIndex(emptyRuntime,
+      degOnly.limit(3), "vec_id", "embedding", k = 3).collect().isEmpty)
+    // and the O(1) unchecked read (width validated at load time)
+    // serves identically on a healthy index
+    val ok = Similarity.governedKnnFromIndex(idx, q, "vec_id", "embedding",
+      k = 3, checkWidth = false).collect()
+    val okChecked = Similarity.governedKnnFromIndex(idx, q, "vec_id",
+      "embedding", k = 3).collect()
+    assert(ok.toSet === okChecked.toSet)
   }
 
   test("governed cross pairs ≡ pinned-width kernel at the derived width") {

@@ -46,7 +46,8 @@ class StreamingContaminationSpec extends SparkSpec {
     val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
     val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
     val panel = Seq((50L, v.toSeq)).toDF("vec_id", "embedding")
-    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding")
+    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding",
+      nBits = 8)
     val dir = tmpDir("scontam_plant")
     new java.io.File(dir).listFiles().foreach(_.delete())
     Seq((1L, v.map(x => x * 0.93f).toSeq), (2L, far.toSeq))
@@ -54,7 +55,7 @@ class StreamingContaminationSpec extends SparkSpec {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val out = StreamingContamination.flagAgainstPanel(
-      stream, idx, "vec_id", "embedding", 0.42)
+      stream, idx, "vec_id", "embedding", 0.42, nBits = 8)
     // the plan must be stateless: a stream-static join keeps nothing
     // across batches (no StateStore operator anywhere)
     val q = out.writeStream.outputMode("append").format("memory")
