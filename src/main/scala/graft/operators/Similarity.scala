@@ -413,12 +413,14 @@ object Similarity {
     * grows, and oracle parity cannot see it (both engines narrow
     * together). A deployment that needs pinned recall at the widest
     * widths keeps the fixed-width kernel at its promised radius (and
-    * pays its occupancy), or widens the probe radius with the width
-    * (the panel side stays panel-sized — Hamming ≤ 3 at 24 bits is
-    * ~2.3k probes per item, affordable for a benchmark panel): the
-    * named escape hatch, graded like every approximate kernel here
-    * by the planted-recall gate (SimilaritySpec requires every
-    * planted paraphrase found at the shipped operating point).
+    * pays its occupancy), or widens the probe radius with the width —
+    * Hamming ≤ 3 at 24 bits is ~2.3k probes per item, fine as JOIN
+    * fan-out for a fixed benchmark panel, though at 10⁴ panel items
+    * the probe index outgrows a broadcast and the join degrades to a
+    * shuffle (the Tombstones count-and-degrade discipline would apply
+    * here too): the named escape hatch, graded like every approximate
+    * kernel here by the planted-recall gate (SimilaritySpec requires
+    * every planted paraphrase found at the shipped operating point).
     * The corpus side still never exchanges (one narrow
     * bucket map + the 1-row width broadcast + the broadcast panel
     * probe join), no occupancy cap on either side — a contamination

@@ -285,6 +285,37 @@ class SimilarityGovernanceSpec extends SparkSpec {
     assert(full === unsampled)
   }
 
+  test("MIPS norm-concentration limit: wide widths empty the probes, the occupancy knob restores them") {
+    // the 2M-vector sweep's s10 finding as a driver-scale spec: a
+    // norm-CONCENTRATED corpus (similar norms ≪ the max) parks every
+    // augmented corpus vector near the pole while queries bucket at
+    // the equator — at a WIDE width the Hamming-≤1 probe set goes
+    // empty; the documented mitigation (raise targetOccupancy →
+    // fewer, fuller buckets) must actually restore serving
+    val dirs = (0L until 999L).map(i => (i, hashVec(i).map(_ * 0.5f)))
+    val big = Seq((2000L, hashVec(4L).map(_ * 2.0f))) // the max-norm outlier
+    val c = (dirs ++ big).toDF("vec_id", "embedding")
+    val q = c.filter($"vec_id" < 4L)
+    // force the wide-width regime (minBits floor plays the role the
+    // corpus count plays at 10⁶+ vectors — same bucketing math)
+    val wide = Similarity.mipsIndexGoverned(c, "vec_id", "embedding",
+      minBits = 20)
+    assert(Similarity.governedMipsFromIndex(wide, q, "vec_id", "embedding",
+      k = 3).collect().isEmpty,
+      "the pole/equator gap must empty wide-width probes on this corpus")
+    // the knob: higher target occupancy → narrower width → recall back
+    val occ = Similarity.mipsIndexGoverned(c, "vec_id", "embedding",
+      targetOccupancy = 256)
+    val res = Similarity.governedMipsFromIndex(occ, q, "vec_id", "embedding",
+        k = 3).select($"qid", $"rank".cast("long"), $"nid")
+      .as[(Long, Long, Long)].collect()
+    assert(res.nonEmpty, "the occupancy knob must restore serving")
+    res.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length),
+        s"ranks of $qid")
+    }
+  }
+
   test("governed MIPS index: norm ordering preserved, width stamped") {
     // collinear plants: cosine ties at 1.0, the inner product must
     // order by norm THROUGH the governed artifact path
