@@ -126,8 +126,18 @@ private[operators] object Artifacts {
         s"($CommitModeKey=manifest, the default there) or the app scope")
   }
 
+  /** Once-per-(process, artifact-version) post-load validation guard
+    * for [[materializedClustered]]'s `validate` hook — keyed by the
+    * stamped memo key, so a new corpus version re-validates and a
+    * repeated serve call never re-pays the check (r17 ADVICE: width
+    * integrity belongs at artifact LOAD, not per query run).
+    */
+  private val validated = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
   def materializedClustered(spark: SparkSession, prefix: String, dir: String,
-      stampSrc: String, clusterCols: Seq[String])(
+      stampSrc: String, clusterCols: Seq[String],
+      validate: org.apache.spark.sql.DataFrame => Unit = _ => ())(
       frame: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stamp = corpusStamp(spark, s"$dir/$stampSrc")
     val shared = spark.conf.get(ScopeKey, "app") == "shared"
@@ -153,7 +163,9 @@ private[operators] object Artifacts {
             throw e
         }
     }
-    spark.read.parquet(p)
+    val out = spark.read.parquet(p)
+    if (validated.add(key)) validate(out)
+    out
   }
 
   // ---------------------------------------------------------------

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Shape mirrors StreamingDedup's two-sided split, pushed further:
   *   - the STATIC side carries all the fan-out — the panel is
-  *     pre-exploded into its Hamming-≤2 probe buckets
-  *     (`Similarity.panelProbeIndex`, 37 rows per benchmark item),
-  *     re-resolved every micro-batch so a panel refresh (new
-  *     benchmark release) is picked up without restarting the query;
+  *     pre-exploded into its probe buckets at the width-scaled
+  *     radius (`Similarity.panelProbeIndex`: Hamming ≤ 2 below
+  *     `Similarity.RadiusWideBits`, ≤ 3 at and above — 37 rows per
+  *     item at 8 bits, 470 at 14 — so a gate pinned to a wide
+  *     batch-derived width keeps the batch kernel's re-widened
+  *     angular net), re-resolved every micro-batch so a panel
+  *     refresh (new benchmark release) is picked up without
+  *     restarting the query;
   *   - the STREAM side is a narrow map (one SRP bucket per vector)
   *     plus a stream-static equi-join on the HOME bucket — no
   *     explode, no watermark, and ZERO streaming state: a
