@@ -48,7 +48,12 @@ object Bench {
     // the relearn trigger's drift census (r17) — the policy read a
     // pipeline pays after each retraction merge
     "ivd_drift_census" -> ((s, dir) =>
-      operators.IncrementalIvf.benchDriftCensus(s, dir)))
+      operators.IncrementalIvf.benchDriftCensus(s, dir)),
+    // served HIERARCHICAL search with a standing takedown active
+    // (r18) — the two-level family's retraction read-path price,
+    // s6r-comparable (routed probe + rerank over live cell lists)
+    "hks_hier_retract_serve" -> ((s, dir) =>
+      operators.IncrementalHierIvf.benchRetractServe(s, dir)))
 
   def main(args: Array[String]): Unit = {
     // optional arg: regex of query names (dev-loop subset timing);
@@ -101,6 +106,8 @@ object Bench {
         "tbc_tombstone_compact".matches(nameFilter) ||
         "ivd_drift_census".matches(nameFilter))
       operators.IncrementalIvf.warmBenchFixture(spark, sfDir)
+    if ("hks_hier_retract_serve".matches(nameFilter))
+      operators.IncrementalHierIvf.warmBenchFixture(spark, sfDir)
     // median-of-3 (first run may absorb one-time codegen/datasource
     // init; single-run numbers at this scale carry ±seconds of
     // environment noise, which has manufactured phantom regressions

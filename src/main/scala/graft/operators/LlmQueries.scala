@@ -949,10 +949,13 @@ object LlmQueries {
     val probeList = srpProbeListDynSql("bucket", "nbits")
     // the geometry chain (r18 — Similarity.mipsWidthRow's SQL twin):
     // p2 = position of the SECOND differing plane between the
-    // augmented (pole) bucket and the equator twin [x ; 0]; the
-    // effective width is the count width capped by the 25th-percentile
-    // reachability quantile reach_p2 − 1, and the occupancy cap lifts
-    // to n under narrowing (geometric concentration IS the corpus)
+    // augmented (pole) bucket and the equator twin [x ; 0], over the
+    // GOVERNED md5 hash-sample (base 32768 — the learnSampleCtes
+    // arithmetic; full corpus below the base); the effective width is
+    // the count width capped by the 25th-percentile reachability
+    // quantile reach_p2 − 1 (rank from the SAMPLE count), and the
+    // occupancy cap lifts to n under narrowing (geometric
+    // concentration IS the corpus)
     val mb = GovMaxBits
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |m AS (SELECT max(list_dot_product(v, v)) AS m2, count(*) AS n FROM e),
@@ -961,16 +964,24 @@ object LlmQueries {
       |    list_append([x / sqrt(m2) for x in v],
       |      sqrt(greatest(0.0, 1.0 - list_dot_product(v, v) / m2))) AS aug
       |  FROM e CROSS JOIN m
+      |), lr2 AS (
+      |  SELECT CASE WHEN n < 32768 THEN 0
+      |         ELSE LEAST(24, length(bin(n // 32768))) END AS j FROM m
+      |), cs AS (
+      |  SELECT c.* FROM c, lr2
+      |  WHERE lr2.j = 0 OR substr(md5(vec_id::VARCHAR), 1, 8) <
+      |    printf('%08x', 4294967296 >> lr2.j)
       |), geo AS (
       |  SELECT coalesce([i for i in generate_series(1, $mb)
       |                   if substr(pb, i, 1) != substr(tb, i, 1)][2],
       |                  ${mb + 1}) AS p2
-      |  FROM (SELECT $bucket65 AS pb, $twin65 AS tb FROM c)
+      |  FROM (SELECT $bucket65 AS pb, $twin65 AS tb FROM cs)
       |), med AS (
       |  SELECT coalesce(min(p2), ${mb + 1}) AS reach_p2
       |  FROM (SELECT p2, sum(cnt) OVER (ORDER BY p2) AS cum FROM (
-      |          SELECT p2, count(*) AS cnt FROM geo GROUP BY p2)) t, m
-      |  WHERE t.cum >= (m.n + 3) // 4
+      |          SELECT p2, count(*) AS cnt FROM geo GROUP BY p2)) t,
+      |       (SELECT count(*) AS sm FROM geo) g
+      |  WHERE t.cum >= (g.sm + 3) // 4
       |), nb AS (
       |  SELECT GREATEST(4, LEAST(${nBitsSql("n")}, reach_p2 - 1)) AS nbits,
       |    ${nBitsSql("n")} AS nbc
@@ -2236,6 +2247,86 @@ object LlmQueries {
     * materializes the banded candidate set once so the Hamming
     * expression evaluates once per pair instead of twice.
     */
+  /** The learned-index family's iterative oracle plan (r17 judge #5 —
+    * "extend the learned-index oracle past DuckDB's envelope"): d13's
+    * single-statement replay died at 200k vectors on the
+    * corpus × k=391 centroid assignment — the `row_number() OVER
+    * (PARTITION BY vec_id ORDER BY dist, cid)` form materializes and
+    * SORTS all n·k candidate rows WITH their 64-double vectors
+    * (~78M rows at 200k — the §8q disk spill). The iterative plan
+    * materializes each Lloyd stage as a temp table and replaces the
+    * window argmin with a STREAMING aggregate:
+    * `min(struct_pack(d := dist, cid := cid)).cid` — struct
+    * comparison is lexicographic, so the (distance, cid) tie-break is
+    * token-identical to the window form (equality spec'd by the
+    * sf0.01/sf0.1 gates running BOTH forms), but the state is one
+    * (dist, cid) pair per vector instead of an n·k sort. Same
+    * fixpoint-free setup+final shape as d24/d25's shared
+    * materialization; the driver's gate keeps running the plain
+    * single-statement oracle.
+    */
+  private def d13IterK: String =
+    s"greatest(16, CAST(ceil((SELECT count(*) FROM embeddings) / " +
+      s"${SemanticDedup.DefaultTargetCellSize}.0) AS BIGINT))"
+
+  private def d13IterAssign(vecSrc: String, centSrc: String,
+      out: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE $out AS
+      |SELECT e.vec_id, e.v, a.cid FROM (
+      |  SELECT e.vec_id,
+      |    min(struct_pack(d := list_distance(e.v, s.v), cid := s.cid)).cid AS cid
+      |  FROM $vecSrc e CROSS JOIN $centSrc s GROUP BY e.vec_id) a
+      |JOIN $vecSrc e USING (vec_id)""".stripMargin
+
+  private def d13IterRecompute(asgn: String, out: String): String =
+    s"""CREATE OR REPLACE TEMP TABLE $out AS
+      |SELECT cid, list(av ORDER BY i) AS v FROM (
+      |  SELECT cid, i, round(avg(v[i]), 6) AS av
+      |  FROM $asgn, generate_series(1, 64) AS t(i) GROUP BY cid, i) u
+      |GROUP BY cid""".stripMargin
+
+  private def d13IterSetup: Seq[String] = Seq(
+    "CREATE OR REPLACE TEMP TABLE __d13e AS " +
+      "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    s"""CREATE OR REPLACE TEMP TABLE __d13el AS
+      |WITH lr AS (
+      |  SELECT CASE WHEN n < b THEN 0
+      |         ELSE LEAST(24, length(bin(n // b))) END AS j
+      |  FROM (SELECT count(*) AS n, GREATEST(32768, 32 * ($d13IterK)) AS b
+      |        FROM __d13e))
+      |SELECT e.* FROM __d13e e, lr
+      |WHERE lr.j = 0 OR substr(md5(vec_id::VARCHAR), 1, 8) <
+      |  printf('%08x', 4294967296 >> lr.j)""".stripMargin,
+    s"""CREATE OR REPLACE TEMP TABLE __d13seeds AS
+      |SELECT cid, v FROM (
+      |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+      |    AS cid, v
+      |  FROM __d13el) s WHERE s.cid <= ($d13IterK)""".stripMargin,
+    d13IterAssign("__d13el", "__d13seeds", "__d13a0"),
+    d13IterRecompute("__d13a0", "__d13c0"),
+    d13IterAssign("__d13el", "__d13c0", "__d13a1"),
+    d13IterRecompute("__d13a1", "__d13c1"),
+    d13IterAssign("__d13e", "__d13c1", "__d13corpus"))
+
+  private def d13IterFinal: String =
+    """WITH pairs AS (
+      |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_cosine_similarity(a.v, b.v) AS sim
+      |  FROM __d13corpus a JOIN __d13corpus b USING (cid)
+      |  WHERE a.vec_id < b.vec_id),
+      |stats AS (
+      |  SELECT cid,
+      |    CAST(sum(CASE WHEN sim > 0.42 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+      |    CAST(count(DISTINCT CASE WHEN sim > 0.42 THEN id_b END) AS BIGINT) AS n_dropped,
+      |    round(max(sim), 6) AS max_cos6
+      |  FROM pairs GROUP BY cid)
+      |SELECT c.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  coalesce(any_value(s.n_dup_pairs), 0) AS n_dup_pairs,
+      |  coalesce(any_value(s.n_dropped), 0) AS n_dropped,
+      |  coalesce(any_value(s.max_cos6), -1.0) AS max_cos6
+      |FROM __d13corpus c LEFT JOIN stats s USING (cid)
+      |GROUP BY c.cid ORDER BY c.cid""".stripMargin
+
   val oracleIter: Map[String, (Seq[String], Seq[(String, String)], String)] = {
     val jacSetup = s"CREATE OR REPLACE TEMP TABLE __jedges AS " +
       s"WITH $jaccardPairCtes SELECT id_a, id_b FROM jac"
@@ -2275,6 +2366,9 @@ object LlmQueries {
         Seq.empty, PipelineQueries.d24IterFinalSql)),
       "d25_substr_scrub" -> ((
         Seq(PipelineQueries.xrepToksSetupSql, PipelineQueries.xrepSetupSql),
-        Seq.empty, PipelineQueries.d25IterFinalSql)))
+        Seq.empty, PipelineQueries.d25IterFinalSql)),
+      // the learned-index chain past DuckDB's window-sort envelope
+      // (r18 — streaming struct-argmin assignment; see d13IterSetup)
+      "d13_semantic_dedup" -> ((d13IterSetup, Seq.empty, d13IterFinal)))
   }
 }

@@ -767,9 +767,30 @@ object Similarity {
   private def mipsWidthRow(c0: DataFrame, targetOccupancy: Int,
       capFactor: Int, minBits: Int, maxBits: Int, dims: Int): DataFrame = {
     val stats = c0.agg(max(norm2(col("cv"))).as("m2"), count(lit(1)).as("n"))
+    // The census is SAMPLE-GOVERNED (the r16 learning-set discipline):
+    // a 1-row quantile must not cost a full TWO-bucket corpus pass —
+    // at 2M vectors the pole+twin projection (48 plane dot products
+    // per row) additionally blows the 64 KB codegen method limit and
+    // falls back to interpreted eval, turning the pass into the
+    // build's wall (measured: the unsampled census ran 25+ min at 2M
+    // where the sampled one is seconds). The md5 hash-sample at the
+    // 32,768 base is the learnSampleCtes arithmetic exactly (j from
+    // integer division, power-of-two rate as an exact hex threshold),
+    // derived IN-PLAN from the same 1-row stats broadcast and
+    // replayed token-for-token by the oracle; below the base (every
+    // spec fixture and driver scale) the sample IS the full corpus
+    // and nothing changes. Learning trusts the same sample for the
+    // centroids themselves — the reachability quantile asks far less
+    // of it.
+    val sampled = c0.crossJoin(broadcast(stats))
+      .withColumn("__j", when(col("n") < lit(32768L), lit(0)).otherwise(
+        least(lit(24), length(bin(expr("n DIV 32768"))))))
+      .filter(col("__j") === 0 ||
+        substring(md5(col("nid").cast("string")), 1, 8) <
+          format_string("%08x", expr("shiftright(4294967296L, __j)")))
     val diffs = filter(sequence(lit(1), lit(maxBits)),
       i => col("pb").substr(i, lit(1)) =!= col("tb").substr(i, lit(1)))
-    val geom = c0.crossJoin(broadcast(stats))
+    val geom = sampled
       .withColumn("pb", srpBucket(mipsAug(col("cv"), col("m2")),
         maxBits, dims + 1))
       .withColumn("tb", srpBucket(concat(col("cv"), array(lit(0.0))),
@@ -779,11 +800,15 @@ object Similarity {
     val wcum = Window.orderBy(col("p2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ≤ maxBits+1 histogram rows — the window/crossJoin run on a tiny
-    // frame, never the corpus
-    val med = geom.groupBy(col("p2")).agg(count(lit(1)).as("cnt"))
+    // frame, never the corpus; the quantile rank comes from the
+    // SAMPLE count (the histogram's own mass), not the corpus count
+    val hist = geom.groupBy(col("p2")).agg(count(lit(1)).as("cnt"))
+    val med = hist
       .withColumn("cum", sum(col("cnt")).over(wcum))
-      .crossJoin(broadcast(stats.select(col("n"))))
-      .filter(col("cum") >= floor((col("n") + lit(3L)) / lit(4.0)).cast("long"))
+      .crossJoin(broadcast(hist.agg(coalesce(sum(col("cnt")), lit(0L))
+        .as("m")))
+      )
+      .filter(col("cum") >= floor((col("m") + lit(3L)) / lit(4.0)).cast("long"))
       .agg(coalesce(min(col("p2")), lit(maxBits + 1)).as("reach_p2"))
     stats.crossJoin(broadcast(med))
       .select(col("m2"), col("n"),
@@ -826,10 +851,12 @@ object Similarity {
     * bucket is truncated to the effective width; degenerate home
     * buckets above the width-scaled cap are dropped at build. Queries
     * bucket as [q ; 0], which needs neither M² nor the count at
-    * serve time. Build cost: three corpus passes (stats, geometry,
-    * bucket build) + the bucket census — build-time-only, priced
-    * against an index that otherwise silently serves nothing at the
-    * scale it exists for.
+    * serve time. Build cost: the stats pass, the SAMPLE-governed
+    * geometry pass (bounded at ~32k rows at any corpus size — the
+    * learning-set discipline applied to the census), the bucket
+    * build, and the bucket census — build-time-only, priced against
+    * an index that otherwise silently serves nothing at the scale it
+    * exists for.
     */
   def mipsIndexGoverned(corpus: DataFrame, idCol: String, vecCol: String,
       targetOccupancy: Int = 16, capFactor: Int = 8, minBits: Int = 4,

@@ -118,6 +118,31 @@ class HierarchicalIvfSpec extends SparkSpec {
     assert(model === again)
   }
 
+  test("cellCosinePairs: planted near-dup found through the routed cells, degenerate flooded cell capped") {
+    // the past-268M handoff kernel (pairing routed through learned
+    // cells instead of SRP buckets): a planted near-dup pair on an
+    // ordinary direction must surface; a 500-copy template direction
+    // (one flooded cell, over capFactor × mean size) must be dropped
+    // from BOTH sides — the governed kernels' degenerate-mass
+    // discipline applied to cells
+    val base = clusterVec(3, 777L)
+    val near = base.zipWithIndex.map { case (x, j) =>
+      if (j == 0) x + 0.001f else x }
+    val deg = (9000L until 9500L).map(i => (i, clusterVec(7, 123L)))
+    val df = (corpus.as[(Long, Seq[Float])].collect().toSeq ++
+      Seq((8001L, base), (8002L, near)) ++ deg)
+      .toDF("vec_id", "embedding")
+    val model = HierarchicalIvf.learn(df, "vec_id", "embedding",
+      kCoarse = 4, kFinePerCell = 4, iters = 2)
+    val pairs = HierarchicalIvf.cellCosinePairs(df, "vec_id", "embedding",
+        0.9, model)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((8001L, 8002L)),
+      "the cap must never drop a true near-dup in an ordinary cell")
+    assert(!pairs.exists(p => p._1 >= 9000L && p._2 >= 9000L),
+      "flooded-cell pairs must be capped (124,750 template pairs otherwise)")
+  }
+
   test("hierKnn: clustered neighbors found, lists well-formed") {
     val queries = corpus.filter($"vec_id" % 1000L < 2L)
     val res = HierarchicalIvf.hierKnn(corpus, queries, "vec_id", "embedding",

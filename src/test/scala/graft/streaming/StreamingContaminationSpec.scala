@@ -42,6 +42,42 @@ class StreamingContaminationSpec extends SparkSpec {
       s"stream/batch divergence: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
   }
 
+  test("stream contamination: batch ≡ stream at a pinned WIDE width (the radius-3 regime)") {
+    // r18: the probe radius steps to Hamming ≤ 3 at RadiusWideBits —
+    // a gate pinned to a wide batch-derived width must flow the SAME
+    // re-widened net through the stream-static join, or batch and
+    // stream silently diverge exactly where the rule matters
+    val w = 20
+    assert(w >= Similarity.RadiusWideBits)
+    val emb = graft.GraftSession.table(spark, sf0, "embeddings")
+    val panel = emb.filter($"vec_id" % 50 === 0)
+    val corpus = emb.filter($"vec_id" % 50 =!= 0)
+    val batch = Similarity.multiProbeCrossPairs(
+        corpus, panel, "vec_id", "embedding", 0.42, nBits = w)
+      .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
+    val radius2 = Similarity.multiProbeCrossPairs(
+        corpus, panel, "vec_id", "embedding", 0.42, nBits = w, radius = 2)
+      .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
+    assert(radius2.subsetOf(batch),
+      "radius 3 must only widen the net, never lose radius-2 pairs")
+    val dir = tmpDir("scontam_wide")
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    corpus.select($"vec_id", $"embedding").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding",
+      nBits = w)
+    val out = StreamingContamination.flagAgainstPanel(
+      stream, idx, "vec_id", "embedding", 0.42, nBits = w)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("scontam_w").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("scontam_w").as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"wide-width stream/batch divergence: only-stream=${streamed -- batch} " +
+        s"only-batch=${batch -- streamed}")
+  }
+
   test("stream contamination: planted paraphrase flagged at ingest, clean vector admitted") {
     val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
     val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)

@@ -99,6 +99,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str, use_iter: bool = False) -> int:
     sys.stdout.reconfigure(line_buffering=True)  # progress visible when piped
     con = duckdb.connect()
+    n_views = 0
     for t in TABLES:
         # driver testdata ships single-file tables; MakeScale-derived
         # scales are Spark parquet DIRECTORIES — glob those. A
@@ -112,6 +113,12 @@ def main(sf_dir: str, out_dir: str, use_iter: bool = False) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
+        n_views += 1
+    if n_views == 0:
+        # a mistyped sf_dir otherwise surfaces as N per-query
+        # missing-table failures instead of one clear setup error
+        print(f"FAIL setup: no table files found under {sf_dir}")
+        return 1
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     iter_path = Path(out_dir, "oracle_iter.json")
     iter_plans = (
