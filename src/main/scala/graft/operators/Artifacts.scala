@@ -164,7 +164,14 @@ private[operators] object Artifacts {
         }
     }
     val out = spark.read.parquet(p)
-    if (validated.add(key)) validate(out)
+    // record the key only AFTER validate succeeds: a thrown validation
+    // must re-run on the next load, or a broken artifact would be
+    // cached as "validated" and served unchecked for the process's
+    // lifetime (the checkWidth=false serve paths trust this guard)
+    if (!validated.contains(key)) {
+      validate(out)
+      validated.add(key)
+    }
     out
   }
 

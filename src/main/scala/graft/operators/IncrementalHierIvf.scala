@@ -110,13 +110,15 @@ object IncrementalHierIvf {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** Fold the net-dead set into the physical cell lists — the shared
-    * [[Tombstones.compact]] on this family's one table.
+  /** Fold the net-dead set into the physical cell lists — DELEGATED
+    * to the flat family's implementation: both families keep the
+    * identical `<prefix>_cells` (cid, vec_id, v) layout, so the
+    * compaction (and its trigger below) are literally the same code
+    * path, not a copy that could drift.
     */
   def compact(spark: SparkSession, prefix: String = "graft_hier",
       buckets: Int = 16): Unit =
-    Tombstones.compact(spark, prefix, "vec_id",
-      Seq((cellsTable(prefix), "cid", buckets)))
+    IncrementalIvf.compact(spark, prefix, buckets)
 
   // ---------------------------------------------------------------
   // Policy triggers — the flat family's, DELEGATED: the drift census
@@ -165,21 +167,13 @@ object IncrementalHierIvf {
       Some(next)
     }
 
-  /** Dead-set pressure trigger — the shared compaction policy on
-    * this family's prefix ([[IncrementalIvf.compactIfDue]] is
-    * prefix-generic: it reads the Tombstones owner and calls the
-    * same Tombstones.compact this module's [[compact]] wraps).
+  /** Dead-set pressure trigger — [[IncrementalIvf.compactIfDue]] on
+    * this family's prefix (prefix-generic: it reads the shared
+    * Tombstones owner and compacts the same `<prefix>_cells` table).
     */
   def compactIfDue(spark: SparkSession, prefix: String = "graft_hier",
-      buckets: Int = 16, fraction: Double = 0.5): Boolean = {
-    val limit = spark.conf
-      .get(Tombstones.BroadcastLimitKey, "1000000").toLong
-    val dead = Tombstones.deadIds(spark, prefix, "vec_id")
-      .map(_.count()).getOrElse(0L)
-    val due = dead > 0L && dead >= (limit * fraction).toLong
-    if (due) compact(spark, prefix, buckets)
-    due
-  }
+      buckets: Int = 16, fraction: Double = 0.5): Boolean =
+    IncrementalIvf.compactIfDue(spark, prefix, buckets, fraction)
 
   // ---------------------------------------------------------------
   // Bench fixture (the r13 pricing rule: standing artifacts built

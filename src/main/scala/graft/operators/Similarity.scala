@@ -412,21 +412,6 @@ object Similarity {
     */
   final val RadiusWideBits = 14
 
-  /** Dynamic-width Hamming-≤2 probe set — [[probeSet2]] at a
-    * data-derived width: home bucket, the `nbits` single flips, and
-    * the nbits·(nbits−1)/2 double flips, generated by sequence/
-    * filter/flatten HOFs over COLUMN positions (one static expression
-    * at every width — a literal per-position expansion at maxBits=24
-    * would be 301 concat terms). Flip positions are 1-based;
-    * `substr(b, j+1, maxBits)` over-reads past the truncated bucket
-    * and clamps, exactly like the fixed-width form.
-    */
-  private def probeSet2Dyn(bucket: Column, nbits: Column,
-      maxBits: Int): Column =
-    array_distinct(concat(array(bucket),
-      probeSinglesDyn(bucket, nbits, maxBits),
-      probeDoublesDyn(bucket, nbits, maxBits)))
-
   private def flipCharDyn(bucket: Column)(i: Column): Column =
     when(bucket.substr(i, lit(1)) === "1", lit("0")).otherwise(lit("1"))
 
@@ -842,7 +827,8 @@ object Similarity {
   /** GOVERNED MIPS index — [[mipsIndex]] with the same build-time
     * occupancy governance as [[srpIndexGoverned]], PLUS the measured
     * pole/equator geometry rule (r18, closing the r17 `weak`): the
-    * width is the count-derived one capped by median(p2) − 1 (see
+    * width is the count-derived one capped by the 25th-percentile
+    * reachability quantile of p2, minus 1 (see
     * [[mipsWidthRow]]), so a norm-concentrated corpus that would have
     * served EMPTY at the count width automatically narrows until the
     * equator-side probes reconnect — no manual occupancy knob. M²,

@@ -41,6 +41,31 @@ class ArtifactsSpec extends SparkSpec {
     assert(builds === 2)
   }
 
+  test("load-time validation: runs once per artifact version, and a FAILED validation re-runs on the next load") {
+    val dir = tmpDir("artifacts_validate")
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    var calls = 0
+    var failFirst = true
+    def call() = Artifacts.materializedClustered(spark, "avspec", dir,
+      "documents.parquet", Seq("doc_id"), validate = _ => {
+        calls += 1
+        if (failFirst) { failFirst = false; throw new IllegalStateException("bad width") }
+      }) {
+      spark.read.parquet(dir + "/documents.parquet")
+    }
+    // first load: validation throws — the failure must NOT be cached
+    // as "validated" (the checkWidth=false serve paths trust this
+    // guard; a cached failure would serve the broken artifact
+    // unchecked for the process's lifetime)
+    val e = intercept[IllegalStateException](call())
+    assert(e.getMessage === "bad width" && calls === 1)
+    // second load: validation re-runs and passes
+    assert(call().count() === 1L && calls === 2)
+    // third load: same version — validated once, not re-paid
+    assert(call().count() === 1L && calls === 2)
+  }
+
   test("two racing commits land one consistent artifact (atomic rename)") {
     // simulates two DRIVERS sharing spark.graft.artifactDir: both
     // build the same deterministic path concurrently via the
