@@ -130,10 +130,16 @@ private[operators] object Artifacts {
     * for [[materializedClustered]]'s `validate` hook — keyed by the
     * stamped memo key, so a new corpus version re-validates and a
     * repeated serve call never re-pays the check (r17 ADVICE: width
-    * integrity belongs at artifact LOAD, not per query run).
+    * integrity belongs at artifact LOAD, not per query run). One
+    * FUTURE per key (r18 ADVICE: the contains/add pair was a
+    * non-atomic check-then-act — two concurrent loaders could both
+    * run validate, and a reader could return while another's
+    * validate was mid-flight): the build memo's exact
+    * winner-installs / losers-join pattern, so validation runs
+    * exactly once per key and every concurrent loader waits for it.
     */
-  private val validated = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[String]()
+  private val validated = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Unit]]()
 
   def materializedClustered(spark: SparkSession, prefix: String, dir: String,
       stampSrc: String, clusterCols: Seq[String],
@@ -164,13 +170,23 @@ private[operators] object Artifacts {
         }
     }
     val out = spark.read.parquet(p)
-    // record the key only AFTER validate succeeds: a thrown validation
-    // must re-run on the next load, or a broken artifact would be
-    // cached as "validated" and served unchecked for the process's
-    // lifetime (the checkWidth=false serve paths trust this guard)
-    if (!validated.contains(key)) {
-      validate(out)
-      validated.add(key)
+    // complete the future only AFTER validate succeeds, and REMOVE it
+    // on failure: a thrown validation must re-run on the next load,
+    // or a broken artifact would be cached as "validated" and served
+    // unchecked for the process's lifetime (the checkWidth=false
+    // serve paths trust this guard). A concurrent loser joins the
+    // winner's future — it never reads past a mid-flight validate.
+    val vf = new java.util.concurrent.CompletableFuture[Unit]()
+    validated.putIfAbsent(key, vf) match {
+      case null =>
+        try { validate(out); vf.complete(()) }
+        catch {
+          case e: Throwable =>
+            vf.completeExceptionally(e)
+            validated.remove(key, vf)
+            throw e
+        }
+      case winner => winner.join()
     }
     out
   }

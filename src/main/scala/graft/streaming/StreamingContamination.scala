@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *     batch-derived width keeps the batch kernel's re-widened
   *     angular net), re-resolved every micro-batch so a panel
   *     refresh (new benchmark release) is picked up without
-  *     restarting the query;
+  *     restarting the query — and carries bucket STRINGS only
+  *     (r19): the query vectors re-attach by a second panel-sized
+  *     broadcast join on bench_id, so the per-micro-batch broadcast
+  *     never ships a 65-double vector per probe row;
   *   - the STREAM side is a narrow map (one SRP bucket per vector)
   *     plus a stream-static equi-join on the HOME bucket — no
   *     explode, no watermark, and ZERO streaming state: a
@@ -36,8 +39,15 @@ import org.apache.spark.sql.functions._
 object StreamingContamination {
 
   /** Flag arriving vectors within `threshold` cosine of any panel
-    * item. `panelIdx` is `Similarity.panelProbeIndex(panel, ...)`.
-    * Output: one row per (arriving vector, matched panel item).
+    * item. `panelIdx` is `Similarity.panelProbeIndex(panel, ...)` —
+    * (bucket, bench_id) STRINGS ONLY (r19: at radius 3 a probe row
+    * carrying the 65-double query vector multiplied the per-micro-
+    * batch static broadcast ~25×; the batch kernel shed that mass in
+    * r18, this gate now rides the same slimmed index); `panelVecs`
+    * is `Similarity.panelVectors(panel, ...)` — the panel-row-count
+    * (bench_id, qv) frame that re-attaches vectors AFTER the bucket
+    * match. Output: one row per (arriving vector, matched panel
+    * item).
     *
     * `nBits` is REQUIRED (r17): the batch kernel (d21,
     * `Similarity.governedCrossPairs`) derives its width from the
@@ -49,20 +59,23 @@ object StreamingContamination {
     * there is no default.
     */
   def flagAgainstPanel(stream: DataFrame, panelIdx: DataFrame,
-      idCol: String, vecCol: String, threshold: Double,
-      nBits: Int, dims: Int = 64): DataFrame =
+      panelVecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int, dims: Int = 64): DataFrame =
     stream
       .withColumn("cv", toDouble(col(vecCol)))
       .withColumn("bucket", srpBucket(col("cv"), nBits, dims))
       .join(broadcast(panelIdx), Seq("bucket"))
+      .join(broadcast(panelVecs), Seq("bench_id"))
       .withColumn("sim", cosine(col("cv"), col("qv")))
       .filter(col("sim") > threshold)
       .select(col(idCol).as("corpus_id"), col("bench_id"))
 
-  /** Convenience: the index from a raw panel frame. `nBits` required
-    * — same pinned-width contract as [[flagAgainstPanel]].
+  /** Convenience: the (probe index, vector side) pair from a raw
+    * panel frame — the two static frames [[flagAgainstPanel]] joins.
+    * `nBits` required — same pinned-width contract.
     */
   def panelIndex(panel: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, dims: Int = 64): DataFrame =
-    Similarity.panelProbeIndex(panel, idCol, vecCol, nBits, dims)
+      nBits: Int, dims: Int = 64): (DataFrame, DataFrame) =
+    (Similarity.panelProbeIndex(panel, idCol, vecCol, nBits, dims),
+      Similarity.panelVectors(panel, idCol, vecCol))
 }

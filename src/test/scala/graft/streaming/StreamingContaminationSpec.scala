@@ -29,10 +29,10 @@ class StreamingContaminationSpec extends SparkSpec {
     corpus.select($"vec_id", $"embedding").write.mode("append").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding",
-      nBits = w)
+    val (idx, pv) = StreamingContamination.panelIndex(panel, "vec_id",
+      "embedding", nBits = w)
     val out = StreamingContamination.flagAgainstPanel(
-      stream, idx, "vec_id", "embedding", 0.42, nBits = w)
+      stream, idx, pv, "vec_id", "embedding", 0.42, nBits = w)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("scontam").start()
     try q.processAllAvailable() finally q.stop()
@@ -65,10 +65,10 @@ class StreamingContaminationSpec extends SparkSpec {
     corpus.select($"vec_id", $"embedding").write.mode("append").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding",
-      nBits = w)
+    val (idx, pv) = StreamingContamination.panelIndex(panel, "vec_id",
+      "embedding", nBits = w)
     val out = StreamingContamination.flagAgainstPanel(
-      stream, idx, "vec_id", "embedding", 0.42, nBits = w)
+      stream, idx, pv, "vec_id", "embedding", 0.42, nBits = w)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("scontam_w").start()
     try q.processAllAvailable() finally q.stop()
@@ -82,8 +82,13 @@ class StreamingContaminationSpec extends SparkSpec {
     val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
     val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
     val panel = Seq((50L, v.toSeq)).toDF("vec_id", "embedding")
-    val idx = StreamingContamination.panelIndex(panel, "vec_id", "embedding",
-      nBits = 8)
+    val (idx, pv) = StreamingContamination.panelIndex(panel, "vec_id",
+      "embedding", nBits = 8)
+    // the per-micro-batch static broadcast is bucket STRINGS only
+    // (r19): vectors live in the panel-sized pv frame, never on
+    // probe rows
+    assert(idx.columns.toSeq === Seq("bench_id", "bucket"))
+    assert(pv.columns.toSeq === Seq("bench_id", "qv"))
     val dir = tmpDir("scontam_plant")
     new java.io.File(dir).listFiles().foreach(_.delete())
     Seq((1L, v.map(x => x * 0.93f).toSeq), (2L, far.toSeq))
@@ -91,7 +96,7 @@ class StreamingContaminationSpec extends SparkSpec {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val out = StreamingContamination.flagAgainstPanel(
-      stream, idx, "vec_id", "embedding", 0.42, nBits = 8)
+      stream, idx, pv, "vec_id", "embedding", 0.42, nBits = 8)
     // the plan must be stateless: a stream-static join keeps nothing
     // across batches (no StateStore operator anywhere)
     val q = out.writeStream.outputMode("append").format("memory")
