@@ -74,6 +74,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // derived-scale arms: the MakeScale fixture is a replica flood by
+    // construction, so the artifact saturation gate fires on it
+    // CORRECTLY; a sweep that measures the capped serving behavior
+    // raises the budget explicitly per run (disclosed in SURVEY)
+    sys.env.get("SPARK_GRAFT_SAT_FRAC").foreach(v =>
+      spark.conf.set(operators.Similarity.SaturationMaxDroppedFracKey, v))
     // warmup: session init, codegen compiler, IO pools, and the
     // csv/parquet write committers — so the first timed query isn't
     // charged several seconds of one-time datasource init cost

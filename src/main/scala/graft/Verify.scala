@@ -30,6 +30,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // derived-scale sweeps: the MakeScale fixture is a replica flood
+    // by construction, so the artifact saturation gate fires on it
+    // CORRECTLY; a sweep that measures the capped serving behavior
+    // raises the budget explicitly per run (disclosed in SURVEY)
+    sys.env.get("SPARK_GRAFT_SAT_FRAC").foreach(v =>
+      spark.conf.set(operators.Similarity.SaturationMaxDroppedFracKey, v))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1138,6 +1138,16 @@ object Similarity {
     row.filter(r => !r.isNullAt(4) && r.getDouble(4) > maxDroppedFrac)
   }
 
+  /** Session-conf override for [[requireIndexNotSaturated]]'s
+    * dropped-mass budget — the per-deployment knob (the
+    * [[ProbeBroadcastLimitKey]] discipline): default strict (the
+    * method's `maxDroppedFrac`), raised EXPLICITLY by a run that
+    * measures serving over a corpus it knows is flooded (the
+    * MakeScale replica-derived sweep scales; `SPARK_GRAFT_SAT_FRAC`
+    * plumbs it through Verify/Bench).
+    */
+  val SaturationMaxDroppedFracKey = "spark.graft.saturationMaxDroppedFrac"
+
   /** The saturation gate AT ARTIFACT LOAD (r19 — r18 judge #3:
     * [[requireNotSaturated]] was spec'd machinery no shipped build
     * path invoked): the dropped fraction computed EXACTLY from two
@@ -1155,16 +1165,28 @@ object Similarity {
     * automatic, not a deployment's memory. The narrowed-MIPS cap
     * lift composes for free: a build that lifted its cap to n
     * dropped nothing and passes by construction.
+    *
+    * The threshold is overridable via [[SaturationMaxDroppedFracKey]]
+    * (session conf; the `maxDroppedFrac` parameter is the default):
+    * a corpus that is a KNOWN flood — the MakeScale derived-scale
+    * sweep fixture replicates every direction ~factor× with small
+    * perturbations, a quasi-template flood by construction — trips
+    * the gate CORRECTLY, and a sweep that wants to measure the
+    * capped serving behavior anyway raises the budget explicitly
+    * (disclosed per run) instead of the gate being silently weakened
+    * for everyone.
     */
   def requireIndexNotSaturated(index: DataFrame, corpus: DataFrame,
       maxDroppedFrac: Double = 0.05, maxBits: Int = 24): Unit = {
+    val budget = index.sparkSession.conf
+      .get(SaturationMaxDroppedFracKey, maxDroppedFrac.toString).toDouble
     val total = corpus.count()
     val kept = index.count()
     val frac = if (total == 0L) 0.0 else (total - kept).toDouble / total
-    if (frac > maxDroppedFrac) throw new IllegalStateException(
+    if (frac > budget) throw new IllegalStateException(
       s"SRP width governance saturated: the build's occupancy cap " +
         s"dropped ${total - kept} of $total corpus vectors " +
-        f"(dropped_frac=$frac%.4f > $maxDroppedFrac) — the corpus has " +
+        f"(dropped_frac=$frac%.4f > $budget) — the corpus has " +
         s"outgrown maxBits=$maxBits OR a template direction floods its " +
         s"bucket; raise the width ceiling (or route through per-cell " +
         s"pairing) instead of trusting the capped index")

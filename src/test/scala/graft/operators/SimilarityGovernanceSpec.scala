@@ -561,6 +561,17 @@ class SimilarityGovernanceSpec extends SparkSpec {
       e.getMessage.contains("dropped"), e.getMessage)
     // ...a permissive threshold lets it through...
     Similarity.requireIndexNotSaturated(idx, corpus, maxDroppedFrac = 0.5)
+    // ...the session-conf override raises the budget WITHOUT touching
+    // call sites (the derived-scale sweep knob: MakeScale fixtures
+    // are replica floods by construction, so a sweep run raises the
+    // budget explicitly and discloses it)...
+    spark.conf.set(Similarity.SaturationMaxDroppedFracKey, "0.5")
+    try Similarity.requireIndexNotSaturated(idx, corpus)
+    finally spark.conf.unset(Similarity.SaturationMaxDroppedFracKey)
+    // ...and the strict default is restored once the conf is unset
+    intercept[IllegalStateException] {
+      Similarity.requireIndexNotSaturated(idx, corpus)
+    }
     // ...and a healthy corpus no-ops
     val healthy = (0L until 700L).map(i => (i, hashVec(i)))
       .toDF("vec_id", "embedding")
