@@ -141,6 +141,20 @@ private[operators] object Artifacts {
   private val validated = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[Unit]]()
 
+  /** Join a winner's future rethrowing the ORIGINAL failure: a bare
+    * `join()` wraps it in CompletionException, so a loser racing a
+    * failed build/validation would observe a different exception TYPE
+    * than the winner (r19 review: callers intercepting the saturation
+    * gate's IllegalStateException must see it on both sides of the
+    * race).
+    */
+  private def joinRaw[T](f: java.util.concurrent.CompletableFuture[T]): T =
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException
+          if e.getCause != null => throw e.getCause
+    }
+
   def materializedClustered(spark: SparkSession, prefix: String, dir: String,
       stampSrc: String, clusterCols: Seq[String],
       validate: org.apache.spark.sql.DataFrame => Unit = _ => ())(
@@ -153,7 +167,7 @@ private[operators] object Artifacts {
     val key = s"$prefix|$scope|$dir|$stamp"
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val p = memo.putIfAbsent(key, fresh) match {
-      case Some(inFlight) => inFlight.join()
+      case Some(inFlight) => joinRaw(inFlight)
       case None =>
         try {
           val out = path(spark, prefix, key)
@@ -186,7 +200,7 @@ private[operators] object Artifacts {
             validated.remove(key, vf)
             throw e
         }
-      case winner => winner.join()
+      case winner => joinRaw(winner)
     }
     out
   }

@@ -56,6 +56,16 @@ object Checkpoints {
         val current = sc.getCheckpointDir.map(cd =>
           new org.apache.hadoop.fs.Path(cd).getParent.toString)
         if (!current.contains(qualified)) sc.setCheckpointDir(dir)
+        // persist BEFORE the reliable checkpoint (RDD.checkpoint's own
+        // documented discipline): without it the first action computes
+        // the lineage for the action and the checkpoint write then
+        // RECOMPUTES it end-to-end — for the 1-row corpus-agg frames
+        // the governed builds cut, that is a second full corpus pass
+        // in exactly the 100 TB configuration this mode exists for.
+        // The cached blocks are cleaned with the checkpoint files:
+        // every cut frame is reassigned/GC'd and the ContextCleaner
+        // unpersists unreachable RDDs (referenceTracking default).
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

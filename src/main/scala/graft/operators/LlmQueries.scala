@@ -609,6 +609,20 @@ object LlmQueries {
     */
   private val ContaminationThreshold = 0.42
 
+  /** The paraphrase-plant SQL rule, single-sourced (r19 review: the
+    * plant comprehension lived in two SQL twins — contaminationCtes
+    * and d26's — so an edit to one could silently break the other's
+    * oracle parity). `plantFilterSql` picks the planted stride;
+    * `plantVecSql` is the odd-components-×0.8 paraphrase of
+    * [[contaminationUniverse]]'s Column twin, token-identical
+    * wherever a twin replays the plant. Declared BEFORE every val
+    * that reads them (object-init order).
+    */
+  private final val plantFilterSql = "vec_id % 50"
+  private final val plantVecSql: String =
+    "[v[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE 0.8 END) " +
+      "for i in generate_series(1, len(v))]"
+
   /** The planted contaminated universe d21 and d22 BOTH read —
     * (corpus, panel), one construction so the plant rule (every 50th
     * vector is the held-out panel; each panel item re-enters the
@@ -691,19 +705,17 @@ object LlmQueries {
     */
   private def contaminationCtes: String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      |par AS (SELECT -vec_id - 1 AS vec_id, label,
-      |    [v[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE 0.8 END)
-      |     for i in generate_series(1, len(v))] AS v
-      |  FROM e WHERE vec_id % 50 = 0),
+      |par AS (SELECT -vec_id - 1 AS vec_id, label, $plantVecSql AS v
+      |  FROM e WHERE $plantFilterSql = 0),
       |corpus0 AS (
-      |  SELECT vec_id, label, v FROM e WHERE vec_id % 50 != 0
+      |  SELECT vec_id, label, v FROM e WHERE $plantFilterSql != 0
       |  UNION ALL SELECT vec_id, label, v FROM par),
       |cnb AS (SELECT ${nBitsSql("count(*)")} AS nbits FROM corpus0),
       |corpus AS (SELECT vec_id, label, v,
       |    substr(${srpBucketSql16("v")}, 1, nbits) AS bucket FROM corpus0, cnb),
       |bench0 AS (SELECT vec_id, v, nbits,
       |      substr(${srpBucketSql16("v")}, 1, nbits) AS bucket
-      |    FROM e, cnb WHERE vec_id % 50 = 0),
+      |    FROM e, cnb WHERE $plantFilterSql = 0),
       |bench AS (SELECT vec_id, v,
       |    unnest(list_distinct(${srpProbe2ListDynSql("bucket", "nbits")})) AS bucket
       |  FROM bench0)""".stripMargin
@@ -797,8 +809,16 @@ object LlmQueries {
 
   def d26CellNeardup(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, _) = contaminationUniverse(spark, dir)
+    // ONE corpus count pays both the adaptive kf and the governed
+    // sample rate (SemanticDedup.census's discipline — learn's
+    // sampleRate < 0 default would re-count the same planted-universe
+    // lineage; r19 review)
+    val n = corpus.count()
+    val kf = d26KFine(n)
     val model = HierarchicalIvf.learn(corpus, "vec_id", "v",
-      kCoarse = 4, kFinePerCell = d26KFine(corpus.count()), iters = 2)
+      kCoarse = 4, kFinePerCell = kf, iters = 2,
+      sampleRate = IvfIndex.governedLearnRate(n,
+        IvfIndex.governedLearnBase(4 * kf)))
     HierarchicalIvf.cellCosinePairs(corpus, "vec_id", "v",
         ContaminationThreshold, model)
       .select(col("id_a"), col("id_b"))
@@ -808,14 +828,12 @@ object LlmQueries {
   val d26CellNeardupSql: String = {
     val kc = 4
     val kfSel = "(SELECT kf FROM kfv)"
-    s"""WITH par AS (SELECT -vec_id - 1 AS vec_id,
-      |    [v[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE 0.8 END)
-      |     for i in generate_series(1, len(v))] AS v
+    s"""WITH par AS (SELECT -vec_id - 1 AS vec_id, $plantVecSql AS v
       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |  WHERE vec_id % 50 = 0),
+      |  WHERE $plantFilterSql = 0),
       |e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |  WHERE vec_id % 50 != 0
+      |  WHERE $plantFilterSql != 0
       |  UNION ALL SELECT vec_id, v FROM par),
       |kfv AS (SELECT GREATEST(4, CAST(ceil(count(*) / ($kc * 512.0))
       |    AS BIGINT)) AS kf FROM e),
