@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: dump `.explain("formatted")` for declared queries to
+  * files (plans/<tag>/<name>.txt) — the optimization rounds' evidence
+  * artifact. Never run by the driver; bench/verify stay the product
+  * surface.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> [nameRegex]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o)    => (s, o, ".*")
+      case Array(s, o, f) => (s, o, f)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+          System.err.println(s"[plandump] $name ok")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+        }
+    }
+    spark.stop()
+  }
+}

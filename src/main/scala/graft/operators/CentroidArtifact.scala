@@ -76,18 +76,20 @@ object CentroidArtifact {
     */
   def embeddingCentroids(spark: SparkSession, dir: String, k: Int,
       iters: Int = 2, dims: Int = 64,
-      sampleRate: Double = -1.0): Seq[(Int, Seq[Double])] = {
+      sampleRate: Double = -1.0,
+      learnBase: Long = 0L): Seq[(Int, Seq[Double])] = {
     val src = s"$dir/embeddings.parquet"
     val srKey = if (sampleRate < 0) "gov" else sampleRate.toString
     val key = s"${spark.sparkContext.applicationId}|$src|${corpusStamp(spark, src)}" +
-      s"|k=$k|it=$iters|d=$dims|sr=$srKey"
+      s"|k=$k|it=$iters|d=$dims|sr=$srKey|lb=$learnBase"
     // single-flight (the documentClusters rule): concurrent suites
     // sharing the session must not race two learnings onto the same
     // deterministic output path
     val path = paths.synchronized(paths.getOrElseUpdate(key, {
       val e = table(spark, dir, "embeddings")
       val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
-        k = k, iters = iters, dims = dims, sampleRate = sampleRate)
+        k = k, iters = iters, dims = dims, sampleRate = sampleRate,
+        learnBase = learnBase)
       learns.incrementAndGet()
       val out = artifactPath(spark, "ivf", key)
       import spark.implicits._
@@ -170,6 +172,69 @@ object CentroidArtifact {
         c -> rs.sortBy(_._2).map(t => t._2 -> t._3).toSeq
       }.toSeq.sortBy(_._1)
       HierarchicalIvf.HierModel(coarse, fine, kFinePerCell)
+    })
+  }
+
+  private val adaptivePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val adaptiveLoaded = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, HierarchicalIvf.HierModel)]
+
+  /** Adaptive-kf two-level model over a DERIVED corpus (d26's planted
+    * contamination universe), learned at most once per (session,
+    * corpus version) — the same artifact contract as [[hierModel]]
+    * for the handoff kernel whose fine-cell count is CORPUS-DERIVED
+    * (kf = kfOf(n)), so the corpus count and the model must age
+    * together. r19 optimization: d26 re-ran the full two-level
+    * learning (coarse Lloyd + seeding + joint routed passes, ~10
+    * corpus jobs) on EVERY call while its family twin s13 served the
+    * memoized artifact; only the learning memoizes — the pair sweep
+    * still computes from the parquet inputs per run. Persisted as the
+    * (ccid, fid, v) table (coarse under fid = 0) plus ONE meta row
+    * (ccid = -1, fid = -1, v = [n]) carrying the governed count —
+    * n ≤ 2^53 is exact in a double, and the negative ids are
+    * collision-free (real ccids/fids are ≥ 1 by construction). Both
+    * cold and warm calls serve the PARQUET roundtrip (6-decimal
+    * rounding makes it exact), so every run reads the identical
+    * model.
+    */
+  def adaptiveHierModel(spark: SparkSession, dir: String, tag: String,
+      corpus: => org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, kCoarse: Int, kfOf: Long => Int, iters: Int = 2,
+      dims: Int = 64): (Long, HierarchicalIvf.HierModel) = {
+    val src = s"$dir/embeddings.parquet"
+    val key = s"${spark.sparkContext.applicationId}|$src|${corpusStamp(spark, src)}" +
+      s"|hier-ad|$tag|kc=$kCoarse|it=$iters|d=$dims"
+    val path = adaptivePaths.synchronized(adaptivePaths.getOrElseUpdate(key, {
+      val c = corpus
+      val n = c.count()
+      val kf = kfOf(n)
+      val model = HierarchicalIvf.learn(c, idCol, vecCol,
+        kCoarse = kCoarse, kFinePerCell = kf, iters = iters, dims = dims,
+        sampleRate = IvfIndex.governedLearnRate(n,
+          IvfIndex.governedLearnBase(kCoarse * kf)))
+      hierLearns.incrementAndGet()
+      val out = artifactPath(spark, "hierad", key)
+      import spark.implicits._
+      ((-1, -1, Seq(n.toDouble)) +:
+        (model.coarse.map { case (cc, v) => (cc, 0, v) } ++
+          model.fine.flatMap { case (cc, cells) =>
+            cells.map { case (fid, v) => (cc, fid, v) }
+          }))
+        .toDF("ccid", "fid", "v").coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }))
+    adaptiveLoaded.getOrElseUpdate(path, {
+      val rows = spark.read.parquet(path).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      val n = rows.find(_._1 == -1).map(_._3.head.toLong)
+        .getOrElse(sys.error(s"adaptive hier artifact at $path lost its meta row"))
+      val coarse = rows.filter(t => t._1 > 0 && t._2 == 0)
+        .map(t => t._1 -> t._3).toSeq.sortBy(_._1)
+      val fine = rows.filter(_._2 > 0).groupBy(_._1).map { case (c, rs) =>
+        c -> rs.sortBy(_._2).map(t => t._2 -> t._3).toSeq
+      }.toSeq.sortBy(_._1)
+      (n, HierarchicalIvf.HierModel(coarse, fine, kfOf(n)))
     })
   }
 }

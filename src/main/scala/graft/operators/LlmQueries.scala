@@ -809,16 +809,15 @@ object LlmQueries {
 
   def d26CellNeardup(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, _) = contaminationUniverse(spark, dir)
-    // ONE corpus count pays both the adaptive kf and the governed
-    // sample rate (SemanticDedup.census's discipline — learn's
-    // sampleRate < 0 default would re-count the same planted-universe
-    // lineage; r19 review)
-    val n = corpus.count()
-    val kf = d26KFine(n)
-    val model = HierarchicalIvf.learn(corpus, "vec_id", "v",
-      kCoarse = 4, kFinePerCell = kf, iters = 2,
-      sampleRate = IvfIndex.governedLearnRate(n,
-        IvfIndex.governedLearnBase(4 * kf)))
+    // the adaptive-kf model learns at most once per corpus version
+    // (CentroidArtifact.adaptiveHierModel — r19: every call re-ran
+    // the full two-level learning while family twin s13 served the
+    // memoized artifact; the count inside the memo pays both the
+    // adaptive kf and the governed sample rate, SemanticDedup.census's
+    // discipline). The pair sweep below recomputes per call.
+    val (_, model) = CentroidArtifact.adaptiveHierModel(spark, dir,
+      "d26univ", contaminationUniverse(spark, dir)._1, "vec_id", "v",
+      kCoarse = 4, kfOf = d26KFine, iters = 2)
     HierarchicalIvf.cellCosinePairs(corpus, "vec_id", "v",
         ContaminationThreshold, model)
       .select(col("id_a"), col("id_b"))
@@ -1418,8 +1417,12 @@ object LlmQueries {
     */
   def s3sIvfSampled(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
-    val cents = IvfIndex.learnCentroids(e, "vec_id", "embedding",
-      k = 16, iters = 2, sampleRate = -1.0, learnBase = 64L)
+    // learned at most once per corpus version (r19: this entry re-ran
+    // the sampled Lloyd chain per call — the only index entry that
+    // did; the entry gates the sampled-learning BRANCH's parity, which
+    // the memoized artifact serves identically, same as s3/s8/s13)
+    val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16,
+      iters = 2, sampleRate = -1.0, learnBase = 64L)
     IvfIndex.ivfKnn(e, e.filter(col("vec_id") < 64), "vec_id", "embedding",
         k = 5, cents, nprobe = 2)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))

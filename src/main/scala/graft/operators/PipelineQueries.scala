@@ -84,21 +84,29 @@ object PipelineQueries {
   // ---------------------------------------------------------------
 
   /** §2.5 t7: TF-IDF top-5 keywords per document. Shuffle structure:
-    * explode → partial-agg groupBy(doc, term) → groupBy(term) for
-    * document frequency → term-key join back → per-doc top-k window.
-    * The corpus size enters as a 1-row broadcast, and ln-scores are
-    * rounded to 6 decimals so JVM/libm last-ulp differences cannot
-    * flip the (score, term) ordering between engines.
+    * explode → partial-agg groupBy(doc, term) → COUNT-over-term
+    * window for document frequency → per-doc top-k window. The
+    * document frequency is a window over the tf frame, not a
+    * groupBy + self-join (r19: the join form evaluated the whole
+    * tokenize→explode→agg subtree TWICE — once per join side — and
+    * paid a third exchange reconciling them; dfreq per term IS the
+    * tf row count per term, so one exchange on `term` computes it
+    * over a single tokenize pass: isolated sf0.1 median 1.97 →
+    * 1.21 s, plan 2 scans/5 exchanges → 1 scan/4). The corpus size
+    * enters as a 1-row broadcast, and ln-scores are rounded to 6
+    * decimals so JVM/libm last-ulp differences cannot flip the
+    * (score, term) ordering between engines.
     */
   def t7Tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val terms = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    tf.withColumn("dfreq", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("dfreq").cast("double")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -604,14 +604,21 @@ object Similarity {
     val nb0 = Checkpoints.cut(c0.agg(count(lit(1)).as("n"))
       .select(nBitsCol(col("n"), targetOccupancy, minBits, maxBits)
         .as("nbits")))
-    val nbits = nb0.first().getInt(0)
+    val p0 = Checkpoints.cut(panel.select(col(idCol).as("bench_id"),
+      toDouble(col(vecCol)).as("qv")))
+    // ONE driver action reads the degrade decision's two scalars —
+    // the derived width and the panel count — and materializes BOTH
+    // lineage cuts as its side effect (r19: `nb0.first()` then
+    // `p0.count()` were two scheduled jobs per call; the 1-row
+    // crossJoin makes them one)
+    val meta = nb0.crossJoin(p0.groupBy().agg(count(lit(1)).as("pn"))).first()
+    val nbits = meta.getInt(0)
+    val panelN = meta.getLong(1)
     val nb = broadcast(nb0)
     val c = c0.crossJoin(nb)
       .select(col("corpus_id"), col("cv"),
         srpBucket(col("cv"), maxBits, dims).substr(lit(1), col("nbits"))
           .as("bucket"))
-    val p0 = Checkpoints.cut(panel.select(col(idCol).as("bench_id"),
-      toDouble(col(vecCol)).as("qv")))
     val probes = p0.crossJoin(nb)
       .withColumn("qbucket",
         srpBucket(col("qv"), maxBits, dims).substr(lit(1), col("nbits")))
@@ -623,7 +630,6 @@ object Similarity {
     // the probe index (and the panel-sized vector attach) broadcast
     // or shuffle — Tombstones.deadSetJoin's exact discipline
     val limit = probeBroadcastLimit(corpus)
-    val panelN = p0.count()
     c.join(maybeBroadcast(probes, panelN * probeMultiplier(nbits), limit),
         Seq("bucket"))
       .join(maybeBroadcast(p0, panelN, limit), Seq("bench_id"))
