@@ -57,12 +57,32 @@ object GraftSession {
     }
   }
 
+  // Resolved-relation memo (r19 optimization): every
+  // `spark.read.parquet` call re-runs ResolveDataSource — file
+  // listing + footer/schema reads — at ANALYSIS time, once per
+  // DataFrame construction. Probe-measured at 0.20 s of a 1.65 s
+  // warm e2e_media run (half the rule-executor wall), paid by every
+  // entry on every run. The memo returns the already-ANALYZED frame
+  // for the same (session, path, dir-mtime) — metadata reuse only:
+  // the scan itself still reads the parquet input on every action,
+  // exactly like a catalog table's cached relation metadata in a
+  // production session. The mtime in the key keeps overwritten spec
+  // fixtures fresh (a re-written path re-resolves), and the session
+  // identity keeps frames inside the session that analyzed them.
+  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), DataFrame]
+
   /** Scan one synthetic table. Plain parquet scan — Catalyst pushes
     * filters/pruning into it, so callers just compose DataFrame algebra.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val path = s"$sfDir/$name.parquet"
+    val mtime = new java.io.File(path).lastModified()
+    tableMemo.computeIfAbsent(
+      (System.identityHashCode(spark), path, mtime), _ => {
+        val df = spark.read.parquet(path)
+        if (name == "events") normalizeEventTs(df) else df
+      })
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

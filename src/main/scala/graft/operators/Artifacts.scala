@@ -138,6 +138,12 @@ private[operators] object Artifacts {
     * winner-installs / losers-join pattern, so validation runs
     * exactly once per key and every concurrent loader waits for it.
     */
+  /** Analyzed-frame memo for immutable (content-stamped) artifact
+    * paths — metadata reuse only; see the load site below.
+    */
+  private val loadedFrames = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.DataFrame]()
+
   private val validated = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[Unit]]()
 
@@ -183,7 +189,13 @@ private[operators] object Artifacts {
             throw e
         }
     }
-    val out = spark.read.parquet(p)
+    // artifact paths are content-stamped (immutable per key), so the
+    // ANALYZED frame memoizes per (session, path) — r19: re-resolving
+    // the datasource (file listing + footer reads) on every serve call
+    // was driver-side wall on every artifact consumer's every run;
+    // the scan still reads the artifact parquet per action
+    val out = loadedFrames.computeIfAbsent(
+      (System.identityHashCode(spark), p), _ => spark.read.parquet(p))
     // complete the future only AFTER validate succeeds, and REMOVE it
     // on failure: a thrown validation must re-run on the next load,
     // or a broken artifact would be cached as "validated" and served

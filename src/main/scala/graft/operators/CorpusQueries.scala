@@ -359,20 +359,29 @@ object CorpusQueries {
     val docs = table(spark, dir, "documents")
     val n = docs.count()
     val nodes = docs.select(col("doc_id").as("node"))
-    val und = plantedEdges(nodes, n)
+    // lineage-cut the two multi-consumer frames (t15's rule — the
+    // repo's other graph kernels already do this): `und` feeds deg's
+    // two union legs AND orient's join input, `orient` feeds both
+    // wedge self-join sides AND the closing tri join — uncut, the
+    // edge-derivation subtree replicated 270 parquet-scan nodes into
+    // the initial plan (r19 measured, plans/r19/q_triangles_before:
+    // 270 scans/256 HashAggregates → after: 0/4; isolated sf0.1
+    // median 2.66 → 1.41 s with the cuts alone, 0.70 with the
+    // session relation memo on top)
+    val und = Checkpoints.cut(plantedEdges(nodes, n)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val orient = und
+    val orient = Checkpoints.cut(und
       .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
       .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
-        when(fwd, col("b")).otherwise(col("a")).as("v"))
+        when(fwd, col("b")).otherwise(col("a")).as("v")))
     val e1 = orient.select(col("u"), col("v").as("y"))
     val e2 = orient.select(col("u"), col("v").as("z"))
     val wedges = e1.join(e2, "u").filter(col("y") =!= col("z"))
