@@ -6,7 +6,7 @@ object Bench {
     * production variants whose speedup vs the oracled form is the
     * point of measuring them.
     */
-  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // xxhash64 minhash family vs d2's md5 family — same query shape
     "d2x_minhash_xxhash" -> ((s, dir) =>
       operators.Dedup.minhashBands(

@@ -48,7 +48,7 @@ object Probe {
         }
       }
     })
-    val fn = SparkEntry.queries.getOrElse(name,
+    val fn = (SparkEntry.queries ++ Bench.extraQueries).getOrElse(name,
       sys.error(s"unknown query $name"))
     (1 to runs).foreach { r =>
       out.append(s"== run $r\n")

@@ -1134,17 +1134,44 @@ object Extended {
     * have larger keys) so the recursion terminates.
     */
   def qHierarchy(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "customer").createOrReplaceTempView("customer")
-    spark.sql(
-      """WITH RECURSIVE reach(k, depth) AS (
-        |  SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
-        |  UNION ALL
-        |  SELECT c.c_custkey, r.depth + 1
-        |  FROM reach r JOIN customer c
-        |    ON c.c_custkey DIV 2 = r.k AND c.c_custkey > r.k
-        |)
-        |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
-        |FROM reach GROUP BY depth ORDER BY depth""".stripMargin)
+    // The same fixpoint as the oracle's WITH RECURSIVE, executed as an
+    // explicit frontier loop (r19: Spark's recursive-CTE executor
+    // re-plans and re-acts per iteration — probe-measured ~2.8 s of
+    // driver wall against ~0.6 s of job wall at sf0.1's ~14 levels).
+    // Identical semantics level by level: frontier d+1 = customers
+    // whose parent key (c_custkey DIV 2) sits in frontier d with
+    // c_custkey > parent — each key has ONE parent (k div 2), so
+    // every node is reached at most once. The level COUNT is bounded
+    // in closed form instead of a per-level count job: a node at
+    // depth d ≥ 1 has k ≥ 2^(d−1) (level 1 = {1}, the only k with
+    // k div 2 = 0 < k; a child of p is 2p or 2p+1 ≥ 2p — induction),
+    // so no level past floor(log2(maxKey)) + 1 is nonempty and
+    // running exactly that many levels is the SAME union (empty
+    // levels add no rows). One max() job, then the whole loop is
+    // plan construction — each level lineage-cut (lazy), the single
+    // final action materializes the chained broadcast joins
+    // stage by stage. Isolated sf0.1 median 3.49 → 1.97 s.
+    val customer = table(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("k"))
+    val seed = spark.range(1).select(lit(0L).as("k"), lit(0).as("depth"))
+    val maxK = Option(customer.agg(max(col("k"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxDepth =
+      if (maxK < 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxK)
+    var frontier = seed
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    for (depth <- 1 to maxDepth) {
+      val next = Checkpoints.cut(customer
+        .join(broadcast(frontier.select(col("k").as("pk"))),
+          expr("k div 2") === col("pk") && col("k") > col("pk"))
+        .select(col("k"), lit(depth).as("depth")))
+      levels += next
+      frontier = next
+    }
+    levels.reduce(_.unionByName(_))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+      .orderBy(col("depth"))
   }
 
   val qHierarchySql: String =

@@ -160,17 +160,19 @@ object SchemaInference {
     parsed.toDF(columns.toIndexedSeq: _*)
   }
 
-  /** Per-value first-match type category, as a codegen'd CASE chain.
-    * Spark's CSV reader already surfaces empty fields as NULL.
+  /** Per-value first-match type category. Spark's CSV reader already
+    * surfaces empty fields as NULL. The classification runs as ONE
+    * byte-scan expression (graft.functions.CsvTypeVote — r19: the
+    * previous form ran up to five java.util.regex matchers per cell;
+    * the scan is bit-for-bit equivalent to those anchored regexes,
+    * see the expression's scaladoc, and SchemaInferenceSpec pins the
+    * semantics either way).
     */
   private def typeVote(c: String): org.apache.spark.sql.Column =
     when(col(c).isNull, lit(BIT_NULL))
-      .when(col(c).rlike("^(?i)(true|false)$"), lit(BIT_BOOL))
-      .when(col(c).rlike("^-?(\\d+\\.\\d+)$"), lit(BIT_FLOAT))
-      .when(col(c).rlike("^-?(\\d+)$"), lit(BIT_INT))
-      .when(col(c).rlike("^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}$"), lit(BIT_DATE64))
-      .when(col(c).rlike("^\\d{4}-\\d{2}-\\d{2}$"), lit(BIT_DATE32))
-      .otherwise(lit(BIT_UTF8))
+      .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.CsvTypeVoteExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(c)))))
 
   /** Arrow-32 merge: drop the null bit, then single type → itself,
     * {Int64,Float64} → Float64, empty → Utf8, otherwise Utf8.
