@@ -451,8 +451,7 @@ object CorpusQueries {
     val n = docs.count()
     val nodes = docs.select(col("doc_id").as("node"))
     val edges = Checkpoints.cut(
-      plantedEdges(nodes, n).filter(col("src") =!= col("dst")).distinct(),
-      eager = true)
+      plantedEdges(nodes, n).filter(col("src") =!= col("dst")).distinct())
     val seeds = nodes.filter(pmod(col("node"), lit(250L)) === 0)
       .select(col("node"), lit(0L).as("dist"))
     Reach.distances(seeds, edges, ReachRounds).orderBy(col("node"))

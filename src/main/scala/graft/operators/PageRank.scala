@@ -39,8 +39,8 @@ object PageRank {
     * join fewer per iteration); `ranksByDegree` is the general form.
     */
   def ranks(nodes: DataFrame, edges: DataFrame, outDeg: Int): DataFrame = {
-    var r = Checkpoints.cut(nodes.select(col("node"), lit(Unit).as("u")), eager = true)
-    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), eager = true)
+    var r = Checkpoints.cut(nodes.select(col("node"), lit(Unit).as("u")))
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")))
     val base = (1 - Damping) * Unit
     for (_ <- 1 to Iters) {
       val contrib = e.join(r, e("src") === r("node"))
@@ -50,7 +50,7 @@ object PageRank {
         nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(nodes("node"),
             round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)) / outDeg)
-              .cast("long").as("u")), eager = true)
+              .cast("long").as("u")))
     }
     r.select(col("node"), (col("u") / (Unit.toDouble)).as("rank6"))
   }
@@ -68,13 +68,13 @@ object PageRank {
     * simplification; their own rank still receives the base term.
     */
   def ranksByDegree(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), eager = true)
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // the rank frame CARRIES its node's out-degree: one left join at
     // init instead of a node×node degree join every iteration
     var r = Checkpoints.cut(
       nodes.join(deg, nodes("node") === deg("src"), "left")
-        .select(nodes("node"), lit(Unit).as("u"), col("d")), eager = true)
+        .select(nodes("node"), lit(Unit).as("u"), col("d")))
     val base = (1 - Damping) * Unit
     for (_ <- 1 to Iters) {
       val perSrc = r.filter(col("d").isNotNull)
@@ -87,7 +87,7 @@ object PageRank {
         prev.join(contrib, prev("node") === contrib("dst"), "left")
           .select(prev("node"),
             round(lit(base) + lit(Damping) * coalesce(col("in_sum"), lit(0L)))
-              .cast("long").as("u"), prev("d")), eager = true)
+              .cast("long").as("u"), prev("d")))
     }
     r.select(col("node"), (col("u") / (Unit.toDouble)).as("rank6"))
   }

@@ -34,7 +34,7 @@ object Reach {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       // cut only frames that feed ANOTHER round (KCore's rule): the
       // final result keeps its one-join lineage for the consumer
-      dist = if (r == rounds) merged else Checkpoints.cut(merged, eager = true)
+      dist = if (r == rounds) merged else Checkpoints.cut(merged)
     }
     dist
   }
