@@ -72,6 +72,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the status-store listeners run even with the UI off and
+      // retain per-job/stage/task rows for every execution — ~500
+      // executions per bench invocation; keep the retained window
+      // small so late entries don't pay the store's growth
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // derived-scale arms: the MakeScale fixture is a replica flood by

@@ -28,6 +28,12 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // status-store retention caps (Bench's r19 note: the listeners
+      // run even with the UI off; 150 dump queries retain task rows)
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // derived-scale sweeps: the MakeScale fixture is a replica flood
