@@ -588,15 +588,24 @@ object CorpusQueries {
     val occ = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
     val maxd = docs.agg(max(col("doc_id")).as("maxd"))
     // stride s = ceil((maxd+1)/buckets); bucket = doc_id div s ∈ [0, 20)
-    val first = occ.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
-      .crossJoin(broadcast(maxd))
-      .select(expr(s"fd div (((maxd + 1) + ${GrowthBuckets - 1}) div $GrowthBuckets)").as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("new_terms"))
-    val toks = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    // ONE tokenize pass (r19): bucket each occurrence row up front and
+    // partial-agg to the (bucket, term) frame — ≤ 20 rows per term —
+    // then derive BOTH branches from that cut frame instead of
+    // re-evaluating the explode subtree per branch (Spark does not CSE
+    // across join/agg consumers; t7's window-dfreq rule, same family).
+    //   new_terms(b): a term is new in its MINIMUM bucket — bucket =
+    //     doc_id div s is monotone in doc_id (ids nonnegative, s ≥ 1),
+    //     so min(bucket) == bucket(min(doc_id)), the previous form.
+    //   bucket_toks(b): per-bucket token count = Σ per-(b, term) tfs
+    //     (the previous per-doc census summed the same occurrence rows).
+    val g = Checkpoints.cut(occ
       .crossJoin(broadcast(maxd))
       .select(expr(s"doc_id div (((maxd + 1) + ${GrowthBuckets - 1}) div $GrowthBuckets)").as("b"),
-        col("n_tok"))
-      .groupBy(col("b")).agg(sum(col("n_tok")).as("bucket_toks"))
+        col("term"))
+      .groupBy(col("b"), col("term")).agg(count(lit(1)).as("tf")))
+    val first = g.groupBy(col("term")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("new_terms"))
+    val toks = g.groupBy(col("b")).agg(sum(col("tf")).as("bucket_toks"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -54,20 +54,6 @@ object AvroConversion {
       s"unsupported Avro conversion type: $other")
   }
 
-  private val MicrosPerSecond = 1000000L
-
-  private def toMicros(ldt: java.time.LocalDateTime): java.lang.Long =
-    java.lang.Long.valueOf(
-      Math.addExact(Math.multiplyExact(
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC), MicrosPerSecond),
-        ldt.getNano / 1000L))
-
-  private def fromMicros(micros: Long): java.time.LocalDateTime =
-    java.time.LocalDateTime.ofEpochSecond(
-      Math.floorDiv(micros, MicrosPerSecond),
-      (Math.floorMod(micros, MicrosPerSecond) * 1000L).toInt,
-      java.time.ZoneOffset.UTC)
-
   /** The Avro record schema JSON for a StructType — every field a
     * nullable union, names passed through (Avro name rules are a
     * superset of the engine's table columns).
@@ -81,6 +67,19 @@ object AvroConversion {
 
   /** Write `df` as Avro container files under `path` (one file per
     * partition — the distributed layout every other sink here uses).
+    *
+    * r19: reads the query's INTERNAL rows (`queryExecution.toRdd`)
+    * instead of `df.rdd` — the external-Row path deserialized every
+    * cell into Java objects (java.sql.Date/Timestamp with calendar
+    * math, boxed primitives via the encoder) only for this loop to
+    * convert them straight back to Avro's physical encodings. Catalyst
+    * already stores dates as epoch-day ints and timestamps as micros
+    * longs — exactly Avro's `date`/`timestamp-micros`/
+    * `local-timestamp-micros` logical encodings — so the record fill
+    * is now a direct primitive copy per cell (fields addressed by
+    * POSITION, not by a per-cell name lookup). Container bytes are
+    * bit-identical to the previous form (AvroConversionSpec pins the
+    * roundtrip).
     */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
@@ -91,28 +90,31 @@ object AvroConversion {
     val avroSchema = new org.apache.avro.Schema.Parser().parse(json)
     AvroJob.setOutputKeySchema(job, avroSchema)
     AvroSerialization.addToConfiguration(job.getConfiguration)
-    val fields = schema.fields
-    val pairs = df.rdd.mapPartitions { rows =>
+    val dts: Array[DataType] = schema.fields.map(_.dataType)
+    val pairs = df.queryExecution.toRdd.mapPartitions { rows =>
       // parse once per partition: avro Schema is not serializable
       val sch = new org.apache.avro.Schema.Parser().parse(json)
       rows.map { row =>
+        // the record is filled (and its values detached from the
+        // possibly-reused UnsafeRow buffer) before the writer sees it
         val rec: GenericRecord = new GenericData.Record(sch)
         var i = 0
-        while (i < fields.length) {
-          val v = row.get(i) match {
-            case null => null
-            case d: java.sql.Date => java.lang.Integer.valueOf(
-              d.toLocalDate.toEpochDay.toInt)
-            case t: java.sql.Timestamp =>
-              // instant micros (zone-free): getTime floors to seconds,
-              // getNanos carries the sub-second part
-              java.lang.Long.valueOf(Math.addExact(Math.multiplyExact(
-                Math.floorDiv(t.getTime, 1000L), MicrosPerSecond),
-                t.getNanos / 1000L))
-            case ldt: java.time.LocalDateTime => toMicros(ldt)
-            case other => other.asInstanceOf[AnyRef]
-          }
-          rec.put(fields(i).name, v)
+        while (i < dts.length) {
+          val v: AnyRef =
+            if (row.isNullAt(i)) null
+            else dts(i) match {
+              case LongType | TimestampType | TimestampNTZType =>
+                java.lang.Long.valueOf(row.getLong(i))
+              case IntegerType | DateType =>
+                java.lang.Integer.valueOf(row.getInt(i))
+              case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+              case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+              case StringType => row.getUTF8String(i).toString
+              case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+              case other => throw new IllegalArgumentException(
+                s"unsupported Avro conversion type: $other")
+            }
+          rec.put(i, v)
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
@@ -139,7 +141,15 @@ object AvroConversion {
     AvroJob.setInputKeySchema(job,
       new org.apache.avro.Schema.Parser().parse(json))
     AvroSerialization.addToConfiguration(job.getConfiguration)
-    val fields = schema.fields
+    val dts: Array[DataType] = schema.fields.map(_.dataType)
+    // r19: decode straight to INTERNAL rows — Avro's physical values
+    // (epoch-day ints, micros longs, UTF-8 byte strings) ARE Catalyst's
+    // physical encodings, so the previous Row path (java.sql.Date/
+    // Timestamp construction per cell, then a full Catalyst conversion
+    // pass inside createDataFrame) did two conversions per cell that
+    // both cancel. Strings copy their UTF-8 bytes directly (no
+    // decode/encode through java.lang.String); every value is detached
+    // from the reader's reused buffers before the row is emitted.
     val rows = spark.sparkContext.newAPIHadoopFile(
       path,
       classOf[AvroKeyInputFormat[GenericRecord]],
@@ -147,25 +157,26 @@ object AvroConversion {
       job.getConfiguration
     ).map { case (k, _) =>
       val rec = k.datum()
-      val vals = fields.map { f =>
-        val v = rec.get(f.name)
-        (v, f.dataType) match {
-          case (null, _) => null
-          case (u: org.apache.avro.util.Utf8, StringType) => u.toString
-          case (s: CharSequence, StringType) => s.toString
-          case (i: java.lang.Integer, DateType) =>
-            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
-          case (m: java.lang.Long, TimestampType) =>
-            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-              Math.floorDiv(m.longValue(), MicrosPerSecond),
-              Math.floorMod(m.longValue(), MicrosPerSecond) * 1000L))
-          case (m: java.lang.Long, TimestampNTZType) =>
-            fromMicros(m.longValue())
-          case (other, _) => other
-        }
+      val vals = new Array[Any](dts.length)
+      var i = 0
+      while (i < dts.length) {
+        val v = rec.get(i)
+        vals(i) =
+          if (v == null) null
+          else dts(i) match {
+            case StringType => v match {
+              case u: org.apache.avro.util.Utf8 =>
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                  java.util.Arrays.copyOfRange(u.getBytes, 0, u.getByteLength))
+              case s => org.apache.spark.unsafe.types.UTF8String.fromString(s.toString)
+            }
+            case _ => v // int/long/double/float/boolean physical values
+          }
+        i += 1
       }
-      Row.fromSeq(vals.toSeq)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        : org.apache.spark.sql.catalyst.InternalRow
     }
-    spark.createDataFrame(rows, schema)
+    org.apache.spark.sql.GraftColumnBridge.internalCreateDataFrame(spark, rows, schema)
   }
 }
