@@ -29,7 +29,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach {
+    (SparkEntry.queries ++ Bench.extraQueries).filter(_._1.matches(nameFilter)).foreach {
       case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
