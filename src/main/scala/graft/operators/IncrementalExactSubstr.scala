@@ -163,7 +163,16 @@ object IncrementalExactSubstr {
     // the bucketed index + exchange-free distinct/group-by on h
     val dfB = bw.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df_b"))
-    val dfC = idx.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi")
+    // ONE bucketed index read restricted to the batch's windows,
+    // shared by the census, the crossing-pair probe and the new-pair
+    // partner side (r20, the t15/q_triangles shared-subtree rule —
+    // previously THREE separate corpus scans each re-paying the
+    // tombstone + batch anti-joins). Scale: the cut materializes only
+    // the postings of batch-held windows — strictly less than the
+    // table one scan of which it replaces twice over.
+    val idxB = Checkpoints.cutBucketed(
+      idx.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi"))
+    val dfC = idxB
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df_c"))
     val census = Checkpoints.cut(dfB.join(dfC, Seq("h"), "left")
@@ -177,8 +186,9 @@ object IncrementalExactSubstr {
       .select(col("h"))
     // at-risk pairs: existing repeat rows whose docs BOTH hold a
     // crossing window (≤ cap docs per crossing window ⇒ ≤ cap² pairs
-    // per window); pairs without a row cannot gain one (runs shrink)
-    val crossDocs = idx.join(broadcast(crossing), Seq("h"))
+    // per window); pairs without a row cannot gain one (runs shrink).
+    // crossing ⊆ dfB's windows, so the probe reads the shared idxB cut
+    val crossDocs = idxB.join(broadcast(crossing), Seq("h"))
       .select(col("h"), col("doc_id")).distinct()
     val atRisk = Checkpoints.cut(crossDocs.select(col("h"), col("doc_id").as("doc_a"))
       .join(crossDocs.select(col("h"), col("doc_id").as("doc_b")), "h")
@@ -218,8 +228,9 @@ object IncrementalExactSubstr {
     // corpus partners and self-join for batch-batch partners; orient
     // each match so doc_a < doc_b with positions following the swap
     val bOk = bw.join(broadcast(hotNew), Seq("h"), "left_anti")
-    val partners = idx.join(broadcast(hotNew), Seq("h"), "left_anti")
-      .join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi")
+    // (anti ∘ semi ≡ semi ∘ anti on disjoint filters: the corpus
+    // partner side is the shared idxB cut minus the union-hot set)
+    val partners = idxB.join(broadcast(hotNew), Seq("h"), "left_anti")
       .unionByName(bOk)
     val fresh = bOk.select(col("h"), col("doc_id").as("bd"), col("pos").as("bp"))
       .join(partners.select(col("h"), col("doc_id").as("od"), col("pos").as("op")), "h")
@@ -292,9 +303,14 @@ object IncrementalExactSubstr {
     // HOLD can un-cross
     val dfR = bw.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df_r"))
-    val dfA = idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi")
-      .select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("df_a"))
+    // ONE bucketed index read restricted to the batch's windows,
+    // projected to distinct (doc, h) — shared by the census and the
+    // un-cross probe (r20, the admit merge's shared-subtree rule;
+    // previously two separate corpus scans)
+    val idxR = Checkpoints.cutBucketed(
+      idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("h")).distinct())
+    val dfA = idxR.groupBy(col("h")).agg(count(lit(1)).as("df_a"))
     val census = Checkpoints.cut(dfR.join(dfA, Seq("h"), "left")
       .select(col("h"),
         coalesce(col("df_a"), lit(0L)).as("df_a"),
@@ -302,9 +318,10 @@ object IncrementalExactSubstr {
     val uncross = census.filter(col("df_before") > cap && col("df_a") <= cap)
       .select(col("h"))
     // at-risk pairs: ALL remaining-doc pairs sharing an un-crossed
-    // window (runs can appear where none existed)
-    val crossDocs = idx.join(broadcast(uncross), Seq("h"))
-      .select(col("h"), col("doc_id")).distinct()
+    // window (runs can appear where none existed). uncross ⊆ dfR's
+    // windows, so the probe reads the shared idxR cut
+    val crossDocs = idxR.join(broadcast(uncross), Seq("h"))
+      .select(col("h"), col("doc_id"))
     val atRisk = Checkpoints.cut(
       crossDocs.select(col("h"), col("doc_id").as("doc_a"))
         .join(crossDocs.select(col("h"), col("doc_id").as("doc_b")), "h")

@@ -137,9 +137,16 @@ object IncrementalMedia {
     val batchRows = Checkpoints.cut(bandedRows(batchHashed, idCol, hashCol))
     val index = liveBand(spark, prefix, idCol)
       .join(broadcast(batchRows.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
-    val oversized = Checkpoints.cut(census(index, batchRows)
+    // ONE bucketed index read restricted to the batch's buckets,
+    // shared by the census and the probe's partner side (r20, the
+    // t15/q_triangles shared-subtree rule). census's own semi-filter
+    // is idempotent on the restricted frame, and the probe joins on
+    // bkey from the batch side, so non-batch buckets never match.
+    val idxB = Checkpoints.cutBucketed(index.join(
+      broadcast(batchRows.select(col("bkey")).distinct()), Seq("bkey"), "left_semi"))
+    val oversized = Checkpoints.cut(census(idxB, batchRows)
       .filter(col("n_new") > maxBucket).select(col("bkey")))
-    probeFrom(index, batchRows, oversized, idCol, maxHamming)
+    probeFrom(idxB, batchRows, oversized, idCol, maxHamming)
   }
 
   /** Fold a batch into the pair table exactly: `oldPairs` is the
@@ -157,12 +164,23 @@ object IncrementalMedia {
     // ids (replay discipline shared with the passage/trigram merges)
     val index = liveBand(spark, prefix, idCol)
       .join(broadcast(batchRows.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
-    val cen = Checkpoints.cut(census(index, batchRows))
+    // ONE bucketed index read restricted to the batch's buckets (r20,
+    // the t15/q_triangles shared-subtree rule): shared by the census,
+    // the crossing probe, the at-risk band-int lookup and the new-pair
+    // partner side — previously four separate corpus scans each
+    // re-paying the tombstone + batch anti-joins. census's semi-filter
+    // is idempotent on the restricted frame; every at-risk asset has a
+    // row in a crossing (⊆ batch) bucket, so its distinct band ints
+    // are present in idxB; and the probe joins on bkey from the batch
+    // side, so non-batch buckets never match.
+    val idxB = Checkpoints.cutBucketed(index.join(
+      broadcast(batchRows.select(col("bkey")).distinct()), Seq("bkey"), "left_semi"))
+    val cen = Checkpoints.cut(census(idxB, batchRows))
     val oversizedNew = cen.filter(col("n_new") > maxBucket).select(col("bkey"))
     // buckets the batch pushes over the cap — ≤ maxBucket corpus rows each
     val crossing = cen.filter(col("n_c") <= maxBucket && col("n_new") > maxBucket)
       .select(col("bkey"))
-    val crossRows = index.join(broadcast(crossing), Seq("bkey"))
+    val crossRows = idxB.join(broadcast(crossing), Seq("bkey"))
     // old pairs CO-LOCATED in a crossing bucket are the only ones at risk
     val atRisk = crossRows.select(col("bkey"), col(idCol).as("id_a"))
       .join(crossRows.select(col("bkey"), col(idCol).as("id_b")), "bkey")
@@ -179,7 +197,7 @@ object IncrementalMedia {
     // counts of the at-risk assets' OWN band keys (≤ 4 per asset, and
     // at-risk assets are capped by |crossing| · maxBucket). Cut the
     // parsed-ints frame: it feeds both pair sides AND the bkey probe.
-    val ints = Checkpoints.cut(index
+    val ints = Checkpoints.cut(idxB
       .join(broadcast(atRisk.select(col("id_a").as(idCol))
         .unionByName(atRisk.select(col("id_b").as(idCol))).distinct()), idCol)
       .select(col(idCol) +: (0 until 4).map(b => col(s"b$b")): _*)
@@ -207,7 +225,7 @@ object IncrementalMedia {
     // for NEW pairs: a new pair's agreeing bucket contains a batch row
     // by construction, so its bucket is always in the census
     oldPairs.join(dropped, Seq("id_a", "id_b"), "left_anti")
-      .unionByName(probeFrom(index, batchRows, oversizedNew, idCol, maxHamming))
+      .unionByName(probeFrom(idxB, batchRows, oversizedNew, idCol, maxHamming))
   }
 
   /** Oversized (band, chunk) buckets at the CURRENT index contents —
@@ -344,8 +362,11 @@ object IncrementalMedia {
     // 1. batch-scoped census: only buckets the batch has rows in can
     // un-cross
     val nR = batchRows.groupBy(col("bkey")).agg(count(lit(1)).as("n_r"))
-    val nA = idx.join(broadcast(nR.select(col("bkey"))), Seq("bkey"), "left_semi")
-      .groupBy(col("bkey")).agg(count(lit(1)).as("n_a"))
+    // ONE bucketed index read restricted to the batch's buckets,
+    // shared by the census and the un-cross candidate probe (r20)
+    val idxR = Checkpoints.cutBucketed(
+      idx.join(broadcast(nR.select(col("bkey"))), Seq("bkey"), "left_semi"))
+    val nA = idxR.groupBy(col("bkey")).agg(count(lit(1)).as("n_a"))
     val cen = Checkpoints.cut(nR.join(nA, Seq("bkey"), "left")
       .select(col("bkey"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -355,7 +376,8 @@ object IncrementalMedia {
     // 2. candidates the cap suppressed: remaining co-located rows of
     // each un-crossed bucket (≤ maxBucket each), Hamming from the
     // carried band ints
-    val rows2 = Checkpoints.cut(idx.join(broadcast(uncross), Seq("bkey")))
+    // uncross ⊆ the batch's buckets — served by the shared idxR cut
+    val rows2 = Checkpoints.cut(idxR.join(broadcast(uncross), Seq("bkey")))
     def side(id: String, p: String) = rows2.select(
       col("bkey") +: col(idCol).as(id) +:
         (0 until 4).map(b => col(s"b$b").as(s"$p$b")): _*)

@@ -210,8 +210,15 @@ object IncrementalPassages {
     // O(batch + postings of batch windows) — a per-ingest cost that
     // does NOT grow with corpus size.
     val dfB = bw.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
-    val dfC = index.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(count(lit(1)).as("df_c"))
+    // ONE bucketed index read restricted to the batch's windows,
+    // shared by the census, the decrement probe and the new-pair
+    // corpus side (r20, the t15/q_triangles shared-subtree rule —
+    // previously THREE separate corpus scans each re-paying the
+    // tombstone + batch anti-joins). The cut materializes only the
+    // postings of batch-held windows.
+    val idxB = Checkpoints.cutBucketed(
+      index.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi"))
+    val dfC = idxB.groupBy(col("h")).agg(count(lit(1)).as("df_c"))
     val census = Checkpoints.cut(dfB.join(dfC, Seq("h"), "left")
       .select(col("h"),
         coalesce(col("df_c"), lit(0L)).as("df_c"),
@@ -226,8 +233,9 @@ object IncrementalPassages {
     val crossing = census.filter(col("df_c") <= cap && col("df_new") > cap)
       .select(col("h"))
     // 2. decrements: probe the index for the ≤ cap docs of each
-    // crossing window; fan-out bounded by |crossing| · cap²
-    val crossDocs = index.join(broadcast(crossing), Seq("h"))
+    // crossing window; fan-out bounded by |crossing| · cap².
+    // crossing ⊆ dfB's windows — served by the shared idxB cut
+    val crossDocs = idxB.join(broadcast(crossing), Seq("h"))
     val dec = crossDocs.select(col("h"), col("doc_id").as("doc_a"))
       .join(crossDocs.select(col("h"), col("doc_id").as("doc_b")), "h")
       .filter(col("doc_a") < col("doc_b"))
@@ -241,7 +249,11 @@ object IncrementalPassages {
     // corpus partners + batch-batch partners; the corpus side joins
     // on its bucket key, unshuffled
     val bOk = bw.join(broadcast(hotNew), Seq("h"), "left_anti")
-    val cOk = index.join(broadcast(hotNew), Seq("h"), "left_anti")
+    // the new-pair join keys on h from bOk (⊆ batch windows), so a
+    // corpus partner row with a non-batch window can never match —
+    // the partner side is the shared idxB cut minus the union-hot
+    // set, row-equivalent to the full-index anti-join it replaces
+    val cOk = idxB.join(broadcast(hotNew), Seq("h"), "left_anti")
     val partners = cOk.unionByName(bOk)
     val fresh = bOk.select(col("h"), col("doc_id").as("doc_new"))
       .join(partners.select(col("h"), col("doc_id").as("doc_other")), "h")
@@ -324,8 +336,12 @@ object IncrementalPassages {
     // 1. batch-scoped census: only windows the batch CONTAINS can
     // un-cross
     val dfR = bw.groupBy(col("h")).agg(count(lit(1)).as("df_r"))
-    val dfA = idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(count(lit(1)).as("df_a"))
+    // ONE bucketed index read restricted to the batch's windows,
+    // shared by the census and the affected-doc probe (r20, the admit
+    // merge's shared-subtree rule)
+    val idxR = Checkpoints.cutBucketed(
+      idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi"))
+    val dfA = idxR.groupBy(col("h")).agg(count(lit(1)).as("df_a"))
     val census = Checkpoints.cut(dfR.join(dfA, Seq("h"), "left")
       .select(col("h"),
         coalesce(col("df_a"), lit(0L)).as("df_a"),
@@ -335,8 +351,9 @@ object IncrementalPassages {
     // 2. affected docs: the ≤-cap remaining live holders of any
     // un-crossed window; recompute ALL their pairs against the
     // post-retraction hot set over the windows they hold
+    // uncross ⊆ dfR's windows — served by the shared idxR cut
     val affIds = Checkpoints.cut(
-      idx.join(broadcast(uncross), Seq("h")).select(col("doc_id")).distinct())
+      idxR.join(broadcast(uncross), Seq("h")).select(col("doc_id")).distinct())
     val affRows = Checkpoints.cut(
       idx.join(broadcast(affIds), Seq("doc_id"), "left_semi"))
     val affH = affRows.select(col("h")).distinct()

@@ -140,8 +140,13 @@ object IncrementalTrigram {
     // broadcast semi-probe of the bucketed index + exchange-free
     // group-by on the bucket key
     val dfB = bw.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
-    val dfC = idx.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(count(lit(1)).as("df_c"))
+    // ONE bucketed index read restricted to the batch's trigrams,
+    // shared by the census and the decrement probe (r20, the
+    // t15/q_triangles shared-subtree rule — previously two separate
+    // corpus scans each re-paying the tombstone + batch anti-joins)
+    val idxB = Checkpoints.cutBucketed(
+      idx.join(broadcast(dfB.select(col("h"))), Seq("h"), "left_semi"))
+    val dfC = idxB.groupBy(col("h")).agg(count(lit(1)).as("df_c"))
     val census = Checkpoints.cut(dfB.join(dfC, Seq("h"), "left")
       .select(col("h"),
         coalesce(col("df_c"), lit(0L)).as("df_c"),
@@ -153,7 +158,8 @@ object IncrementalTrigram {
     // holders (by the crossing definition) and the panel's holders of
     // it — every such (train, bench) pair loses one shared count;
     // pairs falling below the floor drop out
-    val crossTrain = idx.join(broadcast(crossing), Seq("h"))
+    // crossing ⊆ dfB's trigrams — served by the shared idxB cut
+    val crossTrain = idxB.join(broadcast(crossing), Seq("h"))
     val dec = crossTrain
       .join(panel.select(col("h"), col("bench_id")), "h")
       .groupBy(col("doc_id"), col("bench_id"))
@@ -233,8 +239,11 @@ object IncrementalTrigram {
     // 1. batch-scoped census: only trigrams the batch CONTAINS can
     // un-cross; df_before = remaining live holders + batch holders
     val dfR = bw.groupBy(col("h")).agg(count(lit(1)).as("df_r"))
-    val dfA = idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(count(lit(1)).as("df_a"))
+    // ONE bucketed index read restricted to the batch's trigrams,
+    // shared by the census and the affected-doc probe (r20)
+    val idxR = Checkpoints.cutBucketed(
+      idx.join(broadcast(dfR.select(col("h"))), Seq("h"), "left_semi"))
+    val dfA = idxR.groupBy(col("h")).agg(count(lit(1)).as("df_a"))
     val census = Checkpoints.cut(dfR.join(dfA, Seq("h"), "left")
       .select(col("h"),
         coalesce(col("df_a"), lit(0L)).as("df_a"),
@@ -245,8 +254,9 @@ object IncrementalTrigram {
     // un-crossed trigram — recompute their pair rows from scratch
     // against the post-retraction hot set (restricted to the trigrams
     // those docs hold; every other trigram's df is untouched)
+    // uncross ⊆ dfR's trigrams — served by the shared idxR cut
     val affIds = Checkpoints.cut(
-      idx.join(broadcast(uncross), Seq("h")).select(col("doc_id")).distinct())
+      idxR.join(broadcast(uncross), Seq("h")).select(col("doc_id")).distinct())
     val affRows = Checkpoints.cut(
       idx.join(broadcast(affIds), Seq("doc_id"), "left_semi"))
     val affH = affRows.select(col("h")).distinct()

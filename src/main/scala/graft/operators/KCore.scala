@@ -64,17 +64,28 @@ object KCore {
     // |alive_0|: alive shrinks monotonically, so count equality across
     // consecutive rounds IS set equality — the fixpoint test
     var prev = alive.count()
-    var deg: DataFrame = null
+    // The per-round cut carries (src, core_deg) — the SURVIVORS, not
+    // just their ids (r20): the final core frame is then a projection
+    // of the already-materialized last round instead of a recompute of
+    // its whole join chain (the old 1-column alive cut forced the
+    // caller's action to re-run round r's two joins + degree agg end
+    // to end). The alive set and the convergence count are both
+    // block-served projections of the same cut.
+    var surv: DataFrame = null
     var converged = false
     var r = 0
     while (r < maxRounds && !converged) {
-      deg = und
-        .join(alive.select(col("node").as("src")), "src")
+      // dst-probe first, src-probe second: the last join keys the
+      // stream on src, which is exactly the degree agg's clustering —
+      // at real shuffle sizes the agg reuses that exchange instead of
+      // adding its own (locally AQE broadcasts both probes and the
+      // order is neutral). Inner joins commute; rows are identical.
+      val deg = und
         .join(alive.select(col("node").as("dst")), "dst")
+        .join(alive.select(col("node").as("src")), "src")
         .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
-      alive = Checkpoints.cut(
-        deg.filter(col("core_deg") >= k).select(col("src").as("node")),
-        eager = true)
+      surv = Checkpoints.cut(deg.filter(col("core_deg") >= k), eager = true)
+      alive = surv.select(col("src").as("node"))
       val c = alive.count()
       converged = c == prev
       prev = c
@@ -85,8 +96,7 @@ object KCore {
         s"converging (|alive| still shrinking at $prev) — the result " +
         "contains un-peeled under-degree nodes; raise maxRounds")
     PeelResult(
-      deg.filter(col("core_deg") >= k)
-        .select(col("src").as("node"), col("core_deg")),
+      surv.select(col("src").as("node"), col("core_deg")),
       converged, r)
   }
 

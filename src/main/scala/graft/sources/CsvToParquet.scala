@@ -152,7 +152,11 @@ object CsvToParquet {
       System.err.println(s"[graft] write_batch_size=$v accepted (parquet-mr batches internally)"))
     opts.createdBy.foreach(v =>
       System.err.println(s"[graft] created_by=$v accepted (parquet-mr stamps its own writer id)"))
-    convertFrame(df, schema, outPath, opts)
+    // the typed read is line-splittable (multiLine=false default) —
+    // fan the read→write leg out by split planning (no exchange; the
+    // identity at production sizes — SplitPlanning scaladoc)
+    SplitPlanning.withSmallSplitFloor(spark)(
+      convertFrame(df, schema, outPath, opts))
     Conversion(schema, json, Some(spark.read.parquet(outPath)))
   }
 

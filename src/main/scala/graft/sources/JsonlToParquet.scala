@@ -27,7 +27,10 @@ object JsonlToParquet {
       compression: String = "snappy"): JsonlResult = {
     val reader = spark.read
     val df = schema.fold(reader.json(inPath))(s => reader.schema(s).json(inPath))
-    df.write.mode("overwrite").option("compression", compression).parquet(outPath)
+    // JSONL splits by newline like CSV — fan the read→write leg out by
+    // split planning (no exchange; identity at production sizes)
+    SplitPlanning.withSmallSplitFloor(spark)(
+      df.write.mode("overwrite").option("compression", compression).parquet(outPath))
     val back = spark.read.parquet(outPath)
     JsonlResult(back, back.schema)
   }

@@ -92,7 +92,9 @@ object SchemaInference {
         val votes = sampled.select(raw.columns.map(c => typeVote(c).as(c)).toIndexedSeq: _*)
           .agg(bit_or(col(raw.columns.head)).as(raw.columns.head),
             raw.columns.tail.map(c => bit_or(col(c)).as(c)).toIndexedSeq: _*)
-        val bits: Row = votes.head()
+        // fan the vote scan out by split planning (no exchange; the
+        // identity at production sizes — SplitPlanning scaladoc)
+        val bits: Row = SplitPlanning.withSmallSplitFloor(spark)(votes.head())
         raw.columns.toSeq.zipWithIndex.map { case (name, i) =>
           val b = if (bits.isNullAt(i)) BIT_NULL else bits.getLong(i)
           InferredField(name, resolve(b), nullable = (b & BIT_NULL) != 0 || b == BIT_NULL)

@@ -151,9 +151,17 @@ class IncrementalMediaSpec extends SparkSpec {
     IncrementalMedia.buildPhashIndex(corpusHashed, prefix = "imedia3", buckets = 4)
     val oldPairs = Dedup.hexHashPairs(corpusHashed, "media_id", "phash",
       maxHamming = 3, maxBucket = 3)
-    val plan = IncrementalMedia.mergeBatch(spark, batchHashed, oldPairs,
-        prefix = "imedia3", maxBucket = 3)
-      .queryExecution.executedPlan.toString
+    // r20: the corpus probes run behind shared lineage cuts (one
+    // bucketed read serving census + probes), so capture the cut
+    // subplans too and assert over all of them
+    spark.conf.set(Checkpoints.CapturePlansKey, "true")
+    Checkpoints.clearCapturedPlans()
+    val finalPlan =
+      try IncrementalMedia.mergeBatch(spark, batchHashed, oldPairs,
+          prefix = "imedia3", maxBucket = 3)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset(Checkpoints.CapturePlansKey)
+    val plan = (Checkpoints.capturedPlans :+ finalPlan).mkString("\n===\n")
     assert(plan.contains("Bucketed: true"),
       s"corpus probes must read the bucketed index:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

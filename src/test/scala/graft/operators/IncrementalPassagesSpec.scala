@@ -122,8 +122,16 @@ class IncrementalPassagesSpec extends SparkSpec {
     val batchWins = IncrementalPassages.windowHashes(batchDocs)
     IncrementalPassages.buildWindowIndex(corpusWins, prefix = "ippt2", buckets = 4)
     val oldPairs = IncrementalPassages.pairsFromWindows(corpusWins, cap = 3)
-    val plan = IncrementalPassages.mergeBatch(spark, batchWins, oldPairs,
-      prefix = "ippt2", cap = 3).queryExecution.executedPlan.toString
+    // r20: the corpus probes run behind shared lineage cuts (one
+    // bucketed read serving census + probes), so capture the cut
+    // subplans too and assert over all of them
+    spark.conf.set(Checkpoints.CapturePlansKey, "true")
+    Checkpoints.clearCapturedPlans()
+    val finalPlan =
+      try IncrementalPassages.mergeBatch(spark, batchWins, oldPairs,
+        prefix = "ippt2", cap = 3).queryExecution.executedPlan.toString
+      finally spark.conf.unset(Checkpoints.CapturePlansKey)
+    val plan = (Checkpoints.capturedPlans :+ finalPlan).mkString("\n===\n")
     assert(plan.contains("Bucketed: true"),
       s"corpus probes must read the bucketed index:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -133,8 +133,16 @@ class IncrementalTrigramSpec extends SparkSpec {
     IncrementalTrigram.buildIndex(tris(trainDocs), panel, prefix = "itr5", buckets = 4)
     val oldPairs = PipelineQueries.pairsFromTrigramRows(
       tris(trainDocs), panel, maxDf = 3, minShared = 1)
-    val plan = IncrementalTrigram.mergeBatch(spark, tris(batchDocs), oldPairs,
-      prefix = "itr5", cap = 3).queryExecution.executedPlan.toString
+    // r20: the corpus probes run behind shared lineage cuts (one
+    // bucketed read serving census + probes), so capture the cut
+    // subplans too and assert over all of them
+    spark.conf.set(Checkpoints.CapturePlansKey, "true")
+    Checkpoints.clearCapturedPlans()
+    val finalPlan =
+      try IncrementalTrigram.mergeBatch(spark, tris(batchDocs), oldPairs,
+        prefix = "itr5", cap = 3).queryExecution.executedPlan.toString
+      finally spark.conf.unset(Checkpoints.CapturePlansKey)
+    val plan = (Checkpoints.capturedPlans :+ finalPlan).mkString("\n===\n")
     assert(plan.contains("Bucketed: true"),
       s"corpus probes must read the bucketed index:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

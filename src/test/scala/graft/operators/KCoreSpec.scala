@@ -43,12 +43,21 @@ class KCoreSpec extends SparkSpec {
 
   test("kcore: peel round plans as equi-joins — no cartesian, no nested-loop") {
     val (edges, nodes) = g(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
-    val plan = KCore.peel(nodes, edges, k = 2, rounds = 1)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"alive-set probes must stay equi-joins:\n$plan")
-    assert(plan.contains("HashAggregate"), "degree count must partial-agg")
+    // r20: the returned core frame is a projection of the last round's
+    // CUT, so the round plans no longer appear in the final frame's
+    // plan — capture them at the cuts (every per-round join/agg plan)
+    // and assert over round plans + final plan together.
+    spark.conf.set(Checkpoints.CapturePlansKey, "true")
+    Checkpoints.clearCapturedPlans()
+    val finalPlan =
+      try KCore.peel(nodes, edges, k = 2, rounds = 1)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset(Checkpoints.CapturePlansKey)
+    val all = (Checkpoints.capturedPlans :+ finalPlan).mkString("\n===\n")
+    assert(!all.contains("CartesianProduct") &&
+      !all.contains("BroadcastNestedLoopJoin"),
+      s"alive-set probes must stay equi-joins:\n$all")
+    assert(all.contains("HashAggregate"), "degree count must partial-agg")
   }
 
   test("kcore: deep cascade past the round cap flags converged=false; enough rounds converge early") {
