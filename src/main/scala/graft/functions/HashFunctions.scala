@@ -84,10 +84,18 @@ object HashFunctions {
     * makes it viable on 100 TB of documents.
     */
   def simhashHex(toks: Column): Column = {
+    // ONE md5 per token, hoisted (r20): the nibble transform below
+    // references the digest 16 times, and interpreted higher-order
+    // functions do no common-subexpression elimination — inlining
+    // `md5(t)` in the per-nibble lambda evaluated SIXTEEN md5s per
+    // token (measured: the char-shingle parity test fell from
+    // ~6.5 min to seconds, and d3/d3b ride the same expression).
+    // Bit-identical: same digest, same per-nibble extraction.
+    val hexes = transform(toks, t => md5(t))
     // per-token nibble values: array<array<int>> (16 nibbles each)
-    val nibbles = transform(toks, t =>
+    val nibbles = transform(hexes, h =>
       transform(sequence(lit(1), lit(16)),
-        k => conv(md5(t).substr(k, lit(1)), 16, 10).cast("int")))
+        k => conv(h.substr(k, lit(1)), 16, 10).cast("int")))
     // ±1 votes per bit position p (p/4 = nibble idx, p%4 = bit in nibble)
     val pw = array(lit(1), lit(2), lit(4), lit(8))
     def bits64(h: Column): Column =

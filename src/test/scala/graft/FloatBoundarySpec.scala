@@ -20,13 +20,21 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
 class FloatBoundarySpec extends SparkSpec {
 
   test("no entry publishes -0.0 or NaN in a float column") {
-    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // One boundary scan per entry, all independent — overlapped from
+    // a small driver thread pool (guide §2.6: actions are sequential
+    // only because the driver calls them sequentially; most of each
+    // sub-second sf0.001 query is single-threaded planning, so 4
+    // in-flight queries roughly quarter the suite's slowest test).
+    // Same queries, same aggregates, same assertion as the
+    // sequential form.
+    def checkOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Seq[String] = {
       val df = fn(spark, sf0)
       val floatCols = df.schema.fields
         .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
         .map(_.name)
-      if (floatCols.nonEmpty) {
+      if (floatCols.isEmpty) Nil
+      else {
         val aggs = floatCols.flatMap { c =>
           Seq(
             // the STRING repr is exactly what the hash compare sees —
@@ -36,12 +44,25 @@ class FloatBoundarySpec extends SparkSpec {
             sum(when(isnan(col(c)), 1L).otherwise(0L)).as(s"nan__$c"))
         }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
-        row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
-          if (!row.isNullAt(i) && row.getLong(i) > 0)
-            failures += s"$name.$f=${row.getLong(i)}"
+        row.schema.fieldNames.zipWithIndex.toSeq.collect {
+          case (f, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+            s"$name.$f=${row.getLong(i)}"
         }
       }
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val failures =
+      try {
+        val futs = SparkEntry.queries.toSeq.sortBy(_._1).map {
+          case (name, fn) =>
+            scala.concurrent.Future(checkOne(name, fn))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration(15, "min")).flatten
+      } finally pool.shutdown()
     assert(failures.isEmpty,
       s"float boundary values reachable (add the + 0.0 canonicalization " +
         s"on BOTH engine sides): ${failures.mkString(", ")}")

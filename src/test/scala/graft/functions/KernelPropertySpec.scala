@@ -43,11 +43,15 @@ class KernelPropertySpec extends SparkSpec {
     // per-sample jobs would make the property test minutes-slow
     val samples = Gen.listOfN(200, gen).sample.get.zipWithIndex
       .map { case (s, i) => (i.toLong, s) }
+    // repartition: the local seq is one partition and the fold side is
+    // an interpreted 64-wide aggregate — spread it over the cores;
+    // cut so the compare's two actions don't re-run both subtrees
     val df = samples.toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
     val fold = df.select(col("doc_id"),
       simhashHex(charShingleSeq(col("text"), 4)).as("expect"))
     val agg = Dedup.phashChar(df, "doc_id", "text", 4)
-    val joined = fold.join(agg, "doc_id")
+    val joined = graft.operators.Checkpoints.cut(fold.join(agg, "doc_id"))
     assert(joined.count() === samples.length.toLong)
     val mismatch = joined.filter(col("expect") =!= col("phash"))
       .collect()

@@ -55,16 +55,26 @@ class MediaRankingSpec extends SparkSpec {
     // plus a sub-k-length doc (both sides must emit the all-zero hash).
     import graft.functions.HashFunctions.simhashHex
     import graft.functions.TextFunctions.charShingleSeq
+    // repartition: the corpus is one parquet split, and the fold side
+    // is an interpreted 64-wide higher-order aggregate — on one task
+    // this test alone ran 4-6 MINUTES of the suite wall; spread, the
+    // same full-corpus compare runs on every core
     val docs = spark.read.parquet(s"$sf0/documents.parquet")
       .select(col("doc_id"), col("text"))
       .unionByName(Seq((900001L, "ab")).toDF("doc_id", "text"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val fold = docs.select(col("doc_id"),
       simhashHex(charShingleSeq(col("text"), 4)).as("expect"))
     val agg = Dedup.phashChar(docs, "doc_id", "text", k = 4)
+    // one action for both assertions: a second count() would re-run
+    // the fold+agg subtrees end to end (they are the test's cost)
     val joined = fold.join(agg, "doc_id")
-    assert(joined.count() === docs.count())
-    val diff = joined.filter(col("expect") =!= col("phash")).count()
-    assert(diff === 0L, "agg kernel diverged from the fold on some doc")
+    val row = joined.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("expect") =!= col("phash"), 1L).otherwise(0L)).as("diff"))
+      .head()
+    assert(row.getLong(0) === docs.count())
+    assert(row.getLong(1) === 0L, "agg kernel diverged from the fold on some doc")
     val shortHash = agg.filter(col("doc_id") === 900001L)
       .select(col("phash")).as[String].head()
     assert(shortHash === "0000000000000000")
