@@ -104,16 +104,24 @@ object HashFunctions {
         val p2 = element_at(pw, (p % 4).cast("int") + 1)
         ((nib / p2).cast("int") % 2) * 2 - 1
       })
-    val votes = aggregate(nibbles,
+    val votesExpr = aggregate(nibbles,
       transform(sequence(lit(0), lit(63)), _ => lit(0)),
       (acc, h) => zip_with(acc, bits64(h), (x, y) => x + y))
-    // reassemble: nibble k = Σ_b (votes[4k+b] > 0) << b → hex char
-    concat_ws("",
+    // LET-BIND the vote fold (r20): the reassembly below references
+    // `votes` 64 times (4 bits × 16 nibbles) inside a lambda, and
+    // interpreted higher-order functions re-evaluate a referenced
+    // SUBTREE per reference — the whole corpus-length aggregate ran
+    // 64×. Wrapping it as the one element of a transform makes the
+    // references lambda-VARIABLE reads: the fold evaluates once.
+    // Bit-identical (same votes, same reassembly).
+    def reassemble(votes: Column): Column = concat_ws("",
       transform(sequence(lit(0), lit(15)), k => {
         val nibVal = (0 until 4).map { b =>
           when(element_at(votes, (k * 4 + b + 1).cast("int")) > 0, lit(1 << b)).otherwise(lit(0))
         }.reduce(_ + _)
         lit(hexAlphabet).substr(nibVal + 1, lit(1))
       }))
+    // reassemble: nibble k = Σ_b (votes[4k+b] > 0) << b → hex char
+    element_at(transform(array(votesExpr), votes => reassemble(votes)), 1)
   }
 }

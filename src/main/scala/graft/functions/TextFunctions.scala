@@ -26,12 +26,15 @@ object TextFunctions {
     * after an explode — `array_distinct` here would be O(n²) per doc
     * (measured: dominated the minhash stage).
     */
-  def charShingleSeq(c: Column, k: Int): Column = {
-    val n = normText(c)
-    when(length(n) < k, array().cast("array<string>"))
-      .otherwise(
-        transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k))))
-  }
+  def charShingleSeq(c: Column, k: Int): Column =
+    // let-bind the normalized text (r20, ExprLet scaladoc): the
+    // per-position lambda referenced the normText SUBTREE, re-running
+    // the regex normalization once per shingle position — O(length²)
+    ExprLet.bindOnce(normText(c)) { n =>
+      when(length(n) < k, array().cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k))))
+    }
 
   /** Distinct shingles as an array (small inputs / tests). */
   def charShingles(c: Column, k: Int): Column =
@@ -52,13 +55,20 @@ object TextFunctions {
     * Pure expression fold; spec-checked (not SQL-oracled).
     */
   def winnowing(c: Column, k: Int = 5, w: Int = 4): Column = {
-    val n = normText(c)
-    val grams = when(length(n) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k))))
-    val hashes = transform(grams, g => xxhash64(g))
-    when(size(hashes) < w, array_distinct(hashes)).otherwise(
-      array_distinct(transform(sequence(lit(0), size(hashes) - lit(w)),
-        i => array_min(slice(hashes, i + 1, lit(w))))))
+    // charShingleSeq let-binds the normalized text internally
+    val hashesExpr = transform(charShingleSeq(c, k), g => xxhash64(g))
+    // LET-BIND the hash array (r20): the sliding-window transform
+    // below references `hashes` once per output POSITION, and
+    // interpreted higher-order functions re-evaluate a referenced
+    // subtree per reference — the gram+hash pass ran O(length²)
+    // xxhash64 evaluations per document. Bound as a lambda variable
+    // it evaluates once; the windows read the bound array.
+    // Result-identical (same hashes, same window minima).
+    def windows(hashes: Column): Column =
+      when(size(hashes) < w, array_distinct(hashes)).otherwise(
+        array_distinct(transform(sequence(lit(0), size(hashes) - lit(w)),
+          i => array_min(slice(hashes, i + 1, lit(w))))))
+    element_at(transform(array(hashesExpr), hashes => windows(hashes)), 1)
   }
 
   /** Language-marker hit count: distinct tokens ∩ marker set. */

@@ -69,6 +69,13 @@ object BpeMerges {
     * by the pair vocabulary — never corpus-sized.
     */
   def pairCounts(vocab: DataFrame): DataFrame = {
+    // NOTE (r20): the per-position lambda references the split
+    // subtree twice (an ExprLet.bindOnce candidate), but symbol
+    // strings are words — bounded short — so the re-evaluation never
+    // bites; an A/B measured the bound and inline forms as
+    // indistinguishable at sf0.1 (±ambient noise). Left inline; the
+    // UNBOUNDED-text kernels (charShingleSeq/winnowing/triHashArray)
+    // carry the binding, where the quadratic is real.
     val syms = split(trim(col("s")), "  ")
     // guard: sequence(1, 0) is DESCENDING in Spark — a 1-symbol word
     // must contribute an empty pair list, not a reversed range

@@ -152,12 +152,18 @@ object PipelineQueries {
     * where the corpus form below keeps the Generate barrier for
     * map-side CSE over millions of docs.
     */
-  private[graft] def triHashArray(tk: Column): Column =
-    array_distinct(when(size(tk) >= 3,
-        transform(sequence(lit(1), size(tk) - lit(2)),
-          i => triHash(concat_ws(" ", element_at(tk, i),
-            element_at(tk, i + 1), element_at(tk, i + 2)))))
-      .otherwise(array().cast("array<long>")))
+  private[graft] def triHashArray(tk0: Column): Column =
+    // let-bind the token array (r20, ExprLet scaladoc): callers pass
+    // a COMPUTED tokenize (the streaming gate passes wsTokens(text)),
+    // and the per-position lambda referenced that subtree three
+    // times — the regex tokenizer re-ran per trigram position
+    graft.functions.ExprLet.bindOnce(tk0) { tk =>
+      array_distinct(when(size(tk) >= 3,
+          transform(sequence(lit(1), size(tk) - lit(2)),
+            i => triHash(concat_ws(" ", element_at(tk, i),
+              element_at(tk, i + 1), element_at(tk, i + 2)))))
+        .otherwise(array().cast("array<long>")))
+    }
 
   /** (id, trigram-hash) rows — explode-over-positions so the token
     * split runs once per DOC (the Generate barrier; see
