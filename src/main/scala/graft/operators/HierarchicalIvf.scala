@@ -196,9 +196,11 @@ object HierarchicalIvf {
     }.toDF("ccid", "cid", "fv"))
     val wf = Window.partitionBy(col("qid"), col("ccid"))
       .orderBy(col("fd"), col("cid"))
-    val diff = zip_with(col("qv"), col("fv"), (x, y) => x - y)
+    // one codegen'd Σ(x−y)² loop (r20) — the zip_with diff form ran
+    // interpreted and was evaluated twice per row (ADP(diff, diff))
     q0.join(fineDf, Seq("ccid"))
-      .withColumn("fd", graft.functions.ArrayDotProduct(diff, diff))
+      .withColumn("fd",
+        graft.functions.ArrayL2Dist2(col("qv"), col("fv")))
       .withColumn("frk", row_number().over(wf))
       .filter(col("frk") <= nprobeFine)
       .select(col("qid"), col("qv"), col("cid"))

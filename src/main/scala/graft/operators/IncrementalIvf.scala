@@ -32,18 +32,15 @@ object IncrementalIvf {
     s"${prefix}_cells".toLowerCase(java.util.Locale.ROOT)
 
   /** Nearest-centroid assignment in the index's row shape
-    * (cid, vec_id, v) — literal-expression form for small k,
-    * codegen’d NearestCell form past `IvfIndex.LiteralKMax` (same argmin,
+    * (cid, vec_id, v) — one codegen'd NearestCell argmin at any k
+    * (r20: the literal-vs-NearestCell switch collapsed; same argmin,
     * spec-pinned equal in IvfIndex).
     */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val base = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-    val a =
-      if (cents.size <= IvfIndex.LiteralKMax)
-        base.withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
-      else IvfIndex.assignCells(base, "vec_id", "v", cents)
-    a.select(col("cid"), col("vec_id"), col("v"))
+    base.withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
+      .select(col("cid"), col("vec_id"), col("v"))
   }
 
   /** Materialize the cell-list index from the corpus — one

@@ -34,17 +34,25 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Above this cell count, assignment switches from the compiled
-    * centroid-literal expression to the codegen’d NearestCell form
-    * (`assignCells`) — same math, one reference-object loop instead
-    * of a huge expression tree.
+  /** Historical tree-size ceiling of the literal centroid-expression
+    * forms. Since r20 every assignment/probe path runs the compact
+    * codegen'd expressions (NearestCell / ProbeCells / CentroidErr2)
+    * at any k, so this no longer switches anything — it survives as
+    * the PQ code-width sanity bound (`learnCodebooks` requires
+    * k ≤ LiteralKMax: a PQ "byte" code wider than this is a misuse).
     */
   val LiteralKMax = 256
 
   /** Squared L2 distance to a centroid literal, accumulated strictly
     * left-to-right — the exact arithmetic the DuckDB oracle's
     * `list_distance` runs, which is what makes nearest-centroid
-    * assignment reproducible across engines.
+    * assignment reproducible across engines. Kept (with the literal
+    * argmin/probe forms below) ONLY as the bit-parity reference the
+    * function specs compare the codegen'd expressions against — no
+    * production path builds it anymore (r20: the literal trees embed
+    * k×dims literal doubles per use and their zip_withs run
+    * interpreted, twice per ArrayDotProduct reference, with a per-row
+    * allocation per centroid).
     */
   private def dist2(v: Column, cent: Seq[Double]): Column = {
     val diff = zip_with(v, array(cent.map(lit): _*), (x, y) => x - y)
@@ -57,9 +65,29 @@ object IvfIndex {
       struct(dist2(v, c).as("d"), lit(cid).as("cid"))
     }: _*)
 
-  /** The nearest centroid id (ties by cid — struct ordering). */
-  def nearestCid(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+  /** The literal-tree argmin — the specs' bit-parity reference for
+    * [[nearestCid]] (same math, k×dims-literal expression tree).
+    */
+  private[graft] def nearestCidLiteral(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     array_min(distStructs(v, cents)).getField("cid")
+
+  /** The literal-tree probe — the specs' bit-parity reference for
+    * [[probeCids]].
+    */
+  private[graft] def probeCidsLiteral(v: Column, cents: Seq[(Int, Seq[Double])],
+      nprobe: Int): Column =
+    transform(slice(array_sort(distStructs(v, cents)), 1, nprobe),
+      s => s.getField("cid"))
+
+  /** The nearest centroid id (ties by cid) — the codegen'd
+    * [[graft.functions.NearestCell]] loop, spec-pinned bit-identical
+    * to the literal `array_min(struct(d, cid))` form at any k (r20:
+    * the literal form was the default below LiteralKMax; its
+    * interpreted zip_withs and per-use k×dims literal tree made it
+    * strictly worse at every k — see NearestCell's scaladoc).
+    */
+  def nearestCid(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.NearestCell(v, cents)
 
   /** Cell assignment at large k — one narrow map through the
     * codegen'd [[graft.functions.NearestCell]] argmin (the centroid
@@ -91,10 +119,12 @@ object IvfIndex {
     vecs.select(col(idCol), col(vCol),
       graft.functions.NearestCell(col(vCol), cents).as("cid"))
 
-  /** The `nprobe` nearest centroid ids, nearest first. */
+  /** The `nprobe` nearest centroid ids, nearest first — the codegen'd
+    * [[graft.functions.ProbeCells]] selection, spec-pinned
+    * bit-identical to the literal sort-and-slice form.
+    */
   def probeCids(v: Column, cents: Seq[(Int, Seq[Double])], nprobe: Int): Column =
-    transform(slice(array_sort(distStructs(v, cents)), 1, nprobe),
-      s => s.getField("cid"))
+    graft.functions.ProbeCells(v, cents, nprobe)
 
   /** Learning-set governance (r16) — the sample RATE for centroid /
     * codebook learning, derived from the corpus count by integer
@@ -169,10 +199,9 @@ object IvfIndex {
       case (r, i) => (i + 1) -> r.getSeq[Double](0)
     }
     for (_ <- 0 until iters) {
-      val assigned =
-        if (cents.size <= LiteralKMax)
-          e.withColumn("cid", nearestCid(col("v"), cents))
-        else assignCells(e, "id", "v", cents)
+      // every k runs the same NearestCell loop now (r20) — the
+      // literal-vs-NearestCell switch was only a tree-size escape
+      val assigned = e.withColumn("cid", nearestCid(col("v"), cents))
       // per-dimension means via posexplode + (cid, pos) groupBy: a
       // 3-column agg instead of `dims` generated aggregate columns —
       // far smaller codegen, same partial-agg shuffle shape (k·dims

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.ArrayDotProduct
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -60,16 +59,14 @@ object ProductQuantizer {
   }
 
   /** Squared reconstruction error of one subspace against its chosen
-    * centroid, accumulated strictly left-to-right (oracle parity).
+    * centroid, accumulated strictly left-to-right (oracle parity) —
+    * the codegen'd [[graft.functions.CentroidErr2]] loop, spec-pinned
+    * bit-identical to the literal when-chain + zip_with form it
+    * replaces (r20: that form embedded k×sub literal doubles per use
+    * and ran its zip_with interpreted twice per row per reference).
     */
-  private def subErr2(subv: Column, cents: Seq[(Int, Seq[Double])], code: Column): Column = {
-    val centArr = cents.foldRight(lit(null).cast("array<double>")) {
-      case ((cid, c), acc) =>
-        when(code === cid, array(c.map(lit): _*)).otherwise(acc)
-    }
-    val diff = zip_with(subv, centArr, (x, y) => x - y)
-    ArrayDotProduct(diff, diff)
-  }
+  private def subErr2(subv: Column, cents: Seq[(Int, Seq[Double])], code: Column): Column =
+    graft.functions.CentroidErr2(subv, code, cents)
 
   /** Encode every vector: (id, [keep...], code_1..code_m, mse6) where
     * code_j is the nearest centroid id in subspace j and mse6 the

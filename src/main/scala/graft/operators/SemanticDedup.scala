@@ -86,14 +86,10 @@ object SemanticDedup {
         sampleRate =
           IvfIndex.governedLearnRate(n, IvfIndex.governedLearnBase(k))))
     val vecs = e.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-    // small k: compiled centroid-literal argmin (zero shuffle);
-    // large k: the codegen’d NearestCell form — identical assignment
-    // (IvfIndex.assignCells Scaladoc), so the oracle replay holds on
-    // either path
-    val v =
-      if (cents.size <= IvfIndex.LiteralKMax)
-        vecs.withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
-      else IvfIndex.assignCells(vecs, "vec_id", "v", cents)
+    // one codegen'd NearestCell argmin at any k (zero shuffle; r20 —
+    // the literal-vs-NearestCell switch collapsed, identical
+    // assignment either way so the oracle replay holds)
+    val v = vecs.withColumn("cid", IvfIndex.nearestCid(col("v"), cents))
     val a = v.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = v.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
     val pairs = a.join(b, Seq("cid"))

@@ -26,7 +26,9 @@ class NearestCellSpec extends SparkSpec {
     val got = df.select($"id", NearestCell($"v", cents).as("cid"))
       .as[(Long, Int)].collect().toMap
     assert(got === Map(10L -> 1, 11L -> 2, 12L -> 4))
-    val lit = df.select($"id", IvfIndex.nearestCid($"v", cents).as("cid"))
+    // nearestCid IS NearestCell since r20 — the parity reference is
+    // the kept literal tree form
+    val lit = df.select($"id", IvfIndex.nearestCidLiteral($"v", cents).as("cid"))
       .as[(Long, Int)].collect().toMap
     assert(got === lit, "codegen'd argmin must equal the literal expression")
   }
