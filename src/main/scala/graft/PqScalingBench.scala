@@ -51,7 +51,7 @@ object PqScalingBench {
     base.count() // warm IO/codegen
 
     def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      transform(c, _.cast("double"))
+      graft.functions.VectorFunctions.toDouble(c)
 
     // 64× = 128k vectors: past the 32,768-vector governance base, so
     // the run SHOWS the learning-set bound engaging (rate 1/4 there;

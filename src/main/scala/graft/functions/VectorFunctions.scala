@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast array<float> → array<double> (exact). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast array<float> → array<double> (exact widening). The native
+    * array cast, not `transform(v, _.cast("double"))` (r20): the
+    * transform form is an interpreted higher-order function that
+    * rebuilt the array per row on EVERY vector path — and rebuilt it
+    * even when the input was already array<double>, where the native
+    * cast is the identity and the optimizer removes it.
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column = ArrayDotProduct(a, b)
 

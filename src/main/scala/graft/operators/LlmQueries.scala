@@ -1587,7 +1587,7 @@ object LlmQueries {
     val e = table(spark, dir, "embeddings")
     val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
     def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      transform(c, _.cast("double"))
+      graft.functions.VectorFunctions.toDouble(c)
     val corpusCells = e.select(col("vec_id"),
       IvfIndex.nearestCid(toD(col("embedding")), cents).as("cid"))
     // batch ids are offset past max(vec_id) — a derived reserved
@@ -1712,7 +1712,7 @@ object LlmQueries {
     val cents = CentroidArtifact.embeddingCentroids(spark, dir, k = 16)
     val books = CentroidArtifact.pqCodebooks(spark, dir, m = 4, k = 16)
     def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      transform(c, _.cast("double"))
+      graft.functions.VectorFunctions.toDouble(c)
     // the serving table: (cell, codes) per vector, one narrow pass
     val coded = ProductQuantizer.encode(
         e.withColumn("cid", IvfIndex.nearestCid(toD(col("embedding")), cents)),

@@ -60,15 +60,22 @@ object Whitening {
       s"dims=$dims exceeds Whitening.MaxDims=$MaxDims: the per-row " +
         "moment fan-out is d(d+1)/2 structs and the Jacobi sweep is " +
         "specified for d <= ~100 — restructure before raising this")
-    val v = toDouble(col(vecCol))
-    // fan-out per row: (-1,-1,1) count, (i,-1,x_i) sums, (i,j,x_i·x_j) products
-    val terms = array(
-      (Seq(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1.0).as("p"))) ++
-        (0 until dims).map(i =>
-          struct(lit(i).as("i"), lit(-1).as("j"), v.getItem(i).as("p"))) ++
-        (for (i <- 0 until dims; j <- i until dims) yield
-          struct(lit(i).as("i"), lit(j).as("j"),
-            (v.getItem(i) * v.getItem(j)).as("p")))): _*)
+    // let-bind the cast vector: the d(d+1)/2+d terms below reference
+    // it ~2·d² times, and an inlined array cast per reference blows
+    // the generated method past Janino's ceiling (r20: the native
+    // toDouble cast is "cheap" to CollapseProject, so a Project
+    // boundary would not survive the optimizer; the lambda variable
+    // does)
+    val terms = graft.functions.ExprLet.bindOnce(toDouble(col(vecCol))) { v =>
+      // fan-out per row: (-1,-1,1) count, (i,-1,x_i) sums, (i,j,x_i·x_j) products
+      array(
+        (Seq(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1.0).as("p"))) ++
+          (0 until dims).map(i =>
+            struct(lit(i).as("i"), lit(-1).as("j"), v.getItem(i).as("p"))) ++
+          (for (i <- 0 until dims; j <- i until dims) yield
+            struct(lit(i).as("i"), lit(j).as("j"),
+              (v.getItem(i) * v.getItem(j)).as("p")))): _*)
+    }
     val rows = vecs.select(explode(terms).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("s"))
